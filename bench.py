@@ -1,0 +1,69 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a count() (full plan execution, no driver
+materialization of payloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from movie_recommendation_engine_spark.registry import QUERIES
+    from movie_recommendation_engine_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session startup
+    try:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    except Exception as ex:
+        print(f"# bench warmup failed for {sf_dir}: {ex}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as ex:  # a broken query must not hide the others
+            timings[name] = -1.0
+            print(f"# bench error {name}: {ex}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(sum(ok.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

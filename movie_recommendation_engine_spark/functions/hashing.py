@@ -1,0 +1,79 @@
+"""Deterministic, engine-portable hashing primitives.
+
+Why md5 and not ``F.rand`` / ``F.xxhash64``:
+
+- ``F.rand(seed)`` is *partition-dependent* — the same row gets a
+  different draw if the partitioning changes (SURVEY §7.3), which makes
+  samples non-reproducible across cluster sizes.  A content hash of the
+  row key is partitioning-independent: the split a row lands in is a pure
+  function of its key, at 4 cores or 4000.
+- md5 is implemented identically everywhere (Spark, DuckDB, Python), so
+  every sampling/split operator built on it is oracle-checkable with
+  plain ANSI SQL.  xxhash64/murmur3 seeds differ across engines.
+
+``uniform_hash`` maps arbitrary key columns to a double in [0, 1):
+the first 8 hex digits of md5(concat_ws(...)) as an unsigned 32-bit int,
+divided by 2^32.  Uniformity is inherited from md5; 2^32 buckets is
+plenty for fraction comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_SEP = ""  # unlikely-in-data separator for multi-column keys
+_TWO_32 = float(2**32)
+
+
+def md5_long(*cols: Column | str, salt: str = "") -> Column:
+    """First 32 bits of md5 over the concatenated key, as a long.
+
+    Equivalent DuckDB SQL:
+        CAST(('0x' || substr(md5(concat_ws(chr(1), cols...)), 1, 8)) AS BIGINT)
+    """
+    key = F.concat_ws(_SEP, *[F.col(c) if isinstance(c, str) else c for c in cols])
+    if salt:
+        key = F.concat_ws(_SEP, F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def uniform_hash(*cols: Column | str, salt: str = "") -> Column:
+    """Deterministic pseudo-uniform double in [0,1) from key columns."""
+    return (md5_long(*cols, salt=salt) / F.lit(_TWO_32)).cast("double")
+
+
+def hash_bucket(n_buckets: int, *cols: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket id in [0, n_buckets)."""
+    return (md5_long(*cols, salt=salt) % F.lit(n_buckets)).cast("int")
+
+
+def char_shingles(col: Column | str, n: int = 5, lowercase: bool = True) -> Column:
+    """Distinct character n-grams of a string column -> array<string>.
+
+    JVM-side only: sequence + transform + substring; no Python UDF.
+    Whitespace is collapsed first so formatting doesn't change the
+    shingle set.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.trim(c), r"\s+", " ")
+    if lowercase:
+        s = F.lower(s)
+    # positions 1 .. len-n+1; single short shingle when text is shorter than n
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+
+
+def word_shingles(col: Column | str, n: int = 3, lowercase: bool = True) -> Column:
+    """Distinct word n-grams -> array<string> (space-joined)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.trim(c), r"\s+", " ")
+    if lowercase:
+        s = F.lower(s)
+    words = F.split(s, " ")
+    # start offsets 0 .. nwords-n; when fewer than n words the whole text
+    # becomes one (short) shingle
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(n), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(grams)

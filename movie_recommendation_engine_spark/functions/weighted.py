@@ -1,0 +1,32 @@
+"""IMDB-style Bayesian weighted rating as a native column expression.
+
+The reference implements this as a row-at-a-time Python scalar UDF
+(reference popularity_model.py:9-13, registered at 54-55) — every row
+crosses the JVM->Python boundary.  It is pure arithmetic, so the engine
+expresses it as a Catalyst column expression (SURVEY §2.9 F1): stays in
+whole-stage codegen, ~100x cheaper at scale, and constant-folds the
+literals.
+
+    score = v/(v+m_min) * r  +  m_min/(m_min+v) * global_mean
+
+where v = #ratings for the item, r = the item's mean rating, m_min = the
+minimum-count floor (the reference uses the 90th percentile of v), and
+global_mean = mean of the per-item means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def weighted_rating(
+    v: Column | str,
+    r: Column | str,
+    min_count: Column,
+    global_mean: Column,
+) -> Column:
+    """Bayesian shrinkage of an item's mean toward the global mean."""
+    v = F.col(v) if isinstance(v, str) else v
+    r = F.col(r) if isinstance(r, str) else r
+    v = v.cast("double")
+    return (v / (v + min_count)) * r + (min_count / (min_count + v)) * global_mean

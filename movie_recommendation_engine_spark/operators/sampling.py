@@ -1,0 +1,120 @@
+"""Sampling & split-assignment operators (SURVEY §2.8 R1-R2, §7.2 M1).
+
+The reference's current splitter is single-machine pandas
+(new_split_script.py:6-14): per user, sample 25% -> validation, 25% of
+the remainder -> test, rest -> train.  The deprecated Spark version used
+``sampleBy`` + ``exceptAll`` (split_script.py:43-46) and was seeded but
+partition-dependent.
+
+The engine's default is **content-hash sampling**: each row's draw is
+``uniform_hash(key columns)`` — a pure function of the data, so the
+sample is identical on any cluster size / partition count, is
+reproducible forever, and is oracle-checkable in ANSI SQL
+(functions.hashing explains the md5 construction).  ``F.rand(seed)``
+variants are offered for API parity but hash is the default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import uniform_hash
+
+
+def per_group_fraction(
+    df: DataFrame,
+    group_col: str,
+    fraction: float,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ceil(fraction * n_g) rows from every group g (R2).
+
+    The reference's pandas ``groupby(...).sample(frac=...)`` draws an
+    exact per-group count; a plain Bernoulli filter would only hit the
+    fraction in expectation and can miss small groups entirely.  We rank
+    rows within each group by their content hash and keep the first
+    ceil(frac*n): one shuffle on ``group_col``, deterministic, and every
+    group is represented (the FinalReport p.1 §1 requirement that every
+    user appears in every split).
+    """
+    h = uniform_hash(*key_cols, salt=salt)
+    w = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w.orderBy("__h", *key_cols)))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+    )
+    out = ranked.filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+    return out.drop("__h", "__rn", "__n")
+
+
+def split_assign(
+    df: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    fractions: Mapping[str, float] = None,
+    split_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Label every row train/validation/test, per-group exact fractions.
+
+    Reproduces new_split_script.py semantics (25% -> validation, 25% of
+    remainder -> test, rest -> train == 25/18.75/56.25 of each user's
+    rows... the reference's sequential sampling actually yields
+    25% val, 18.75% test; most descriptions say 25/25/50, so the engine
+    default is the *stated* 25/25/50) in ONE window pass instead of two
+    sample+anti-join rounds: rank each group's rows by content hash, cut
+    the ranking at the cumulative fraction boundaries.
+
+    Splits are pairwise disjoint, exhaustive, and every group with >= 3
+    rows appears in all three splits (boundaries use ceil, so tiny
+    groups fill validation, then test, then train).
+    """
+    fractions = dict(fractions or {"validation": 0.25, "test": 0.25, "train": 0.50})
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+
+    h = uniform_hash(*key_cols, salt=salt)
+    w = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w.orderBy("__h", *key_cols)))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+    )
+    # cumulative ceil boundaries: label = first bucket whose boundary >= rn
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        bound = F.ceil(F.col("__n") * F.lit(cum))
+        cond = F.col("__rn") <= bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(items[-1][0]))
+    return ranked.withColumn(split_col, expr).drop("__h", "__rn", "__n")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_cols: list[str],
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic ``sampleBy`` (R1, reference split_script.py:43).
+
+    Bernoulli per row — keep the row when its content hash falls below
+    its stratum's fraction.  Unlike ``DataFrame.sampleBy`` this is
+    partition-count-independent and SQL-reproducible.
+    """
+    h = uniform_hash(*key_cols, salt=salt)
+    frac = None
+    for value, f_ in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        frac = F.when(cond, F.lit(f_)) if frac is None else frac.when(cond, F.lit(f_))
+    frac = frac.otherwise(F.lit(0.0))
+    return df.filter(h < frac)

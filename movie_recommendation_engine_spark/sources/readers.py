@@ -1,0 +1,61 @@
+"""Schema'd sources (SURVEY §2.1 S1-S6).
+
+Reference behavior reproduced, Spark-first:
+- S1/S2 header & headerless CSV scans (reference als.py:24,
+  popularity_model.py:43) -> ``read_csv`` with an explicit StructType so
+  types land at the scan instead of post-hoc casts.
+- S3 positional naming (``toDF(...)``) is subsumed by schema-at-read.
+- S6 Parquet-first storage (the reference only ever *intended* this —
+  split_script.py:16-17 comment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .schemas import RATINGS_SCHEMA, TESTDATA_TABLES
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with a declared schema (no inferSchema pass)."""
+    return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
+
+
+def read_ratings_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """The reference's core source: ratings CSV (als.py:24-26)."""
+    return read_csv(spark, path, RATINGS_SCHEMA, header=header)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    if table not in TESTDATA_TABLES:
+        raise ValueError(f"unknown testdata table {table!r}; know {TESTDATA_TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table as a dict and register temp views."""
+    out: dict[str, DataFrame] = {}
+    for t in TESTDATA_TABLES:
+        df = read_testdata(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

@@ -1,0 +1,34 @@
+"""Sinks (SURVEY §2.1 S4, S6).
+
+The reference wrote splits as headered CSV from pandas
+(new_split_script.py:16-18); at 100 TB the engine's default sink is
+partitioned Parquet.  CSV remains for interchange parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Partition-pruned layout: one directory per partition value.
+
+    This is how the split tables should land at scale — a single write
+    with ``partitionBy('split')`` instead of three separate jobs, and
+    readers filtering on the split column get partition pruning for free.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)

@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from movie_recommendation_engine_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+
+
+@pytest.fixture(scope="session")
+def ratings(spark):
+    """MovieLens-shaped fixture: 4 users x ~10 items with half-star ratings."""
+    rows = []
+    for u in range(1, 5):
+        for m in range(1, 11):
+            if (u * 7 + m) % 3 == 0 and u != 1:
+                continue
+            rows.append((u, m, float(((u * 3 + m * 7) % 10) / 2.0 + 0.5), 1_500_000_000 + u * 86400 + m))
+    return spark.createDataFrame(rows, "userId int, movieId int, rating float, timestamp long")

@@ -1,0 +1,58 @@
+"""Splitter / sampling properties (SURVEY §5: disjoint, exhaustive,
+every-user-in-every-split, partitioning-independent determinism)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from movie_recommendation_engine_spark.operators.sampling import (
+    per_group_fraction,
+    split_assign,
+    stratified_sample,
+)
+from movie_recommendation_engine_spark.plans.splitter import split_ratings
+
+
+KEYS = ["userId", "movieId"]
+
+
+def test_per_group_fraction_exact_counts(spark, ratings):
+    got = per_group_fraction(ratings, "userId", 0.25, KEYS)
+    sizes = {r.userId: r.n for r in ratings.groupBy("userId").agg(F.count("*").alias("n")).collect()}
+    taken = {r.userId: r.n for r in got.groupBy("userId").agg(F.count("*").alias("n")).collect()}
+    for u, n in sizes.items():
+        assert taken[u] == math.ceil(0.25 * n)
+
+
+def test_split_properties(spark, ratings):
+    labeled = split_ratings(ratings)
+    # exhaustive: every row got exactly one label
+    assert labeled.count() == ratings.count()
+    assert labeled.filter(F.col("split").isNull()).count() == 0
+    # disjoint by construction (single label column); every user in every split
+    per = labeled.groupBy("userId").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 3 for r in per)
+    # fractions ~25/25/50 per user
+    counts = {(r.userId, r.split): r.n for r in labeled.groupBy("userId", "split").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.userId: r.n for r in ratings.groupBy("userId").agg(F.count("*").alias("n")).collect()}
+    for u, n in sizes.items():
+        assert counts[(u, "validation")] == math.ceil(0.25 * n)
+
+
+def test_split_partitioning_independent(spark, ratings):
+    a = split_ratings(ratings).select(*KEYS, "split").collect()
+    b = split_ratings(ratings.repartition(13)).select(*KEYS, "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, ratings):
+    labeled = split_ratings(ratings)
+    frac = {"train": 1.0, "validation": 0.3, "test": 0.3}
+    s1 = stratified_sample(labeled, "split", frac, KEYS).collect()
+    s2 = stratified_sample(labeled.coalesce(1), "split", frac, KEYS).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    n_train = labeled.filter("split = 'train'").count()
+    kept_train = sum(1 for r in s1 if r.split == "train")
+    assert kept_train == n_train  # fraction 1.0 keeps everything
