@@ -28,8 +28,12 @@ _TWO_32 = float(2**32)
 def md5_long(*cols: Column | str, salt: str = "") -> Column:
     """First 32 bits of md5 over the concatenated key, as a long.
 
-    Equivalent DuckDB SQL:
+    Equivalent DuckDB SQL (salt prepended as the first concat_ws arg;
+    the separator is chr(1) so it cannot collide with real data):
         CAST(('0x' || substr(md5(concat_ws(chr(1), cols...)), 1, 8)) AS BIGINT)
+
+    Key columns should be string/integer typed — float/timestamp
+    renderings differ across engines.
     """
     key = F.concat_ws(_SEP, *[F.col(c) if isinstance(c, str) else c for c in cols])
     if salt:

@@ -1,0 +1,325 @@
+"""Relational-core queries (SURVEY §2.2-2.7): joins, aggregates, set ops,
+windows, explode — each oracle-checked against DuckDB.
+
+Scale notes per query are inline; the common themes: dims broadcast,
+aggregations are partial+final hash aggs, top-k never leaves the
+executors, and no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.relational import anti_join, case_when_in, semi_join
+from ..operators.topk import top_k_per_group
+from . import _t, register
+
+
+# -- J1: multi-way star join + grouped agg (broadcast dims) ----------------
+
+
+@register(
+    "revenue_per_nation",
+    oracle="""
+SELECT n.n_name,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer/nation are dimensions: broadcast them so the only wide
+    shuffle is lineitem⋈orders on orderkey (at 100 TB: co-partition or
+    bucket lineitem+orders on orderkey to kill that one too)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+# -- J3: anti join (reference new_split_script.py:8-9 pandas merge) --------
+
+
+@register(
+    "orders_without_lineitems",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return anti_join(orders, li, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+# -- X2: semi join (disjointness-check primitive, extension.py:150-152) ----
+
+
+@register(
+    "customers_with_urgent_orders",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+)
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(cust, urgent, ["c_custkey"]).orderBy("c_custkey")
+
+
+# -- X1: EXCEPT ALL multiset difference (reference split_script.py:46) -----
+
+
+@register(
+    "lineitem_except_returns",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+EXCEPT ALL
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def q_lineitem_except_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select("l_orderkey", "l_partkey", "l_linenumber")
+    returns = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    return base.exceptAll(returns)
+
+
+# -- P5: CASE WHEN + IN-list labeling (reference split_script.py:40) -------
+
+
+@register(
+    "order_priority_classes",
+    oracle="""
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+            WHEN o_orderpriority IN ('3-MEDIUM') THEN 'medium'
+            ELSE 'low' END AS priority_class,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS total_value
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def q_order_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    label = case_when_in(
+        "o_orderpriority",
+        {"high": ["1-URGENT", "2-HIGH"], "medium": ["3-MEDIUM"]},
+        default="low",
+    )
+    return (
+        orders.withColumn("priority_class", label)
+        .groupBy("priority_class")
+        .agg(
+            F.count("*").alias("n_orders"),
+            # money sums go through DECIMAL so they are exact and
+            # summation-order-independent (engine convention)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("priority_class")
+    )
+
+
+# -- O3/§2.5: top-k per group via window rank ------------------------------
+
+
+@register(
+    "top3_suppliers_per_nation",
+    oracle="""
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS s_acctbal, rank
+FROM (
+  SELECT s_nationkey, s_suppkey, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rank
+  FROM supplier)
+WHERE rank <= 3
+ORDER BY s_nationkey, rank
+""",
+)
+def q_top3_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    out = top_k_per_group(
+        sup,
+        ["s_nationkey"],
+        [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()],
+        k=3,
+        keep_rank=True,
+    )
+    return out.select(
+        "s_nationkey", "s_suppkey", F.round("s_acctbal", 2).alias("s_acctbal"), "rank"
+    ).orderBy("s_nationkey", "rank")
+
+
+# -- A6/A7: distinct + count-distinct --------------------------------------
+
+
+@register(
+    "active_customers_per_nation",
+    oracle="""
+SELECT c_nationkey, count(DISTINCT c.c_custkey) AS n_active
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+)
+def q_active_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("n_active"))
+        .orderBy("c_nationkey")
+    )
+
+
+# -- A4: two-level agg + collect_list (reference als.py:115-118) -----------
+
+
+@register(
+    "order_part_lists",
+    oracle="""
+SELECT l_orderkey,
+       list_sort(list(l_partkey)) AS parts,
+       count(*) AS n_parts
+FROM (SELECT l_orderkey, l_partkey, avg(l_quantity) AS q
+      FROM lineitem GROUP BY l_orderkey, l_partkey)
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def q_order_part_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-mean then per-group sorted list — the exact shape the
+    reference uses to build per-user ground-truth label lists."""
+    li = _t(spark, sf_dir, "lineitem")
+    dedup = li.groupBy("l_orderkey", "l_partkey").agg(F.avg("l_quantity").alias("q"))
+    return (
+        dedup.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_partkey")).alias("parts"),
+            F.count("*").alias("n_parts"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# -- A2/A3: grand aggregate + exact percentile -----------------------------
+
+
+@register(
+    "lineitem_global_stats",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS n_parts,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS sum_price,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+FROM lineitem
+""",
+)
+def q_lineitem_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("max_ship"),
+    )
+
+
+# -- P8: explode / flatten (reference als.py:110-112) ----------------------
+
+
+@register(
+    "part_type_word_counts",
+    oracle="""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+GROUP BY word ORDER BY word
+""",
+)
+def q_part_type_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy("word")
+    )
+
+
+# -- P7: struct-field extraction over array (reference als.py:120) ---------
+
+
+@register(
+    "order_items_in_line_order",
+    oracle="""
+SELECT l_orderkey,
+       list_transform(
+         list_sort(list({'a': l_linenumber, 'b': l_partkey})),
+         x -> x.b) AS items
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def q_order_items_in_line_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect array<struct>, sort by line number, extract one field —
+    the recommendForAllUsers output-shaping pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("l_linenumber").alias("a"), F.col("l_partkey").alias("b")))
+            )
+            .getField("b")
+            .alias("items")
+        )
+        .orderBy("l_orderkey")
+    )

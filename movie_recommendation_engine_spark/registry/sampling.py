@@ -1,0 +1,115 @@
+"""Sampling / split queries (SURVEY §2.8 R1-R2, §7.2 M1) — the engine's
+content-hash sampling is bit-reproducible in DuckDB SQL, so even the
+*samplers* are oracle-checked, something Spark's built-in rand-based
+sampleBy cannot offer.
+
+lineitem plays ratings: l_orderkey≅userId, (l_orderkey, l_partkey,
+l_linenumber) is the unique row key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.sampling import per_group_fraction, split_assign, stratified_sample
+from . import _t, duck_hash_sql, register
+
+_KEYS = ["l_orderkey", "l_partkey", "l_linenumber"]
+_H_SPLIT = duck_hash_sql("split", *_KEYS)
+_H_FRAC = duck_hash_sql("", *_KEYS)
+_H_STRAT = duck_hash_sql("strat", *_KEYS)
+
+
+@register(
+    "split_label_rows",
+    oracle=f"""
+SELECT l_orderkey, l_partkey, l_linenumber, split
+FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS n,
+         CASE WHEN row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber)
+                  <= ceil(count(*) OVER (PARTITION BY l_orderkey) * 0.25) THEN 'validation'
+              WHEN row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber)
+                  <= ceil(count(*) OVER (PARTITION BY l_orderkey) * 0.50) THEN 'test'
+              ELSE 'train' END AS split
+  FROM lineitem)
+ORDER BY l_orderkey, l_partkey, l_linenumber
+""",
+)
+def q_split_label_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every row labeled train/validation/test — one window pass, no
+    sample+anti-join rounds (reference E3 distributed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    labeled = split_assign(li, group_col="l_orderkey", key_cols=_KEYS)
+    return labeled.select(*_KEYS, "split").orderBy(*_KEYS)
+
+
+@register(
+    "split_counts",
+    oracle=f"""
+SELECT split, count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_groups
+FROM (
+  SELECT l_orderkey,
+         CASE WHEN row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber)
+                  <= ceil(count(*) OVER (PARTITION BY l_orderkey) * 0.25) THEN 'validation'
+              WHEN row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber)
+                  <= ceil(count(*) OVER (PARTITION BY l_orderkey) * 0.50) THEN 'test'
+              ELSE 'train' END AS split
+  FROM lineitem)
+GROUP BY split ORDER BY split
+""",
+)
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    labeled = split_assign(li, group_col="l_orderkey", key_cols=_KEYS)
+    return (
+        labeled.groupBy("split")
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("l_orderkey").alias("n_groups"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "per_group_sample25",
+    oracle=f"""
+SELECT l_orderkey, l_partkey, l_linenumber
+FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY {_H_FRAC}, l_orderkey, l_partkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem)
+WHERE rn <= ceil(n * 0.25)
+ORDER BY l_orderkey, l_partkey, l_linenumber
+""",
+)
+def q_per_group_sample25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 25% of every order's lines (reference pandas
+    groupby().sample(frac=.25) distributed, R2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = per_group_fraction(li, "l_orderkey", 0.25, _KEYS)
+    return out.select(*_KEYS).orderBy(*_KEYS)
+
+
+@register(
+    "stratified_sample_returnflag",
+    oracle=f"""
+SELECT l_orderkey, l_partkey, l_linenumber, l_returnflag
+FROM lineitem
+WHERE {_H_STRAT} < CASE l_returnflag WHEN 'R' THEN 0.1
+                                     WHEN 'A' THEN 0.5
+                                     ELSE 0.0 END
+ORDER BY l_orderkey, l_partkey, l_linenumber
+""",
+)
+def q_stratified_sample_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampleBy (R1, reference split_script.py:43)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = stratified_sample(li, "l_returnflag", {"R": 0.1, "A": 0.5}, _KEYS)
+    return out.select(*_KEYS, "l_returnflag").orderBy(*_KEYS)
