@@ -1,0 +1,141 @@
+"""Evaluation metrics — distributed, array-native (SURVEY §7.2 M3).
+
+The reference computes ranking metrics by collecting everything to the
+driver (popularity_model.py:59-77) or via a per-row rdd.map Python
+lambda (als.py:128-131) — its own report documents the 1.5 h -> 30 min
+scar of getting that wrong at scale (SURVEY §2.13.5).
+
+Here every metric is a JVM-side column expression over per-user arrays:
+- standard MAP@K / precision@K / recall@K / hit-rate@K (the correct
+  formulations — the reference's mAP is nonstandard, SURVEY §2.13.1);
+- the reference-compatible formulas behind ``compat`` columns so its
+  published numbers (BASELINE.md) remain comparable:
+  ref mAP per user = sum over truth items found at 1-based position p
+  of (1 + 1/p) / len(recs), divided by len(truth)
+  (reference als.py:10-20, popularity_model.py:23-33);
+- RMSE as a plain aggregate (reference als.py:49,103 via
+  RegressionEvaluator — same number, no mllib dependency).
+
+No Python UDFs, no explode shuffle: each user's metrics are computed
+inside one row via higher-order functions, then averaged in a single
+grand aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def rmse(predictions: DataFrame, label_col: str = "rating", pred_col: str = "prediction") -> DataFrame:
+    """One-row DataFrame with the root-mean-squared error."""
+    d = F.col(pred_col) - F.col(label_col)
+    return predictions.agg(F.sqrt(F.avg(d * d)).alias("rmse"))
+
+
+def _ap_at_k(recs: str, truth: str, k: int) -> Column:
+    """Standard average precision @ k over two array columns.
+
+    AP = (1/min(k,|truth|)) * sum_{i<=k, rec_i in truth} precision@i.
+    Computed with a single aggregate over (position, hit) pairs — stays
+    in the JVM, no explode.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(sequence(1, size(slice({recs}, 1, {k}))),
+                   transform(slice({recs}, 1, {k}),
+                             x -> if(array_contains({truth}, x), 1, 0)),
+                   (p, h) -> struct(p as p, h as h)),
+          struct(0 as c, cast(0.0 as double) as s),
+          (acc, x) -> struct(acc.c + x.h,
+                             acc.s + if(x.h = 1,
+                                        cast(acc.c + x.h as double) / cast(x.p as double),
+                                        cast(0.0 as double))),
+          acc -> acc.s / least({k}, size({truth}))
+        )
+        """
+    )
+
+
+def _ref_map(recs: str, truth: str) -> Column:
+    """The reference's nonstandard mAP (als.py:10-20) as a column expr:
+    per truth item found at 1-based position p in recs, add
+    (1 + 1/p) / size(recs); divide the sum by size(truth)."""
+    return F.expr(
+        f"""
+        aggregate(
+          {truth},
+          cast(0.0 as double),
+          (acc, m) -> acc + if(array_position({recs}, m) > 0,
+                               (1.0 + 1.0 / cast(array_position({recs}, m) as double))
+                                 / size({recs}),
+                               cast(0.0 as double))
+        ) / size({truth})
+        """
+    )
+
+
+def per_user_ranking_metrics(
+    recs: DataFrame,
+    truth: DataFrame,
+    k: int = 100,
+    user_col: str = "userId",
+    recs_col: str = "recs",
+    truth_col: str = "truth",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-user metric columns from (user, recs array) ⋈ (user, truth array).
+
+    Inner join on user (reference als.py:123 joins the same way); both
+    sides are one row per user so the join is narrow; the truth side is
+    typically the smaller and broadcastable.
+    """
+    joined = recs.join(truth, [user_col], "inner")
+    r, t = recs_col, truth_col
+    topk = F.expr(f"slice({r}, 1, {k})")
+    n_hits = F.size(F.array_intersect(topk, F.col(t)))
+    out = joined.select(
+        user_col,
+        _ap_at_k(r, t, k).alias("ap"),
+        (n_hits / F.lit(k)).cast("double").alias("precision"),
+        (n_hits / F.size(F.col(t))).cast("double").alias("recall"),
+        (n_hits > 0).cast("double").alias("hit"),
+        _ref_map(r, t).alias("ref_ap"),
+    )
+    if round_to is not None:
+        for c in ("ap", "precision", "recall", "ref_ap"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out
+
+
+def summarize_ranking(per_user: DataFrame, round_to: int = 6) -> DataFrame:
+    """Grand averages: MAP@K, mean precision/recall, hit-rate, ref-mAP."""
+    return per_user.agg(
+        F.round(F.avg("ap"), round_to).alias("map_at_k"),
+        F.round(F.avg("precision"), round_to).alias("mean_precision"),
+        F.round(F.avg("recall"), round_to).alias("mean_recall"),
+        F.round(F.avg("hit"), round_to).alias("hit_rate"),
+        F.round(F.avg("ref_ap"), round_to).alias("ref_map"),
+        F.count("*").alias("n_users"),
+    )
+
+
+def global_hit_ratio(
+    interactions: DataFrame,
+    recs_list: DataFrame,
+    item_col: str = "movieId",
+    recs_col: str = "recs",
+    round_to: int = 6,
+) -> DataFrame:
+    """The reference's *global* hit-ratio (popularity_model.py:15-21,
+    65-68): the fraction of interaction ROWS whose item appears in the
+    single global recommendation list — row-level, not per-user
+    (SURVEY §2.13.3).  ``recs_list`` is a one-row DataFrame holding the
+    array; it enters via broadcast crossJoin, never a driver collect."""
+    joined = interactions.crossJoin(F.broadcast(recs_list))
+    return joined.agg(
+        F.round(
+            F.avg(F.array_contains(F.col(recs_col), F.col(item_col)).cast("double")), round_to
+        ).alias("hit_ratio"),
+        F.count("*").alias("n_rows"),
+    )

@@ -1,0 +1,158 @@
+"""ALS collaborative-filtering recommender (reference E2, SURVEY §7.2 M4).
+
+Wraps ``pyspark.ml.recommendation.ALS`` with the reference's exact
+configuration surface (reference als.py:36-46: rank=100, maxIter=3,
+regParam=0.15, nonnegative=True, implicitPrefs=False,
+coldStartStrategy='drop') plus the knobs that matter at 100 TB and that
+the reference left at defaults (SURVEY §7.3):
+
+- ``num_blocks`` (user/item blocking — ALS cost is block-to-block
+  shuffles, 2 per iteration; size blocks so a factor block fits in
+  executor memory);
+- ``checkpoint_interval`` (lineage truncation — without it, long
+  iteration chains blow up the DAG at scale);
+- seed (the reference relied on the default).
+
+Param introspection uses public getters, never ``_java_obj``
+(the reference reached into the JVM at als.py:74-80 — SURVEY §2.13/M7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .metrics import rmse as rmse_agg
+
+
+@dataclass
+class AlsRecommender:
+    user_col: str = "userId"
+    item_col: str = "movieId"
+    rating_col: str = "rating"
+    rank: int = 100
+    max_iter: int = 3
+    reg_param: float = 0.15
+    nonnegative: bool = True
+    implicit_prefs: bool = False
+    cold_start_strategy: str = "drop"
+    seed: int = 42
+    num_blocks: int | None = None
+    checkpoint_interval: int = 10
+    model: object = field(default=None, repr=False)
+
+    def _estimator(self):
+        from pyspark.ml.recommendation import ALS
+
+        kwargs = dict(
+            rank=self.rank,
+            maxIter=self.max_iter,
+            regParam=self.reg_param,
+            userCol=self.user_col,
+            itemCol=self.item_col,
+            ratingCol=self.rating_col,
+            nonnegative=self.nonnegative,
+            implicitPrefs=self.implicit_prefs,
+            coldStartStrategy=self.cold_start_strategy,
+            seed=self.seed,
+            checkpointInterval=self.checkpoint_interval,
+        )
+        if self.num_blocks is not None:
+            kwargs["numUserBlocks"] = self.num_blocks
+            kwargs["numItemBlocks"] = self.num_blocks
+        return ALS(**kwargs)
+
+    def fit(self, train: DataFrame) -> "AlsRecommender":
+        self.model = self._estimator().fit(train)
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Score (user, item) pairs (reference als.py:93). Physically:
+        df ⋈ userFactors ⋈ itemFactors + dot product, unseen keys
+        dropped per coldStartStrategy."""
+        assert self.model is not None, "fit first"
+        return self.model.transform(df)
+
+    def recommend_top_k(self, k: int = 100, flat: bool = True) -> DataFrame:
+        """Top-k items per user (reference als.py:96).
+
+        ``flat=False`` returns the reference shape (user,
+        recommendations: array<struct<item,rating>>); ``flat=True``
+        explodes to (user, item, score, rank) — the shape joins and
+        metrics want."""
+        assert self.model is not None, "fit first"
+        recs = self.model.recommendForAllUsers(k)
+        if not flat:
+            return recs
+        return recs.select(
+            self.user_col,
+            F.posexplode("recommendations").alias("rank0", "rec"),
+        ).select(
+            self.user_col,
+            F.col(f"rec.{self.item_col}").alias(self.item_col),
+            F.col("rec.rating").alias("score"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+
+    def recommendation_lists(self, k: int = 100) -> DataFrame:
+        """(user, recs: array<item>) ordered by predicted score — the
+        input shape of plans.metrics (reference als.py:120 getField)."""
+        assert self.model is not None, "fit first"
+        return self.model.recommendForAllUsers(k).select(
+            self.user_col,
+            F.col("recommendations").getField(self.item_col).alias("recs"),
+        )
+
+    def user_factors(self) -> DataFrame:
+        assert self.model is not None, "fit first"
+        return self.model.userFactors
+
+    def item_factors(self) -> DataFrame:
+        assert self.model is not None, "fit first"
+        return self.model.itemFactors
+
+    def evaluate_rmse(self, test: DataFrame) -> DataFrame:
+        """One-row RMSE over held-out ratings (reference als.py:103)."""
+        return rmse_agg(
+            self.transform(test), label_col=self.rating_col, pred_col="prediction"
+        )
+
+    def tune(
+        self,
+        train: DataFrame,
+        ranks: list[int] = (10, 50, 100, 150),
+        reg_params: list[float] = (0.01, 0.05, 0.1, 0.15),
+        num_folds: int = 5,
+    ) -> dict:
+        """CV grid search (reference als.py:53-65, M5-M6).  Returns the
+        best params via public getters (not _java_obj)."""
+        from pyspark.ml.evaluation import RegressionEvaluator
+        from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+        als = self._estimator()
+        grid = (
+            ParamGridBuilder()
+            .addGrid(als.rank, list(ranks))
+            .addGrid(als.regParam, list(reg_params))
+            .build()
+        )
+        evaluator = RegressionEvaluator(
+            metricName="rmse", labelCol=self.rating_col, predictionCol="prediction"
+        )
+        cv = CrossValidator(
+            estimator=als,
+            estimatorParamMaps=grid,
+            evaluator=evaluator,
+            numFolds=num_folds,
+            seed=self.seed,
+        )
+        cv_model = cv.fit(train)
+        best = cv_model.bestModel
+        self.model = best
+        self.rank = best.rank
+        self.reg_param = best.parent.getOrDefault("regParam") if best.parent else self.reg_param
+        return {
+            "rank": best.rank,
+            "avg_metrics": list(cv_model.avgMetrics),
+        }

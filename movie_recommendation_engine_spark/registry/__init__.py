@@ -59,6 +59,7 @@ def duck_hash_sql(salt: str, *cols: str) -> str:
 from . import core  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import ml  # noqa: E402,F401
 
 from .core import flagship  # noqa: E402,F401
 

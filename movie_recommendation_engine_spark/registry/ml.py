@@ -1,0 +1,161 @@
+"""End-to-end ML pipeline queries (reference E1/E2/E3 composed).
+
+``popularity_eval_pipeline`` is the reference's whole popularity flow —
+split -> fit on train -> evaluate on validation — as ONE lazy Spark plan,
+fully oracle-checked including MAP@K / precision / recall / hit-rate and
+the reference-compat formulas (the SQL oracle recomputes the metrics via
+a join-based formulation; the engine computes them array-native — two
+independent implementations agreeing to 6 decimals).
+
+The ALS queries are rows-only (factor models are not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.sampling import split_assign
+from ..plans.metrics import global_hit_ratio, per_user_ranking_metrics, summarize_ranking
+from ..plans.popularity import popularity_top_k
+from ..plans.recommender import AlsRecommender
+from . import _t, register
+from .sampling import _H_SPLIT, _KEYS
+
+_SPLIT_SQL = f"""
+  SELECT l_orderkey, l_partkey, l_quantity,
+         CASE WHEN row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber)
+                  <= ceil(count(*) OVER (PARTITION BY l_orderkey) * 0.25) THEN 'validation'
+              WHEN row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber)
+                  <= ceil(count(*) OVER (PARTITION BY l_orderkey) * 0.50) THEN 'test'
+              ELSE 'train' END AS split
+  FROM lineitem
+"""
+
+
+def _split_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return split_assign(li, group_col="l_orderkey", key_cols=_KEYS).select(
+        "l_orderkey", "l_partkey", "l_quantity", "split"
+    )
+
+
+@register(
+    "popularity_eval_pipeline",
+    oracle=f"""
+WITH labeled AS ({_SPLIT_SQL}),
+train AS (SELECT * FROM labeled WHERE split = 'train'),
+val AS (SELECT * FROM labeled WHERE split = 'validation'),
+per_item AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_rating, count(l_orderkey) AS num_ratings
+  FROM train GROUP BY l_partkey),
+scalars AS (
+  SELECT avg(avg_rating) AS gm, quantile_cont(num_ratings, 0.9) AS f FROM per_item),
+scored AS (
+  SELECT l_partkey,
+         round((num_ratings/(num_ratings+f))*avg_rating + (f/(f+num_ratings))*gm, 6) AS score
+  FROM per_item, scalars WHERE num_ratings >= f
+  ORDER BY score DESC, l_partkey LIMIT 100),
+recs AS (SELECT list(l_partkey ORDER BY score DESC, l_partkey) AS items FROM scored),
+recs_pos AS (
+  SELECT unnest(items) AS item, generate_subscripts(items, 1) AS pos FROM recs),
+val_pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM val),
+truth_n AS (SELECT l_orderkey, count(*) AS n FROM val_pairs GROUP BY l_orderkey),
+hits AS (
+  SELECT v.l_orderkey, p.pos,
+         row_number() OVER (PARTITION BY v.l_orderkey ORDER BY p.pos) AS j
+  FROM val_pairs v JOIN recs_pos p ON v.l_partkey = p.item),
+per_user AS (
+  SELECT t.l_orderkey,
+         coalesce(sum(h.j / h.pos), 0) / least(100, t.n) AS ap,
+         coalesce(count(h.pos), 0) / 100.0 AS precision,
+         coalesce(count(h.pos), 0) / t.n AS recall,
+         CASE WHEN count(h.pos) > 0 THEN 1.0 ELSE 0.0 END AS hit,
+         coalesce(sum((1.0 + 1.0/h.pos) / (SELECT len(items) FROM recs)), 0) / t.n AS ref_ap
+  FROM truth_n t LEFT JOIN hits h USING (l_orderkey)
+  GROUP BY t.l_orderkey, t.n),
+summary AS (
+  SELECT round(avg(ap), 6) AS map_at_k,
+         round(avg(precision), 6) AS mean_precision,
+         round(avg(recall), 6) AS mean_recall,
+         round(avg(hit), 6) AS hit_rate,
+         round(avg(ref_ap), 6) AS ref_map,
+         count(*) AS n_users
+  FROM per_user),
+hitrow AS (
+  SELECT round(avg(CASE WHEN list_contains(items, l_partkey) THEN 1.0 ELSE 0.0 END), 6)
+           AS hit_ratio,
+         count(*) AS n_rows
+  FROM val, recs)
+SELECT * FROM summary, hitrow
+""",
+)
+def q_popularity_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E3+E1 end-to-end: deterministic split, popularity fit on
+    train, full ranking evaluation on validation — one lazy plan, zero
+    driver collects."""
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    val = labeled.filter(F.col("split") == "validation")
+
+    scored = popularity_top_k(
+        train, k=100, item_col="l_partkey", user_col="l_orderkey", rating_col="l_quantity"
+    )
+    # one-row (items array<long>) ordered by (score desc, partkey):
+    # negate the score so an ascending struct sort gives the right order
+    recs_list = scored.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("score")).alias("s"), F.col("l_partkey").alias("p")))
+            ),
+            lambda x: x.p,
+        ).alias("items")
+    )
+
+    truth = val.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("truth"))
+    recs_per_user = truth.select("l_orderkey").crossJoin(F.broadcast(recs_list)).select(
+        "l_orderkey", F.col("items").alias("recs")
+    )
+    per_user = per_user_ranking_metrics(
+        recs_per_user, truth, k=100, user_col="l_orderkey", round_to=None
+    )
+    summary = summarize_ranking(per_user)
+    hitrow = global_hit_ratio(val, recs_list, item_col="l_partkey", recs_col="items")
+    return summary.crossJoin(hitrow)
+
+
+@register("als_recommend_top5")
+def q_als_recommend_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS fit on the train split, top-5 parts per order, flattened.
+    Rows-only check: factor values are not SQL-expressible."""
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    rec = AlsRecommender(
+        user_col="l_orderkey",
+        item_col="l_partkey",
+        rating_col="l_quantity",
+        rank=8,
+        max_iter=4,
+        reg_param=0.1,
+        seed=42,
+    ).fit(train)
+    return rec.recommend_top_k(k=5, flat=True)
+
+
+@register("als_rmse_eval")
+def q_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS train/test RMSE (reference als.py:103). Rows-only check."""
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    test = labeled.filter(F.col("split") == "test")
+    rec = AlsRecommender(
+        user_col="l_orderkey",
+        item_col="l_partkey",
+        rating_col="l_quantity",
+        rank=8,
+        max_iter=4,
+        reg_param=0.1,
+        seed=42,
+    ).fit(train)
+    return rec.evaluate_rmse(test)
