@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (prompt §"Similarity search").
+
+Two paths:
+
+- **brute_force_topk** — exact cosine top-k per query vector.  The
+  reference point for quality; cost is |Q| x |C| dot products.  Keep |Q|
+  bounded (a query set, not all-pairs) — at 100 TB the all-pairs version
+  is never the answer.
+- **lsh_bucketed_topk** — random-hyperplane LSH: each vector gets a
+  b-bit signature (sign of projection onto b fixed pseudo-random
+  hyperplanes); only same-bucket pairs are scored.  The hyperplanes are
+  derived deterministically from md5 (functions.hashing), so buckets are
+  reproducible across engines/runs — the oracle replays them in SQL.
+
+Everything is JVM-side (zip_with/aggregate); no UDFs.  The dot products
+fold in array order, so scores are bit-deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.arrays import cosine_similarity
+from .topk import top_k_per_group
+
+
+def _dvec(col: Column | str) -> Column:
+    """Cast array<float> -> array<double> BEFORE arithmetic: per-term
+    float32 products would diverge from a double-precision oracle by
+    ~1e-8 relative — enough to flip a round-to-6 boundary.  Double
+    products keep the divergence at summation-order level (~1e-15)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def hyperplane(plane: int, dim: int, salt: str = "lsh") -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d is
+    uniform(-0.5, 0.5) derived from md5('{salt}|{plane}|{d}') — the same
+    construction as functions.hashing.uniform_hash, computed driver-side
+    (pure, no RNG state) and inlined as literals in both engines."""
+    out = []
+    for d in range(dim):
+        key = f"{salt}\x01{plane}\x01{d}".encode()
+        h = int(hashlib.md5(key).hexdigest()[:8], 16)
+        out.append(h / 2**32 - 0.5)
+    return out
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """b-bit signature as int: bit p = 1 iff dot(vec, plane_p) > 0."""
+    sig = None
+    for p, w in enumerate(planes):
+        wcol = F.array(*[F.lit(float(x)) for x in w])
+        dot = F.aggregate(
+            F.zip_with(vec, wcol, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bit = F.when(dot > 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("int")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches are excluded.  Physical plan: broadcast the smaller
+    side of queries x candidates, score JVM-side, then window top-k
+    partitioned by query (SURVEY §2.5 pattern).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity("qv", "cv"), round_to))
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN top-k: score only same-LSH-bucket pairs.
+
+    2^n_planes buckets; expected candidate set shrinks ~2^-n_planes per
+    query, at the cost of missing neighbors that fall across a
+    hyperplane.  The scale path: the bucket join is a plain equi-join
+    (shuffle on a small int key), never a cross product.
+    """
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(vec_col).alias("qv"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(vec_col).alias("cv"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity("qv", "cv"), round_to))
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), LSH-bucketed: only same-bucket pairs are scored."""
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _dvec(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity("va", "vb"), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything is a JVM-side column expression (regexp / higher-order
+functions) — at 100 TB these run inside whole-stage codegen over the
+parquet scan, with no Python worker in the loop.  Each helper returns a
+Column so pipelines compose them freely; the registry exposes them as
+oracle-checked queries over the ``documents`` table.
+
+Operators (prompt §"text analysis"):
+- token counting: whitespace tokens + a BPE-ish regex token count;
+- quality scoring: length / punctuation / stopword-ratio features and a
+  deterministic composite score;
+- language ID: marker-word n-gram heuristic + CJK codepoint detection;
+- document fingerprinting: exact md5 fingerprint + a min-shingle-hash
+  rolling fingerprint (content-locality-sensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..functions.hashing import md5_long, word_shingles
+
+# BPE-ish token pattern over normalized text: letter runs, digit runs,
+# or single non-alphanumeric marks.
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+# marker vocabularies for the language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "les", "des", "et", "une", "est"),
+    "es": ("el", "los", "las", "una", "y", "es", "por"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "nicht"),
+}
+_CJK_RANGE = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, trim, collapse whitespace — the canonical form every
+    downstream operator (tokens, shingles, fingerprints) hashes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def words(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: letter runs / digit runs / single marks."""
+    norm = normalize_text(col)
+    return F.size(F.regexp_extract_all(norm, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Share of characters that are not [a-z0-9 ] after normalization."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    n_punct = F.length(F.regexp_replace(norm, "[a-z0-9 ]", ""))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0)).cast("double")
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    ws = words(col)
+    hits = F.size(F.filter(ws, lambda x: x.isin(*stopwords)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0)).cast("double")
+
+
+def mean_token_length(col: Column | str) -> Column:
+    ws = words(col)
+    total = F.aggregate(ws, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(ws) > 0, total / F.size(ws)).otherwise(F.lit(0.0)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic composite in [0,1]: rewards mid-length tokens and a
+    healthy stopword share, penalizes punctuation soup.
+
+    score = clip(0.2 + 0.08*mean_token_len + 0.8*stopword_ratio
+                 - 1.5*punct_ratio, 0, 1)
+    """
+    raw = (
+        F.lit(0.2)
+        + F.lit(0.08) * mean_token_length(col)
+        + F.lit(0.8) * stopword_ratio(col)
+        - F.lit(1.5) * punct_ratio(col)
+    )
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language heuristic: count distinct marker hits per
+    language, pick the best scorer (CJK codepoints short-circuit to
+    'zh'); 'und' when nothing matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    wd = F.array_distinct(words(col))
+    scores = {
+        lang: F.size(F.array_intersect(wd, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    s_en, s_fr, s_es, s_de = scores["en"], scores["fr"], scores["es"], scores["de"]
+    return (
+        F.when(c.rlike(_CJK_RANGE), F.lit("zh"))
+        .when((s_en >= F.greatest(s_fr, s_es, s_de)) & (s_en > 0), F.lit("en"))
+        .when((s_fr >= F.greatest(s_es, s_de)) & (s_fr > 0), F.lit("fr"))
+        .when((s_es >= s_de) & (s_es > 0), F.lit("es"))
+        .when(s_de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def exact_fingerprint(col: Column | str) -> Column:
+    """md5 of the normalized text — the exact-dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def shingle_fingerprint(col: Column | str, n: int = 2, salt: str = "fp") -> Column:
+    """Min word-shingle hash — a 1-permutation MinHash: two documents
+    sharing their rarest shingle collide; robust to small edits (the
+    'rolling hash' fingerprint of the prompt, content-defined)."""
+    sh = word_shingles(col, n=n)
+    return F.array_min(F.transform(sh, lambda s: md5_long(s, salt=salt)))

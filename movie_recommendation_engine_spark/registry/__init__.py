@@ -60,6 +60,9 @@ from . import core  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
 
 from .core import flagship  # noqa: E402,F401
 

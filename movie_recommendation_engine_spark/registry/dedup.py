@@ -1,0 +1,145 @@
+"""Dedup queries over the documents table — each of the five techniques
+as an oracle-checked query.
+
+The testdata plants 25 near-duplicate pairs (word-bigram Jaccard >= 0.5,
+max 0.99); the n-gram, MinHash-LSH and SimHash queries each surface
+them through different machinery.  Exact dedup runs over a doubled
+corpus (documents UNION ALL documents — simulating a re-crawl) so the
+collapse behavior is actually exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .text import NORM, WORDS
+from . import _t, register
+
+# shared DuckDB fragments: distinct word-bigram shingles per doc
+SHINGLES = f"""
+base AS (SELECT doc_id, {WORDS} AS w FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([array_to_string(w[i:i+1], ' ')
+                             for i in generate_series(1, greatest(len(w)-1, 1))]) AS s
+       FROM base),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS sz FROM sh)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+SELECT min(doc_id) AS doc_id, md5({NORM}) AS fingerprint, count(*) AS n_copies
+FROM doubled
+GROUP BY md5({NORM})
+ORDER BY doc_id
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a doubled corpus: every doc collapses 2 -> 1.
+    The shuffle key is the md5 fingerprint, never the document body."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_dedup(doubled, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {SHINGLES},
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index n-gram Jaccard: finds the 25 planted pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {SHINGLES},
+sig AS (
+  SELECT doc_id, s.range AS seed,
+         min(CAST(('0x' || substr(md5(concat_ws(chr(1), 'mh',
+               CAST(s.range AS VARCHAR), g)), 1, 8)) AS BIGINT)) AS m
+  FROM ex, range(16) s GROUP BY doc_id, s.range),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 2) AS INT) AS b,
+         md5(concat_ws(chr(1), CAST(CAST(floor(seed / 2) AS INT) AS VARCHAR),
+             string_agg(CAST(m AS VARCHAR), chr(1) ORDER BY seed))) AS band
+  FROM sig GROUP BY doc_id, floor(seed / 2)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+             (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8 bands of 2 -> candidates -> exact-Jaccard verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {SHINGLES},
+hb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(concat_ws(chr(1), 'sh', g)), 1, 8)) AS BIGINT) AS h
+  FROM ex),
+votes AS (
+  SELECT doc_id, CAST(b.range AS INT) AS bit,
+         sum(CASE WHEN (h >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hb, range(32) b GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS f
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 6
+ORDER BY id_a, id_b
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash, pairs within Hamming distance 6."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=6).orderBy("id_a", "id_b")

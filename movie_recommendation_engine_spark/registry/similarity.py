@@ -1,0 +1,121 @@
+"""Similarity-search queries over the embeddings table (oracle-checked).
+
+The DuckDB oracles recompute cosine on DOUBLE[] casts (matching the
+engine's double-cast convention) and replay the deterministic
+md5-derived hyperplanes for the LSH variants — the plane literals are
+generated once in Python and inlined into BOTH the Spark plan and the
+SQL text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    hyperplane,
+    lsh_bucketed_topk,
+)
+from . import _t, register
+
+_DIM = 64
+_N_PLANES = 8
+_PLANES = [hyperplane(p, _DIM) for p in range(_N_PLANES)]
+
+
+def _planes_sql(col: str) -> str:
+    """SQL for the LSH bucket id of DOUBLE[] column ``col``."""
+    bits = []
+    for p, w in enumerate(_PLANES):
+        arr = "[" + ", ".join(repr(x) for x in w) + "]"
+        bits.append(f"(CASE WHEN list_dot_product({col}, {arr}) > 0 THEN {2**p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "knn_bruteforce_top5",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv,
+         {_COS} AS cosine
+  FROM q, e c WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a deterministic query subset (vec_id % 97
+    == 0) against all candidates — the ANN quality baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_lsh_top5",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_planes_sql('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv,
+         {_COS} AS cosine
+  FROM q JOIN sig c USING (bucket) WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (8 hyperplanes, 256 buckets) for the same
+    query subset — the scale path; compare against knn_bruteforce_top5
+    for recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return lsh_bucketed_topk(queries, emb, k=5, n_planes=_N_PLANES, dim=_DIM).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_planes_sql('v')} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+  FROM sig a JOIN sig b USING (bucket) WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, {_COS} AS cosine
+FROM pairs
+WHERE {_COS} >= 0.35
+ORDER BY id_a, id_b
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within LSH buckets (threshold 0.35 —
+    the synthetic embeddings have no true near-dups; this exercises the
+    bucketed pair generation + thresholding machinery)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.35, n_planes=_N_PLANES, dim=_DIM).orderBy(
+        "id_a", "id_b"
+    )

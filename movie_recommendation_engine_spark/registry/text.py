@@ -1,0 +1,117 @@
+"""Text-analysis queries over the documents table (oracle-checked).
+
+The DuckDB oracles re-express the exact same normalization / tokenize /
+score logic in SQL — shared fragments below keep the two sides aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import text as X
+from . import _t, register
+
+# shared DuckDB fragments (keep in lockstep with operators.text)
+NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+WORDS = f"string_split({NORM}, ' ')"
+STOP_IN = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+TOKEN_PAT = X.TOKEN_PATTERN
+
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {NORM} AS norm, {WORDS} AS w FROM documents)
+SELECT doc_id,
+       len(w) AS ws_tokens,
+       len(regexp_extract_all(norm, '{TOKEN_PAT}')) AS regex_tokens,
+       round(CASE WHEN len(norm) > 0
+             THEN len(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) * 1.0 / len(norm)
+             ELSE 0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(w) > 0
+             THEN len(list_filter(w, x -> x IN ({STOP_IN}))) * 1.0 / len(w)
+             ELSE 0 END, 6) AS stop_ratio,
+       round(CASE WHEN len(w) > 0
+             THEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+             ELSE 0 END, 6) AS mean_tok_len,
+       round(greatest(0.0, least(1.0,
+             0.2 + 0.08 * (CASE WHEN len(w) > 0
+                           THEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+                           ELSE 0 END)
+                 + 0.8 * (CASE WHEN len(w) > 0
+                          THEN len(list_filter(w, x -> x IN ({STOP_IN}))) * 1.0 / len(w)
+                          ELSE 0 END)
+                 - 1.5 * (CASE WHEN len(norm) > 0
+                          THEN len(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) * 1.0 / len(norm)
+                          ELSE 0 END))), 6) AS quality
+FROM base ORDER BY doc_id
+""",
+)
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.ws_token_count("text").alias("ws_tokens"),
+        X.regex_token_count("text").alias("regex_tokens"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(X.mean_token_length("text"), 6).alias("mean_tok_len"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _markers_sql(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in X.LANG_MARKERS[lang])
+    return f"len(list_intersect(list_distinct(w), [{lst}]))"
+
+
+_CJK_SQL = f"regexp_matches(text, '[{chr(0x4E00)}-{chr(0x9FFF)}]')"
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+WITH base AS (SELECT doc_id, text, lang, {WORDS} AS w FROM documents),
+s AS (SELECT doc_id, text, lang,
+             {_markers_sql('en')} AS s_en, {_markers_sql('fr')} AS s_fr,
+             {_markers_sql('es')} AS s_es, {_markers_sql('de')} AS s_de
+      FROM base)
+SELECT doc_id, lang,
+       CASE WHEN {_CJK_SQL} THEN 'zh'
+            WHEN s_en >= greatest(s_fr, s_es, s_de) AND s_en > 0 THEN 'en'
+            WHEN s_fr >= greatest(s_es, s_de) AND s_fr > 0 THEN 'fr'
+            WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+            WHEN s_de > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM s ORDER BY doc_id
+""",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {NORM} AS norm, {WORDS} AS w FROM documents),
+sh AS (SELECT doc_id, norm,
+              list_distinct([array_to_string(w[i:i+1], ' ')
+                             for i in generate_series(1, greatest(len(w)-1, 1))]) AS s
+       FROM base)
+SELECT doc_id,
+       md5(norm) AS fingerprint,
+       list_min(list_transform(s,
+         g -> CAST(('0x' || substr(md5(concat_ws(chr(1), 'fp', g)), 1, 8)) AS BIGINT)))
+         AS min_shingle_hash
+FROM sh ORDER BY doc_id
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.exact_fingerprint("text").alias("fingerprint"),
+        X.shingle_fingerprint("text", n=2, salt="fp").alias("min_shingle_hash"),
+    ).orderBy("doc_id")

@@ -1,0 +1,63 @@
+"""Similarity-search operators: exactness of brute force, ANN recall
+behavior, determinism of the hyperplanes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_recommendation_engine_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.05]), # close to 3
+        (5, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_bruteforce_exact_neighbors(spark, vectors):
+    out = brute_force_topk(vectors, vectors, k=2)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    assert sorted(by_q[1])[0][1] == 2  # nearest to 1 is 2
+    assert sorted(by_q[3])[0][1] == 4
+    # cosine(1,2) = 0.9/sqrt(0.82)
+    want = 0.9 / math.sqrt(0.82)
+    assert abs(sorted(by_q[1])[0][2] - round(want, 6)) < 1e-6
+    # every query gets exactly k neighbors, self excluded
+    assert all(len(v) == 2 for v in by_q.values())
+    assert all(q not in [n for _, n, _ in v] for q, v in by_q.items())
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplane(3, 16)
+    b = hyperplane(3, 16)
+    assert a == b
+    assert all(-0.5 <= x < 0.5 for x in a)
+    assert hyperplane(4, 16) != a
+
+
+def test_lsh_results_subset_of_bruteforce_candidates(spark, vectors):
+    """ANN never invents neighbors: every (q, n) it returns must be a
+    valid non-self pair, and its cosine must equal the exact cosine."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(vectors, vectors, k=4).collect()
+    }
+    ann = lsh_bucketed_topk(vectors, vectors, k=2, n_planes=4, dim=3)
+    for r in ann.collect():
+        assert (r.query_id, r.neighbor_id) in exact
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9

@@ -1,0 +1,87 @@
+"""Text-analysis and dedup operator semantics on hand-made fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_recommendation_engine_spark.operators import text as X
+from movie_recommendation_engine_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "  The quick   brown fox jumps over the lazy dog "),  # = 1 after norm
+        (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (4, "completely different words entirely unrelated content here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_token_counts_and_ratios(spark, docs):
+    r = {
+        x.doc_id: x
+        for x in docs.select(
+            "doc_id",
+            X.ws_token_count("text").alias("n"),
+            X.punct_ratio("text").alias("p"),
+            X.stopword_ratio("text").alias("s"),
+        ).collect()
+    }
+    assert r[1].n == 9
+    assert r[2].n == 9  # whitespace collapsed by normalization
+    assert r[1].p == 0.0
+    assert abs(r[1].s - 2 / 9) < 1e-9  # 'the' twice
+
+
+def test_exact_dedup_collapses_normalized_equal(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    by_id = {r.doc_id: r.n_copies for r in out}
+    assert by_id[1] == 2  # docs 1 and 2 collapse, min id kept
+    assert 2 not in by_id
+    assert by_id[3] == 1 and by_id[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.4
+    ).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after norm
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_agrees_with_bruteforce_on_strong_pairs(spark, docs):
+    mh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.4
+    ).collect()}
+    assert (1, 2) in mh and (1, 3) in mh
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(
+        docs, "doc_id", "text", max_hamming=10
+    ).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "le chat et la maison des gens est"),
+            (3, "der hund und die katze ist nicht hier"),
+            (4, "xyzzy qwerty plugh"),
+            (5, "你好世界"),
+        ],
+        "doc_id int, text string",
+    )
+    r = {x.doc_id: x.p for x in df.select("doc_id", X.lang_id("text").alias("p")).collect()}
+    assert r[1] == "en" and r[2] == "fr" and r[3] == "de" and r[4] == "und" and r[5] == "zh"
