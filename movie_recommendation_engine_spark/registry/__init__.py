@@ -63,6 +63,8 @@ from . import ml  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import streaming  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 
 from .core import flagship  # noqa: E402,F401
 

@@ -1,0 +1,145 @@
+"""Event-stream queries in batch mode (oracle-checked).
+
+Every query calls the SAME functions the streaming surface uses
+(streaming.events) — batch/streaming parity by construction; the
+streaming execution mode itself is covered by tests/test_streaming.py
+with a memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming.events import (
+    first_event_per_key,
+    sessionize,
+    sliding_value_stats,
+    tumbling_counts,
+)
+from . import _t, register
+
+
+@register(
+    "events_tumbling_10m",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_events_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_counts(ev, "10 minutes").orderBy("window_start", "event_type")
+
+
+@register(
+    "events_sliding_10m_5m",
+    oracle="""
+WITH expanded AS (
+  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS wstart,
+         value
+  FROM events)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM expanded
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event in exactly 2
+    windows (the oracle expands each row into both window starts)."""
+    ev = _t(spark, sf_dir, "events")
+    return sliding_value_stats(ev, "10 minutes", "5 minutes").orderBy("window_start")
+
+
+@register(
+    "events_sessionized",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30m) per user; the oracle derives the same
+    sessions with classic gaps-and-islands SQL — two independent
+    formulations of session semantics agreeing."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "30 minutes").orderBy("user_id", "session_start")
+
+
+@register(
+    "events_first_per_user_type",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id, event_type,
+       round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+)
+def q_events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        first_event_per_key(ev, ["user_id", "event_type"])
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "events_json_props_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (get_json_object) + grouped stats — the
+    semi-structured column path."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -45,9 +45,23 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md)."""
+    """Load one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as a long (legacy conf) and
+    convert to a microsecond timestamp — the same truncation DuckDB
+    applies, so oracle comparisons stay exact.
+    """
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown testdata table {table!r}; know {TESTDATA_TABLES}")
+    if table == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts / 1000 AS LONG))")
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -1,0 +1,128 @@
+"""Structured Streaming surface over the events table (SURVEY §2.10 —
+additive: the reference has no streaming at all; timestamps are read and
+discarded at als.py:25-26).
+
+Design rule: every transformation here is written against a plain
+DataFrame and works identically for BATCH and STREAMING inputs — the
+registry runs them in batch mode against the DuckDB oracle, and the
+streaming tests run the very same functions over ``readStream`` with a
+memory sink.  That is the Spark-idiomatic way to get a tested streaming
+surface: one logical plan, two execution modes.
+
+Scale notes: windowed aggregations shuffle on (window, key) — at 100 TB
+set watermarks tight enough that state store size stays bounded
+(state ~ #open-windows x #keys); dropDuplicates state is keyed by the
+dedup columns and likewise bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over events parquet (path may be a glob)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Per-(window, event_type) count + value sum.  Watermark bounds the
+    state store and drops late data in streaming mode; in batch mode
+    withWatermark is a no-op, so the same code serves both."""
+    df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_value_stats(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event counts/averages (each event lands in
+    window/slide overlapping windows)."""
+    df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-user session aggregation with a dynamic session window: a
+    session closes after ``gap`` of inactivity."""
+    df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id: state is bounded by the
+    watermark horizon (duplicates arriving later than the watermark are
+    not caught — that is the documented streaming contract)."""
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return df.dropDuplicates(["event_id"])
+
+
+def first_event_per_key(
+    events: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Batch-deterministic 'keep first arrival' dedup: the earliest
+    (ts, event_id) row per key — what streaming dropDuplicates converges
+    to when events arrive in time order.  Window-based so it is
+    oracle-checkable (plain dropDuplicates keeps an arbitrary row)."""
+    keys = keys or ["user_id", "event_type"]
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

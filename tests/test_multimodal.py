@@ -1,0 +1,47 @@
+"""Multimodal plumbing: binary columns + mapInPandas feature/frame ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_recommendation_engine_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    frame_sample,
+    with_media_meta,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(1, b"hello world"), (2, b"x"), (3, b"abcdefghi")]
+    return spark.createDataFrame(rows, "id long, media binary")
+
+
+def test_meta_struct(spark, media):
+    df = with_media_meta(media, mime="image/jpeg")
+    row = df.filter("id = 1").first()
+    assert row.media_meta.mime == "image/jpeg"
+    assert row.media_meta.width is None
+
+
+def test_extract_features_values(spark, media):
+    out = {r.id: r for r in extract_features(media, "id", "media").collect()}
+    assert out[1].n_bytes == 11
+    assert out[1].features == [11.0, float(ord("h")), float(ord("d")), 11.0]
+    assert out[2].features == [1.0, float(ord("x")), float(ord("x")), 1.0]
+
+
+def test_frame_sample_covers_blob(spark, media):
+    frames = frame_sample(media, "id", "media", n_frames=3).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, {})[r.frame_idx] = bytes(r.frame)
+    assert len(by_id[3]) == 3
+    assert b"".join(by_id[3][i] for i in range(3)) == b"abcdefghi"
+
+
+def test_decode_is_explicit_stub(spark, media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media)

@@ -1,0 +1,70 @@
+"""Streaming execution mode: the same functions the batch oracle checks,
+run through readStream -> memory sink, must converge to the batch answer."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_recommendation_engine_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    dedup_events,
+    read_events_stream,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Three parquet files of events, written one 'arrival batch' each."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:04:00", 1, "view", 2.0, "{}"),
+        (3, "2024-01-01 00:11:00", 2, "click", 3.0, "{}"),
+        (3, "2024-01-01 00:11:00", 2, "click", 3.0, "{}"),  # duplicate id
+        (4, "2024-01-01 00:25:00", 2, "view", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, e, v, p) for i, t, u, e, v, p in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type",
+        "value", "props",
+    )
+    for i in range(3):
+        df.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    got = _run_stream(spark, tumbling_counts(stream, "10 minutes"), "t_tumble", "complete")
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = tumbling_counts(batch, "10 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dedup_drops_duplicate_ids(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(spark, dedup_events(stream), "t_dedup", "append")
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert sorted(ids) == [1, 2, 3, 4]  # duplicate id-3 removed
