@@ -75,10 +75,32 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard).
     """
     sh = _shingled(df, id_col, text_col, n).cache()
-    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("g"))
+    # cache the inverted index: the self-join consumes it twice
+    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("g")).cache()
     if max_df is not None:
+        # candidate generation only: drop ubiquitous shingles so the
+        # inverted-index join stays near-linear; verification below still
+        # scores full shingle sets, so max_df only costs recall for pairs
+        # whose every shared shingle is ubiquitous
         rare = ex.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-        ex = ex.join(F.broadcast(rare.select("g")), "g")
+        ex = ex.join(rare.select("g"), "g")
+        cand = (
+            ex.alias("a")
+            .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     shared = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
@@ -150,7 +172,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    )
+    ).cache()  # self-join below would recompute the signatures twice
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))

@@ -1,0 +1,107 @@
+"""MovieLens end-to-end convenience pipeline — the reference's whole
+workflow (new_split_script.py + popularity_model.py + als.py) behind one
+API, so a user of the reference can switch by changing an import.
+
+    from movie_recommendation_engine_spark.plans.movielens import MovieLensPipeline
+    p = MovieLensPipeline.from_csv(spark, "ratings.csv")   # or from_df
+    p.split()                  # deterministic 25/25/50 per user
+    pop = p.popularity_top_k(100)
+    p.fit_als(rank=100, max_iter=3, reg_param=0.15)        # reference config
+    metrics = p.evaluate(k=100)  # RMSE + MAP@K + compat formulas
+
+Every step is lazy/distributed; nothing collects to the driver except
+the final metric scalars the caller asks for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.sampling import split_assign
+from ..sources.readers import read_ratings_csv
+from .metrics import (
+    global_hit_ratio,
+    per_user_ranking_metrics,
+    rmse,
+    summarize_ranking,
+)
+from .popularity import popularity_top_k
+from .recommender import AlsRecommender
+
+
+@dataclass
+class MovieLensPipeline:
+    ratings: DataFrame
+    user_col: str = "userId"
+    item_col: str = "movieId"
+    rating_col: str = "rating"
+    labeled: DataFrame | None = field(default=None, repr=False)
+    als: AlsRecommender | None = field(default=None, repr=False)
+
+    @classmethod
+    def from_csv(cls, spark: SparkSession, path: str, **kwargs) -> "MovieLensPipeline":
+        return cls(read_ratings_csv(spark, path), **kwargs)
+
+    def split(self, fractions: dict[str, float] | None = None) -> DataFrame:
+        """Deterministic per-user split (reference E3, hash-based)."""
+        self.labeled = split_assign(
+            self.ratings,
+            group_col=self.user_col,
+            key_cols=[self.user_col, self.item_col],
+            fractions=fractions,
+        ).cache()
+        return self.labeled
+
+    def _part(self, name: str) -> DataFrame:
+        assert self.labeled is not None, "call split() first"
+        return self.labeled.filter(F.col("split") == name)
+
+    def popularity_top_k(self, k: int = 100) -> DataFrame:
+        """Popularity baseline fitted on the train split (reference E1)."""
+        return popularity_top_k(
+            self._part("train"),
+            k=k,
+            item_col=self.item_col,
+            user_col=self.user_col,
+            rating_col=self.rating_col,
+        )
+
+    def fit_als(
+        self, rank: int = 100, max_iter: int = 3, reg_param: float = 0.15, **kwargs
+    ) -> AlsRecommender:
+        """ALS on the train split with the reference's defaults
+        (als.py:36-46)."""
+        self.als = AlsRecommender(
+            user_col=self.user_col,
+            item_col=self.item_col,
+            rating_col=self.rating_col,
+            rank=rank,
+            max_iter=max_iter,
+            reg_param=reg_param,
+            **kwargs,
+        ).fit(self._part("train"))
+        return self.als
+
+    def evaluate(self, k: int = 100, on: str = "validation") -> dict[str, DataFrame]:
+        """RMSE + distributed ranking metrics of the fitted ALS model on a
+        held-out split (reference als.py:93-133, kept distributed)."""
+        assert self.als is not None, "call fit_als() first"
+        held = self._part(on)
+        truth = held.groupBy(self.user_col).agg(
+            F.collect_set(self.item_col).alias("truth")
+        )
+        recs = self.als.recommendation_lists(k=k)
+        per_user = per_user_ranking_metrics(recs, truth, k=k, user_col=self.user_col)
+        return {
+            "rmse": rmse(self.als.transform(held), label_col=self.rating_col),
+            "ranking": summarize_ranking(per_user),
+        }
+
+    def popularity_hit_ratio(self, k: int = 100, on: str = "validation") -> DataFrame:
+        """The reference's global row-level hit-ratio for the popularity
+        list (popularity_model.py:65-77 semantics, distributed)."""
+        ranked = self.popularity_top_k(k)
+        recs_list = ranked.agg(F.collect_list(self.item_col).alias("recs"))
+        return global_hit_ratio(self._part(on), recs_list, item_col=self.item_col)

@@ -36,8 +36,13 @@ _SPLIT_SQL = f"""
 
 def _split_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return split_assign(li, group_col="l_orderkey", key_cols=_KEYS).select(
-        "l_orderkey", "l_partkey", "l_quantity", "split"
+    # cached: the downstream pipelines consume train/val several times
+    # each (popularity scalars, truth lists, ALS iterations) and the
+    # window-ranked lineage would otherwise re-execute per consumer
+    return (
+        split_assign(li, group_col="l_orderkey", key_cols=_KEYS)
+        .select("l_orderkey", "l_partkey", "l_quantity", "split")
+        .cache()
     )
 
 

@@ -323,3 +323,49 @@ def q_order_items_in_line_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+# -- A8: unique-value dense encoding (reference extension.py:34-47) --------
+
+
+@register(
+    "brand_dense_ids",
+    oracle="""
+SELECT p_brand, row_number() OVER (ORDER BY p_brand) - 1 AS dense_id
+FROM (SELECT DISTINCT p_brand FROM part)
+ORDER BY p_brand
+""",
+)
+def q_brand_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based ids for a categorical column — the reference
+    built these with pandas dicts on the driver; here it is a distinct +
+    window (one small shuffle, stays distributed)."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.orderBy("p_brand")
+    return (
+        part.select("p_brand")
+        .distinct()
+        .withColumn("dense_id", F.row_number().over(w) - 1)
+        .orderBy("p_brand")
+    )
+
+
+# -- A3/A7 approximate variants (sketches differ per engine -> rows-only) --
+
+
+@register("lineitem_approx_stats")
+def q_lineitem_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx count-distinct + Greenwald-Khanna approx percentile —
+    the 100 TB path where exact versions need a full sort/shuffle.
+    Rows-only check: sketch results are engine-specific by design
+    (exact counterparts are oracle-checked in lineitem_global_stats)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("percentile_approx(l_quantity, 0.5)").alias("approx_median_qty"),
+        F.expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75))").alias(
+            "approx_price_quartiles"
+        ),
+    )

@@ -33,6 +33,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local-mode: driver JVM hosts the executors; the 1g default OOMs
+        # on sf0.1 joins (only effective when this call creates the JVM)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
