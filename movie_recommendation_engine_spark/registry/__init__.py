@@ -65,6 +65,7 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import breadth  # noqa: E402,F401
 
 from .core import flagship  # noqa: E402,F401
 

@@ -1,0 +1,123 @@
+"""Engine-breadth queries beyond the reference's own surface: set
+intersection, ROLLUP grouping sets, PIVOT, and a CSV sink/scan
+round-trip — each oracle-checked.
+
+(The reference uses none of these — SURVEY §2.4/§2.7 note their absence
+— but a complete engine offers them, and they exercise Catalyst paths
+the other queries don't: ExpandExec for rollup, PivotFirst, and the CSV
+datasource writer/reader.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.readers import read_csv
+from ..sources.writers import write_csv
+from . import _t, register
+
+
+@register(
+    "parts_returned_and_accepted",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+ORDER BY l_partkey
+""",
+)
+def q_parts_returned_and_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersect(a).orderBy("l_partkey")
+
+
+@register(
+    "rollup_flag_status",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in one pass (ExpandExec) — at scale this
+    beats running three separate aggregations over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit values keep the output
+    schema static — required for distributed planning; never let pivot
+    scan for distinct values on a 100 TB table)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "csv_roundtrip_agg",
+    oracle="""
+SELECT s_nationkey, count(*) AS n, CAST(round(sum(CAST(s_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE) AS bal
+FROM supplier
+GROUP BY s_nationkey ORDER BY s_nationkey
+""",
+)
+def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd CSV scan (SURVEY §2.1 S1/S4) proven inside the
+    oracle gate: supplier -> headered CSV -> read back with an explicit
+    schema -> aggregate must match the parquet-side oracle exactly."""
+    from pyspark.sql import types as T
+
+    sup = _t(spark, sf_dir, "supplier")
+    d = os.path.join(tempfile.gettempdir(), "mres_csv_roundtrip")
+    write_csv(sup.select("s_suppkey", "s_nationkey", "s_acctbal"), d)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType(), False),
+            T.StructField("s_nationkey", T.IntegerType(), False),
+            T.StructField("s_acctbal", T.DoubleType(), True),
+        ]
+    )
+    back = read_csv(spark, d, schema, header=True)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -130,7 +130,7 @@ SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
             WHEN o_orderpriority IN ('3-MEDIUM') THEN 'medium'
             ELSE 'low' END AS priority_class,
        count(*) AS n_orders,
-       round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS total_value
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS total_value
 FROM orders GROUP BY 1 ORDER BY 1
 """,
 )
@@ -248,7 +248,7 @@ def q_order_part_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT count(*) AS n_rows,
        count(DISTINCT l_partkey) AS n_parts,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS sum_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS sum_price,
        round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
        round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
        strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
