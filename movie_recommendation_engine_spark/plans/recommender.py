@@ -151,8 +151,17 @@ class AlsRecommender:
         best = cv_model.bestModel
         self.model = best
         self.rank = best.rank
-        self.reg_param = best.parent.getOrDefault("regParam") if best.parent else self.reg_param
+        # best params come from the grid map at the best avg-metric index
+        # (public API — the reference reached into _java_obj, SURVEY §2.13)
+        metrics = list(cv_model.avgMetrics)
+        best_map = grid[min(range(len(metrics)), key=metrics.__getitem__)]
+        for param, value in best_map.items():
+            if param.name == "regParam":
+                self.reg_param = value
+            elif param.name == "rank":
+                self.rank = value
         return {
-            "rank": best.rank,
-            "avg_metrics": list(cv_model.avgMetrics),
+            "rank": self.rank,
+            "reg_param": self.reg_param,
+            "avg_metrics": metrics,
         }

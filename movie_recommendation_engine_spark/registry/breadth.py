@@ -121,3 +121,36 @@ def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "salted_agg_per_part",
+    oracle="""
+SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
+""",
+)
+def q_salted_agg_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (hot-key mitigation) must equal the
+    plain aggregate exactly — the oracle IS the unsalted formulation."""
+    from ..operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        key_cols=["l_partkey"],
+        salt_cols=["l_orderkey", "l_linenumber"],
+        aggs={
+            "n": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_partkey",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("l_partkey")

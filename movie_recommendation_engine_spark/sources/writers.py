@@ -32,3 +32,24 @@ def write_partitioned(
     readers filtering on the split column get partition pruning for free.
     """
     df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the co-located-join layout.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle (Exchange disappears from the plan; at 100 TB the
+    fact⋈fact shuffle is usually the single largest cost in the job).
+    Requires saveAsTable (bucket metadata lives in the catalog).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

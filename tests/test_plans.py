@@ -1,0 +1,76 @@
+"""Physical-plan assertions — the scale contract, enforced in CI:
+
+- no registered query may put a row-at-a-time Python UDF in its plan
+  (mapInPandas/Arrow is the only sanctioned Python, multimodal only);
+- the flagship uses TakeOrderedAndProject (never a full global sort);
+- dimension joins broadcast;
+- bucketed co-located joins run WITHOUT a shuffle exchange.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_recommendation_engine_spark.registry import QUERIES
+from movie_recommendation_engine_spark.sources.writers import write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plans legitimately contain an Arrow python node
+ARROW_OK = {"multimodal_byte_features"}
+# ALS queries build MLlib plans lazily via fit(); skip plan introspection
+SKIP = {"als_recommend_top5", "als_rmse_eval"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_row_udfs_anywhere(spark):
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} runs a row-at-a-time Python UDF"
+        if name not in ARROW_OK:
+            assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+                f"{name} unexpectedly crosses into Python"
+            )
+
+
+def test_flagship_uses_heap_topk_and_broadcast_scalars(spark):
+    plan = _plan(QUERIES["popularity_top100"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(QUERIES["revenue_per_nation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed by orderkey -> SortMergeJoin without Exchange."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=4)
+        write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=4)
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+        # sanity: the join actually works
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

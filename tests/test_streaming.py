@@ -68,3 +68,25 @@ def test_streaming_dedup_drops_duplicate_ids(spark, events_dir):
     got = _run_stream(spark, dedup_events(stream), "t_dedup", "append")
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert sorted(ids) == [1, 2, 3, 4]  # duplicate id-3 removed
+
+
+def test_stateful_running_totals_converge_to_batch(spark, events_dir):
+    from movie_recommendation_engine_spark.streaming.stateful import (
+        running_user_totals,
+        user_totals_batch,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(spark, running_user_totals(stream), "t_state", "update")
+    # the memory sink accumulates every micro-batch emission; the final
+    # state per user is its largest running count
+    final = {}
+    for r in got.collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in user_totals_batch(batch).collect()
+    }
+    assert final == want  # cross-micro-batch state converges to batch agg
