@@ -33,3 +33,10 @@ def ratings(spark):
                 continue
             rows.append((u, m, float(((u * 3 + m * 7) % 10) / 2.0 + 0.5), 1_500_000_000 + u * 86400 + m))
     return spark.createDataFrame(rows, "userId int, movieId int, rating float, timestamp long")
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias for hypothesis tests (function-scoped @given can't take the
+    session fixture directly under some pytest/hypothesis combos)."""
+    return spark

@@ -74,3 +74,28 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_partitioned_write_prunes(spark):
+    """write_partitioned + filter on the partition column must show
+    partition pruning in the scan (PartitionFilters), not a full read."""
+    import tempfile
+
+    from movie_recommendation_engine_spark.operators.sampling import split_assign
+    from movie_recommendation_engine_spark.sources.writers import write_partitioned
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    labeled = split_assign(
+        li, group_col="l_orderkey", key_cols=["l_orderkey", "l_partkey", "l_linenumber"]
+    )
+    d = tempfile.mkdtemp(prefix="split_parts_")
+    try:
+        write_partitioned(labeled, d, partition_by=["split"])
+        back = spark.read.parquet(d).filter(F.col("split") == "train")
+        plan = _plan(back)
+        assert "PartitionFilters" in plan and "split" in plan
+        assert back.count() == labeled.filter("split = 'train'").count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

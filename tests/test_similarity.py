@@ -61,3 +61,17 @@ def test_lsh_results_subset_of_bruteforce_candidates(spark, vectors):
     for r in ann.collect():
         assert (r.query_id, r.neighbor_id) in exact
         assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_ann_recall_on_testdata(spark):
+    """LSH recall vs exact kNN on the sf0.001 embeddings — with fewer
+    planes (denser buckets) recall must be substantial, and every ANN
+    hit must be a true neighbor pair (no invented results)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = brute_force_topk(emb, emb, k=5)
+    ann = lsh_bucketed_topk(emb, emb, k=5, n_planes=3, dim=64)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ann_pairs = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall:.3f}"
+    assert len(ann_pairs) > 0
