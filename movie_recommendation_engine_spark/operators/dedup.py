@@ -12,13 +12,21 @@ Scale design notes (the part that matters at 100 TB):
   pairs, not quadratic in docs.  ``max_df`` drops ubiquitous shingles,
   which at scale is the difference between a join and a cross product
   (a shingle appearing in 1M docs contributes 10^12 pairs).
-- **MinHash LSH**: the signature is computed per row with higher-order
-  functions (no explode, no shuffle); only the ``n_bands`` short band
+- **MinHash LSH**: each shingle is md5-hashed ONCE; the ``n_hashes``
+  hash functions are derived from that single digest by affine integer
+  rehash ``(a_i*h + b_i) mod p`` (classic universal-hashing MinHash) —
+  16x fewer digest computations than hashing per (seed, shingle).  The
+  signature is a partial-aggregated groupBy (map-side combine shrinks
+  the shuffle to 16 longs per doc); only the ``n_bands`` short band
   keys are exploded for the bucket join.  Candidates are then verified
   with exact Jaccard on the full shingle sets.
 - **SimHash**: 32-bit fingerprint per doc via one explode + 32 partial
-  aggregates; near-dup = Hamming distance <= k on a self-join of the
-  (tiny) fingerprint table.
+  aggregates; near-dup pairs come from a **pigeonhole band equi-join**:
+  the fingerprint is cut into ``max_hamming + 1`` disjoint bit blocks,
+  so any pair within the Hamming budget must agree on at least one
+  whole block — candidate generation is a shuffle hash join on
+  (block index, block value) with *guaranteed* recall, never an
+  O(n^2) nested-loop cross join.
 - **embedding cosine**: see operators.similarity — near-dup is
   ``similar_pairs`` with a threshold.
 
@@ -58,6 +66,58 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return df.select(id_col, word_shingles(text_col, n=n).alias("shingles"))
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold via prefix filtering
+    (AllPairs / PPJoin candidate generation — Bayardo et al., WWW'07).
+
+    Tokens get a global total order (document frequency asc, token asc:
+    rarest first).  For a doc with ``s`` distinct shingles only its first
+    ``s - ceil(t*s) + 1`` tokens in that order (its *prefix*) enter the
+    inverted index.  Any pair with Jaccard >= t must share a token lying
+    in BOTH prefixes (pigeonhole over the suffix sizes), so candidate
+    recall is guaranteed and the result is identical to the brute-force
+    join — but the index holds the *rarest* slice of each doc, which on
+    Zipfian corpora collapses the candidate count by orders of
+    magnitude.  Per-doc prefix selection is a window partitioned by doc
+    id (scales out); no global rank is materialized — the (df, token)
+    pair itself is the order key.  Output: (id_a, id_b, jaccard).
+    """
+    sh = _shingled(df, id_col, text_col, n).cache()
+    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g")
+    prefix = (
+        ex.join(dfreq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "g")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -71,7 +131,8 @@ def ngram_jaccard_pairs(
     Inverted-index self-join; ``max_df`` (scale guard) removes shingles
     occurring in more than max_df docs from *candidate generation* —
     verification still uses full shingle sets, so max_df only affects
-    recall of pairs whose every shared shingle is ubiquitous.
+    recall of pairs whose every shared shingle is ubiquitous.  For exact
+    results with a pruned index see ``prefix_filtered_jaccard_pairs``.
     Output: (id_a, id_b, jaccard).
     """
     sh = _shingled(df, id_col, text_col, n).cache()
@@ -121,14 +182,40 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 16, salt: str = "mh") -> Column:
-    """MinHash signature as array<bigint>, computed per row with
-    higher-order functions — no explode, no shuffle, no UDF."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(shingles, lambda g: md5_long(F.concat_ws("\x01", F.lit(salt), s, g)))
-        ),
+#: modulus for the affine MinHash family — Mersenne prime 2^31 - 1.
+#: base hashes are < 2^32 and multipliers < 2^5, so a*h + b stays far
+#: below 2^63: no bigint overflow in Spark or DuckDB.
+MINHASH_PRIME = 2147483647
+
+
+def _affine(seed: int, h: Column) -> Column:
+    """i-th universal hash: ((2i+1)*h + 98765*i + 12345) mod p."""
+    return (F.lit(2 * seed + 1) * h + F.lit(98765 * seed + 12345)) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signatures(
+    sh: DataFrame,
+    id_col: str,
+    shingles_col: str = "shingles",
+    n_hashes: int = 16,
+    salt: str = "mh",
+) -> DataFrame:
+    """(id, sig: array<bigint>[n_hashes]) MinHash signatures.
+
+    Each shingle is digested once (md5 -> long in a projection *below*
+    the aggregate, so Catalyst cannot inline it per hash function); the
+    n_hashes minima are partial-aggregated map-side, so the shuffle
+    carries only (id, 16 longs) per document — independent of document
+    size.
+    """
+    hashed = sh.select(
+        F.col(id_col), F.explode(shingles_col).alias("g")
+    ).select(id_col, md5_long("g", salt=salt).alias("h"))
+    mins = [F.min(_affine(i, F.col("h"))).alias(f"m{i}") for i in range(n_hashes)]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig"))
     )
 
 
@@ -150,7 +237,7 @@ def minhash_lsh_pairs(
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
     sh = _shingled(df, id_col, text_col, n).cache()
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    sig = minhash_signatures(sh, id_col, n_hashes=n_hashes)
     # band key: md5 over (band index, its slice of the signature)
     bands = sig.select(
         F.col(id_col).alias("id"),
@@ -223,17 +310,49 @@ def simhash_pairs(
     text_col: str,
     n: int = 2,
     max_hamming: int = 6,
+    bits: int = 32,
 ) -> DataFrame:
     """Document pairs whose SimHash fingerprints are within max_hamming
-    bits.  The self-join runs on the compact fingerprint table; at scale,
-    pre-bucket by fingerprint bytes (pigeonhole) before joining.
-    Output: (id_a, id_b, hamming)."""
-    fp = simhash_fingerprint(df, id_col, text_col, n=n)
+    bits, via pigeonhole banding.
+
+    The fingerprint is cut into ``max_hamming + 1`` disjoint bit blocks;
+    two fingerprints differing in <= max_hamming bits must be *identical*
+    in at least one block (pigeonhole), so an equi-join on (block index,
+    block value) generates candidates with guaranteed recall — results
+    are bit-identical to the naive O(n^2) cross join the oracle runs.
+    The fingerprint table is cached so the candidate join and the verify
+    join share one computation.  For very large corpora raise ``bits``
+    (wider blocks -> fewer chance collisions per bucket).
+    Output: (id_a, id_b, hamming).
+    """
+    fp = simhash_fingerprint(df, id_col, text_col, n=n, bits=bits).cache()
+    n_blocks = max_hamming + 1
+    width = -(-bits // n_blocks)  # ceil
+    mask = (1 << width) - 1
+    keys = [
+        F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+        for b in range(n_blocks)
+    ]
+    blocks = fp.select(
+        F.col(id_col).alias("id"), F.posexplode(F.array(*keys))
+    ).select("id", F.col("pos").alias("blk"), F.col("col").alias("key"))
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

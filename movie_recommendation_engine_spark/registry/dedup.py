@@ -85,11 +85,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
 WITH {SHINGLES},
+hg AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(concat_ws(chr(1), 'mh', g)), 1, 8)) AS BIGINT) AS h
+  FROM ex),
 sig AS (
   SELECT doc_id, s.range AS seed,
-         min(CAST(('0x' || substr(md5(concat_ws(chr(1), 'mh',
-               CAST(s.range AS VARCHAR), g)), 1, 8)) AS BIGINT)) AS m
-  FROM ex, range(16) s GROUP BY doc_id, s.range),
+         min(((2 * s.range + 1) * h + 98765 * s.range + 12345) % 2147483647) AS m
+  FROM hg, range(16) s GROUP BY doc_id, s.range),
 bands AS (
   SELECT doc_id, CAST(floor(seed / 2) AS INT) AS b,
          md5(concat_ws(chr(1), CAST(CAST(floor(seed / 2) AS INT) AS VARCHAR),

@@ -10,6 +10,7 @@ from movie_recommendation_engine_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_filtered_jaccard_pairs,
     simhash_pairs,
 )
 
@@ -56,6 +57,24 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after norm
     assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
     assert not any(4 in p for p in pairs)
+
+
+def test_prefix_filter_equals_bruteforce(spark, docs):
+    """Prefix filtering is a candidate-pruning technique with guaranteed
+    recall — its output must be identical to the full inverted-index path."""
+    for t in (0.3, 0.5, 0.8):
+        full = set(
+            map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=t).collect())
+        )
+        pref = set(
+            map(
+                tuple,
+                prefix_filtered_jaccard_pairs(
+                    docs, "doc_id", "text", n=2, threshold=t
+                ).collect(),
+            )
+        )
+        assert pref == full
 
 
 def test_minhash_agrees_with_bruteforce_on_strong_pairs(spark, docs):
