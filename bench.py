@@ -33,6 +33,30 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     except Exception as ex:
         print(f"# bench warmup failed for {sf_dir}: {ex}", file=sys.stderr)
+    # warm the MLlib ALS code paths too: the first fit in a JVM pays
+    # ~10 s of JIT/codegen that would otherwise be billed to whichever
+    # ALS query runs first (verified: run0 17 s, run1 5.7 s same plan)
+    try:
+        from pyspark.ml.recommendation import ALS
+
+        tiny = spark.createDataFrame(
+            [(u, i, float(u * i % 5)) for u in range(20) for i in range(10)],
+            "user int, item int, rating float",
+        )
+        m = ALS(
+            rank=2,
+            maxIter=1,
+            userCol="user",
+            itemCol="item",
+            ratingCol="rating",
+            seed=1,
+            nonnegative=True,  # NNLS solver — the engine default; the
+            coldStartStrategy="drop",  # vanilla solver is a different class
+        ).fit(tiny)
+        m.recommendForAllUsers(1).count()
+        m.transform(tiny).count()
+    except Exception as ex:
+        print(f"# bench ALS warmup failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

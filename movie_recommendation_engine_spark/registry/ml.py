@@ -144,6 +144,10 @@ def q_als_recommend_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=4,
         reg_param=0.1,
         seed=42,
+        # block count sized to the data: ~50k ratings/block at sf0.1.
+        # ALS cost is block-to-block shuffles; default (= cores) makes
+        # hundreds of near-empty blocks here. Raise with data volume.
+        num_blocks=8,
     ).fit(train)
     return rec.recommend_top_k(k=5, flat=True)
 
@@ -162,5 +166,6 @@ def q_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iter=4,
         reg_param=0.1,
         seed=42,
+        num_blocks=8,  # see als_recommend_top5
     ).fit(train)
     return rec.evaluate_rmse(test)
