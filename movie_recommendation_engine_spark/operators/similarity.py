@@ -134,6 +134,75 @@ def lsh_bucketed_topk(
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    stride: int = 29,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-Flat ANN top-k: inverted-file index with a deterministic
+    coarse quantizer, ``nprobe`` cell probing, exact re-rank in-cell.
+
+    Structure (the classic IVF recipe, minus the k-means iterations):
+
+    1. **Coarse quantizer**: every candidate whose id satisfies
+       ``id % stride == 1`` becomes a centroid — deterministic, so the
+       DuckDB oracle replays the exact same index.  (Production would
+       k-means-refine the seeds; the *index structure and query path*
+       are identical, and seed choice only affects cell balance.)
+    2. **Assignment** (index build): each vector joins the broadcast
+       centroid table and keeps its nearest centroid by cosine — one
+       narrow pass over the data, no shuffle of vectors against each
+       other.  This is the inverted file: cell id -> member vectors.
+    3. **Probe**: each query scores the same broadcast centroids and
+       probes its ``nprobe`` nearest cells — recall/cost dial.
+    4. **Re-rank**: probed cells' members are scored exactly (cosine)
+       and the top-k per query kept.
+
+    At scale the vectors shuffle ONCE (hash-partitioned by cell id),
+    queries shuffle by probed cell, and the join is an equi-join on
+    cell id — |Q| x |C| / #cells * nprobe work instead of |Q| x |C|.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    cents = candidates.filter((F.col(id_col) % stride) == 1).select(
+        F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cent_v")
+    )
+    c = candidates.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv"))
+    assign = top_k_per_group(
+        c.crossJoin(F.broadcast(cents)).withColumn(
+            "sim", F.round(cosine_similarity("cv", "cent_v"), round_to)
+        ),
+        ["neighbor_id"],
+        [F.col("sim").desc(), F.col("cent_id").asc()],
+        k=1,
+    ).select("neighbor_id", "cent_id", "cv")
+    q = queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
+    probe = top_k_per_group(
+        q.crossJoin(F.broadcast(cents)).withColumn(
+            "sim", F.round(cosine_similarity("qv", "cent_v"), round_to)
+        ),
+        ["query_id"],
+        [F.col("sim").desc(), F.col("cent_id").asc()],
+        k=nprobe,
+    ).select("query_id", "qv", "cent_id")
+    scored = (
+        probe.join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity("qv", "cv"), round_to))
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -15,6 +15,7 @@ from ..operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
     hyperplane,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from . import _t, register
@@ -95,6 +96,51 @@ def q_ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(queries, emb, k=5, n_planes=_N_PLANES, dim=_DIM).orderBy(
         "query_id", "rank"
     )
+
+
+_IVF_ASSIGN_COS = (
+    "round(list_dot_product(e.v, c.cv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+
+
+@register(
+    "ann_ivf_top5",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 29 = 1),
+assign AS (
+  SELECT neighbor_id, cent_id, v FROM (
+    SELECT e.vec_id AS neighbor_id, c.cent_id, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_ASSIGN_COS} DESC, c.cent_id) AS rn
+    FROM e, cents c) WHERE rn = 1),
+probe AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT e.vec_id AS query_id, e.v AS qv, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_ASSIGN_COS} DESC, c.cent_id) AS rn
+    FROM e, cents c WHERE e.vec_id % 97 = 0) WHERE rn <= 2),
+scored AS (
+  SELECT query_id, a.neighbor_id, qv, a.v AS cv
+  FROM probe p JOIN assign a USING (cent_id) WHERE a.neighbor_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_COS} DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-5 (deterministic seed centroids, nprobe=2) for
+    the same query subset as knn_bruteforce_top5 — the inverted-file
+    scale path; compare against the brute-force oracle for recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return ivf_topk(queries, emb, k=5, stride=29, nprobe=2).orderBy("query_id", "rank")
 
 
 @register(

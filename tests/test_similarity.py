@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from movie_recommendation_engine_spark.operators.similarity import (
     brute_force_topk,
     hyperplane,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -61,6 +62,43 @@ def test_lsh_results_subset_of_bruteforce_candidates(spark, vectors):
     for r in ann.collect():
         assert (r.query_id, r.neighbor_id) in exact
         assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_ivf_probes_enough_cells_for_full_recall(spark, vectors):
+    """With nprobe = #cells the IVF path degenerates to exact search —
+    its top-k must equal brute force.  Centroid stride 2 makes ids 1, 3,
+    5 centroids (3 cells)."""
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk(vectors, vectors, k=2).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(vectors, vectors, k=2, stride=2, nprobe=3).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_recall_on_testdata(spark):
+    """IVF with nprobe=2 on the sf0.001 embeddings: substantial recall
+    vs exact kNN, and no invented neighbors (cosines must match exact)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(emb, emb, k=20).collect()
+    }
+    ivf = ivf_topk(emb, emb, k=5, stride=7, nprobe=2).collect()
+    assert len(ivf) > 0
+    hits = {(r.query_id, r.neighbor_id) for r in ivf}
+    exact_top5 = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb, k=5).collect()
+    }
+    recall = len(hits & exact_top5) / len(exact_top5)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.3f}"
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in exact_all:
+            assert abs(exact_all[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
 def test_ann_recall_on_testdata(spark):
