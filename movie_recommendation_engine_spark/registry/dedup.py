@@ -18,6 +18,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from ..operators.graph import dedup_canonical
 from .text import NORM, WORDS
 from . import _t, register
 
@@ -81,10 +82,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {SHINGLES},
+# MinHash LSH pair pipeline (shared by dedup_minhash_lsh and the
+# component clustering oracle): shingle-hash once, affine rehash,
+# band, bucket-join, exact-Jaccard verify.
+MINHASH_PAIRS = """
 hg AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(concat_ws(chr(1), 'mh', g)), 1, 8)) AS BIGINT) AS h
@@ -100,15 +101,25 @@ bands AS (
   FROM sig GROUP BY doc_id, floor(seed / 2)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
-SELECT id_a, id_b,
-       round(len(list_intersect(sa.s, sb.s)) * 1.0 /
-             (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
-FROM cand
-JOIN sh sa ON sa.doc_id = id_a
-JOIN sh sb ON sb.doc_id = id_b
-WHERE round(len(list_intersect(sa.s, sb.s)) * 1.0 /
-            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) >= 0.5
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) >= 0.5)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {SHINGLES},
+{MINHASH_PAIRS}
+SELECT id_a, id_b, jaccard FROM pairs
 ORDER BY id_a, id_b
 """,
 )
@@ -118,6 +129,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {SHINGLES},
+{MINHASH_PAIRS},
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs collapsed to clusters: connected components over
+    the MinHash-LSH Jaccard>=0.5 pair graph (join-based min-label
+    propagation), every doc mapped to its canonical (min-id)
+    representative.  The oracle recomputes components via a recursive
+    transitive-closure CTE — two entirely different algorithms agreeing
+    exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5)
+    return dedup_canonical(docs, pairs).orderBy("doc_id")
 
 
 @register(

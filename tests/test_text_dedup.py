@@ -104,3 +104,25 @@ def test_lang_id_markers(spark):
     )
     r = {x.doc_id: x.p for x in df.select("doc_id", X.lang_id("text").alias("p")).collect()}
     assert r[1] == "en" and r[2] == "fr" and r[3] == "de" and r[4] == "und" and r[5] == "zh"
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-chain, a 2-clique and an isolated pair edge: min-label
+    propagation must find min-id components in bounded rounds."""
+    from movie_recommendation_engine_spark.operators.graph import (
+        connected_components,
+        dedup_canonical,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a int, id_b int",
+    )
+    comps = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id int")
+    canon = {r.doc_id: (r.component, r.is_canonical) for r in dedup_canonical(all_ids, edges).collect()}
+    assert canon[99] == (99, True)  # isolated doc is its own canonical
+    assert canon[4] == (1, False)
+    assert canon[1] == (1, True)
