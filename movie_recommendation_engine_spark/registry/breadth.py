@@ -15,8 +15,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.readers import read_csv
-from ..sources.writers import write_csv
+from ..sources.readers import read_csv, read_json
+from ..sources.writers import write_csv, write_json
 from . import _t, register
 
 
@@ -120,6 +120,86 @@ def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bal"),
         )
         .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "json_roundtrip_agg",
+    oracle="""
+SELECT n_regionkey, count(*) AS n,
+       min(n_name) AS first_nation, max(n_name) AS last_nation
+FROM nation
+GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+)
+def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd JSON scan proven inside the oracle
+    gate: nation -> JSON -> read back with an explicit schema ->
+    aggregate must match the parquet-side oracle.  Schema-at-read keeps
+    the scan single-pass (no inference job) — mandatory at scale."""
+    from pyspark.sql import types as T
+
+    nat = _t(spark, sf_dir, "nation")
+    d = os.path.join(tempfile.gettempdir(), "mres_json_roundtrip")
+    write_json(nat, d)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), False),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.IntegerType(), False),
+        ]
+    )
+    back = read_json(spark, d, schema)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_name").alias("first_nation"),
+            F.max("n_name").alias("last_nation"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "events_running_stats",
+    oracle="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq,
+       round(coalesce(value - lag(value) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id), 0), 6)
+         AS value_delta
+FROM events
+ORDER BY user_id, event_seq
+""",
+)
+def q_events_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregates + lag over event time per user —
+    the ordered-window shape (ROWS UNBOUNDED PRECEDING frame) no other
+    query exercises.  One hash exchange on user_id, one in-partition
+    sort; the frame is computed streamingly within each partition."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(wcum), 6).alias("running_value"),
+            F.row_number().over(w).alias("event_seq"),
+            # lag over value, not ts: the source timestamps are
+            # nanosecond parquet and Spark/DuckDB coerce them to their
+            # microsecond types with different sub-us tie handling, so
+            # epoch differences are not cross-engine reproducible
+            F.round(
+                F.coalesce(F.col("value") - F.lag("value").over(w), F.lit(0.0)), 6
+            ).alias("value_delta"),
+        )
+        .orderBy("user_id", "event_seq")
     )
 
 

@@ -18,6 +18,12 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — the splittable layout;
+    never write one giant JSON array, it cannot be read in parallel)."""
+    df.write.mode(mode).json(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
