@@ -1,0 +1,88 @@
+"""As-of join — attach to each left row the most recent right row at or
+before its timestamp, per key (prompt §"Custom operators").
+
+Spark has no native as-of join (pandas has merge_asof; kdb/DuckDB have
+ASOF JOIN).  The naive Spark spelling — a non-equi theta join
+``l.ts >= r.ts`` + keep-latest — plans as BroadcastNestedLoopJoin:
+O(|L| x |R|) per key and a driver-killing broadcast.  This operator
+uses the **union-merge pattern** instead, which is how a time-series
+engine would execute it:
+
+1. tag both inputs and union them into one stream of (key, ts, side,
+   payload-struct-or-null) rows;
+2. one hash exchange on the key + one in-partition sort by
+   (ts, side, tiebreak) — right rows sort *before* left rows at equal
+   ts so "at or before" includes exact matches;
+3. ``last(payload_struct, ignoreNulls=True)`` over ROWS UNBOUNDED
+   PRECEDING carries the latest right row forward within each key —
+   the struct keeps the right row atomic (carrying columns
+   independently could stitch together fields of different rows when
+   payloads contain nulls);
+4. keep only left rows, unpack the struct.
+
+Cost: ONE shuffle of |L| + |R| rows — the same exchange a plain
+equi-join on the key would pay — independent of time-overlap fan-out.
+Works unmodified as a streaming merge if both sides are ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row: the latest right row with
+    ``right.on <= left.on`` matching on ``by`` keys (backward as-of).
+
+    ``right_cols`` are the right-side payload columns to attach (each
+    renamed with ``suffix``); rows with no prior right row get nulls.
+    ``tiebreak``: right-side column ordering ties among right rows with
+    identical ``on`` (the max wins); defaults to the first payload col.
+    """
+    tiebreak = tiebreak or right_cols[0]
+    lcols = left.columns
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload_type = right.select(payload.alias("p")).schema["p"].dataType
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c == on or c in by else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        payload.alias("__payload"),
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    # right rows first at equal ts (side 0 < 1), then tiebreak so the
+    # greatest right row at a given ts is the one carried forward
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *lcols,
+        "__side",
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"__payload.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )

@@ -204,6 +204,70 @@ def q_events_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_attribution",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+      FROM events WHERE event_type = 'click'),
+merged AS (
+  SELECT user_id, ts, 1 AS side, event_id, value,
+         NULL::BIGINT AS tb,
+         NULL::STRUCT(click_id BIGINT, click_value DOUBLE) AS payload
+  FROM p
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, NULL, click_id,
+         struct_pack(click_id := click_id, click_value := click_value)
+  FROM c),
+carried AS (
+  SELECT user_id, side, event_id, value,
+         last_value(payload IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, side, tb NULLS FIRST
+           ROWS UNBOUNDED PRECEDING) AS payload
+  FROM merged)
+SELECT event_id, user_id, round(value, 6) AS value,
+       payload.click_id AS click_id,
+       round(payload.click_value, 6) AS click_value
+FROM carried WHERE side = 1
+ORDER BY event_id
+""",
+)
+def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    click at-or-before it (classic attribution / quote-to-trade shape).
+    Runs as the union-merge pattern — one shuffle, no nested-loop theta
+    join; the oracle replays the same semantics in SQL window form."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        right_cols=["click_id", "click_value"],
+        tiebreak="click_id",
+        suffix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        "click_id",
+        F.round("click_value", 6).alias("click_value"),
+    ).orderBy("event_id")
+
+
+@register(
     "salted_agg_per_part",
     oracle="""
 SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
