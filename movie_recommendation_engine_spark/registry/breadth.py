@@ -268,6 +268,46 @@ def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_price_band",
+    oracle="""
+SELECT p_partkey, count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM part
+JOIN lineitem
+  ON l_extendedprice / l_quantity BETWEEN p_retailprice - 0.05
+                                      AND p_retailprice + 0.05
+GROUP BY p_partkey
+ORDER BY p_partkey
+""",
+)
+def q_range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key-free interval join: lineitems whose unit price falls in
+    each part's +-0.05 retail-price band, via the bucketed range join
+    (integer-bucket equi-join + residual filter) — never the
+    BroadcastNestedLoopJoin Spark would plan for the bare BETWEEN.  The
+    oracle runs the naive theta join; results must match exactly."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") - 0.05).alias("lo"),
+        (F.col("p_retailprice") + 0.05).alias("hi"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        "l_quantity",
+    )
+    joined = bucketed_range_join(
+        li, part, point_col="unit_price", lo_col="lo", hi_col="hi", bucket_width=0.1
+    )
+    return (
+        joined.groupBy("p_partkey")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
     "salted_agg_per_part",
     oracle="""
 SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,

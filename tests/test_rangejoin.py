@@ -1,0 +1,45 @@
+"""Bucketed range join: equality with the naive theta join, including
+points exactly on interval and bucket boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_recommendation_engine_spark.operators.rangejoin import bucketed_range_join
+
+
+def _naive(points, intervals, point_col, lo, hi):
+    return points.join(
+        intervals, (F.col(lo) <= F.col(point_col)) & (F.col(point_col) <= F.col(hi))
+    )
+
+
+def test_bucketed_equals_naive_with_boundaries(spark):
+    points = spark.createDataFrame(
+        [(i, x) for i, x in enumerate([0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 10.0, -1.3])],
+        "pid int, x double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, 0.0, 1.0),    # closed both ends
+            (101, 0.9, 2.1),    # spans several buckets
+            (102, 2.5, 2.5),    # degenerate single point
+            (103, -2.0, -1.0),  # negative range
+            (104, 5.0, 6.0),    # matches nothing
+        ],
+        "iid int, lo double, hi double",
+    )
+    for w in (0.1, 0.5, 1.0, 3.0):
+        got = {
+            (r.pid, r.iid)
+            for r in bucketed_range_join(points, intervals, "x", "lo", "hi", w).collect()
+        }
+        want = {
+            (r.pid, r.iid)
+            for r in _naive(points, intervals, "x", "lo", "hi").collect()
+        }
+        assert got == want, f"width={w}: {got ^ want}"
+    assert (0, 100) in want and (2, 100) in want   # both closed ends
+    assert (5, 102) in want                         # degenerate interval
+    assert (7, 103) in want                         # negative bucket floor
+    assert not any(i == 104 for _, i in want)
