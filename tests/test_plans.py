@@ -99,3 +99,22 @@ def test_partitioned_write_prunes(spark):
         assert back.count() == labeled.filter("split = 'train'").count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_range_join_plans_as_hash_join_not_nested_loop(spark):
+    """The bucketed range join must plan as an equi-join on the bucket
+    id — never the BroadcastNestedLoopJoin of the naive BETWEEN."""
+    plan = _plan(QUERIES["range_join_price_band"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, "range join degenerated to a cross product"
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_join_single_exchange(spark):
+    """The union-merge as-of join pays exactly one hash exchange (on the
+    by-key for the window) plus the final presentation sort — never a
+    per-pair join exchange or a nested loop."""
+    plan = _plan(QUERIES["asof_purchase_attribution"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, "asof should be a window merge, not a join"
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges <= 1, f"asof pays {exchanges} hash exchanges"
