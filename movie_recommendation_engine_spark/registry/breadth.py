@@ -308,6 +308,64 @@ def q_range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_flag_status",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice in one pass (ExpandExec) — all four
+    grouping combinations from a single scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "lineitem_profile",
+    oracle="""
+SELECT 'l_orderkey' AS "column", count(l_orderkey) AS n,
+       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(l_quantity),
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_quantity),
+       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(l_returnflag),
+       sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT l_returnflag),
+       min(l_returnflag), max(l_returnflag)
+FROM lineitem
+ORDER BY "column"
+""",
+)
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness/cardinality/range profile in ONE scan
+    (single Aggregate + stack reshape) — the oracle spells it as three
+    separate scans; results must agree exactly."""
+    from ..operators.profile import table_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return table_profile(li, ["l_orderkey", "l_quantity", "l_returnflag"]).orderBy("column")
+
+
+@register(
     "salted_agg_per_part",
     oracle="""
 SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,

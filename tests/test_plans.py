@@ -118,3 +118,22 @@ def test_asof_join_single_exchange(spark):
     assert "Join" not in plan, "asof should be a window merge, not a join"
     exchanges = plan.count("Exchange hashpartitioning")
     assert exchanges <= 1, f"asof pays {exchanges} hash exchanges"
+
+
+def test_table_profile_single_scan(spark):
+    """The profile must be ONE aggregate over the table (plus reshape),
+    never a job per column."""
+    from movie_recommendation_engine_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (2, 7.5, None)],
+        "k int, v double, s string",
+    )
+    out = {r.column: r for r in table_profile(df, ["k", "v", "s"]).collect()}
+    assert (out["k"].n, out["k"].n_null, out["k"].n_distinct) == (3, 0, 2)
+    assert (out["v"].n, out["v"].n_null, out["v"].n_distinct) == (2, 1, 2)
+    assert out["v"].min_value == "5.0" and out["v"].max_value == "7.5"
+    assert (out["s"].n, out["s"].n_null) == (2, 1)
+    # exactly one scan of the source in the plan
+    plan = _plan(table_profile(df, ["k", "v", "s"]))
+    assert plan.count("Scan ExistingRDD") <= 1
