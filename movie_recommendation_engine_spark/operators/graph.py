@@ -50,24 +50,20 @@ def connected_components(
             .agg(F.min("comp").alias("nb_comp"))
             .withColumnRenamed("u", "id")
         )
-        new_labels = (
-            labels.join(nb_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nb_comp", "comp")).alias("comp"),
-            )
+        # fold the convergence flag into the same pass: one join and one
+        # action per round instead of a separate old-vs-new join
+        new_comp = F.least(F.col("comp"), F.coalesce("nb_comp", "comp"))
+        flagged = labels.join(nb_min, "id", "left").select(
+            "id",
+            new_comp.alias("comp"),
+            (new_comp < F.col("comp")).alias("__changed"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+            flagged = flagged.localCheckpoint(eager=False)
+        flagged = flagged.cache()
+        changed = flagged.filter("__changed").count()
         labels.unpersist()
-        labels = new_labels
+        labels = flagged.drop("__changed")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
