@@ -37,6 +37,51 @@ def q_parts_returned_and_accepted(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "parts_returned_and_accepted_all",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+ORDER BY l_partkey
+""",
+)
+def q_parts_returned_and_accepted_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (min-multiplicity semantics) — the bag
+    variant of parts_returned_and_accepted."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersectAll(a).orderBy("l_partkey")
+
+
+_SQL_REVENUE = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("sql_interface_revenue", oracle=_SQL_REVENUE)
+def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: tables registered as temp views, the query
+    submitted as ANSI SQL via spark.sql — THE SAME SQL TEXT is the
+    oracle, so this also proves dialect-compatible SQL support.
+    Catalyst plans it identically to the DataFrame spelling (broadcast
+    dims, partial aggs)."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_REVENUE)
+
+
+@register(
     "rollup_flag_status",
     oracle="""
 SELECT l_returnflag, l_linestatus,
