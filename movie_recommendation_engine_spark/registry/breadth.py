@@ -353,6 +353,38 @@ def q_range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_quantity_quartiles",
+    oracle="""
+SELECT l_returnflag,
+       [round(q, 6) for q in quantile_cont(l_quantity, [0.25, 0.5, 0.75])] AS quartiles,
+       round(avg(l_quantity), 6) AS mean_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_grouped_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentile vector (SURVEY A3 extended to groups).
+    Exact percentile sorts within each group — fine keyed by a
+    low-cardinality column; at 100 TB with high-cardinality groups use
+    percentile_approx (Greenwald-Khanna, mergeable map-side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("q"),
+            F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.transform("q", lambda x: F.round(x, 6)).alias("quartiles"),
+            "mean_qty",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "cube_flag_status",
     oracle="""
 SELECT l_returnflag, l_linestatus,

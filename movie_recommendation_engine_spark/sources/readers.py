@@ -37,8 +37,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
-    reader = spark.read
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan.  Malformed-row policy via ``mode``:
+    PERMISSIVE (default) nulls bad rows — add a ``_corrupt_record``
+    string field to the schema to quarantine the raw text;
+    DROPMALFORMED silently drops; FAILFAST aborts the job.  At scale,
+    quarantine-and-count beats failing a 100 TB job on row 3."""
+    reader = spark.read.options(**options)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
