@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import read_csv, read_json
 from ..sources.writers import write_csv, write_json
-from . import _t, register
+from . import _t, duck_hash_sql, register
 
 
 @register(
@@ -350,6 +350,52 @@ def q_range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .orderBy("p_partkey")
     )
+
+
+H_UPD = duck_hash_sql("upd", "c_custkey")
+
+
+@register(
+    "upsert_customer_balances",
+    oracle=f"""
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         round(c_acctbal + 100.0, 2) AS c_acctbal
+  FROM customer
+  WHERE {H_UPD} < 0.3),
+merged AS (
+  SELECT *, 0 AS pri FROM (SELECT c_custkey, c_name, c_nationkey,
+                                  round(c_acctbal, 2) AS c_acctbal FROM customer)
+  UNION ALL
+  SELECT *, 1 FROM upd)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY pri DESC) AS rn
+      FROM merged)
+WHERE rn = 1
+ORDER BY c_custkey
+""",
+)
+def q_upsert_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE without a table format: a deterministic 30% of
+    customers get a balance correction; upsert keeps the corrected row
+    per key and passes the rest through unchanged."""
+    from ..functions.hashing import uniform_hash
+    from ..operators.upsert import upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    updates = (
+        _t(spark, sf_dir, "customer")
+        .filter(uniform_hash("c_custkey", salt="upd") < 0.3)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        )
+    )
+    return upsert(cust, updates, keys=["c_custkey"]).orderBy("c_custkey")
 
 
 @register(

@@ -43,3 +43,18 @@ def test_bucketed_equals_naive_with_boundaries(spark):
     assert (5, 102) in want                         # degenerate interval
     assert (7, 103) in want                         # negative bucket floor
     assert not any(i == 104 for _, i in want)
+
+
+def test_upsert_semantics(spark):
+    """Update-wins on collision, new keys append, duplicate updates
+    resolve to the greatest order_col."""
+    from movie_recommendation_engine_spark.operators.upsert import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40), (4, "d_newer", 41)], "k int, name string, v int"
+    )
+    out = {r.k: (r.name, r.v) for r in upsert(base, updates, ["k"], order_col="v").collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d_newer", 41)}
