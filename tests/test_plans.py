@@ -137,3 +137,20 @@ def test_table_profile_single_scan(spark):
     # exactly one scan of the source in the plan
     plan = _plan(table_profile(df, ["k", "v", "s"]))
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
+    """Column pruning + predicate pushdown must reach the parquet scan:
+    a filtered 3-column aggregate over the 11-column lineitem reads only
+    what it needs."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, "scan reads columns the query never uses"
