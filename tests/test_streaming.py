@@ -90,3 +90,36 @@ def test_stateful_running_totals_converge_to_batch(spark, events_dir):
         for r in user_totals_batch(batch).collect()
     }
     assert final == want  # cross-micro-batch state converges to batch agg
+
+
+def test_foreach_batch_upsert_converges_to_batch(spark, events_dir):
+    """foreachBatch upsert sink: per-user totals streamed micro-batch by
+    micro-batch into a parquet state table must equal the batch answer."""
+    import os
+
+    from movie_recommendation_engine_spark.streaming.sinks import foreach_batch_upsert
+
+    state = tempfile.mkdtemp(prefix="upsert_state_") + "/table"
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    try:
+        stream = read_events_stream(spark, events_dir)
+        totals = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+        q = foreach_batch_upsert(totals, state, ["user_id"], ckpt)
+        q.awaitTermination(120)
+        got = {
+            r.user_id: (r.n, r.total) for r in spark.read.parquet(state).collect()
+        }
+        batch = spark.read.parquet(events_dir)
+        want = {
+            r.user_id: (r.n, r.total)
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert got == want
+        assert os.path.exists(os.path.join(state, "_SUCCESS"))
+    finally:
+        shutil.rmtree(os.path.dirname(state), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
