@@ -40,6 +40,36 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet: rows range-partitioned THEN sorted
+    within each file, so every row group's min/max statistics cover a
+    narrow, non-overlapping slice of the sort key.
+
+    Parquet readers (Spark included) skip whole row groups whose
+    [min, max] cannot satisfy a pushed predicate — on a randomly-laid
+    table every row group spans the full key range and nothing skips;
+    on a range-clustered table a selective range predicate touches only
+    the few row groups that overlap it.  At 100 TB this zone-map
+    skipping is the difference between scanning terabytes and scanning
+    gigabytes for time-range / id-range queries on the cluster key.
+
+    ``repartitionByRange`` samples the key to build balanced ranges —
+    one shuffle, same cost class as any global sort.
+    """
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

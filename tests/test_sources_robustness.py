@@ -3,7 +3,9 @@
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
 
 import pytest
@@ -56,3 +58,50 @@ def test_csv_failfast_aborts(spark):
     )
     with pytest.raises(Exception):
         read_csv(spark, d, schema, header=True, mode="FAILFAST").collect()
+
+
+def test_write_sorted_produces_skippable_row_groups(spark):
+    """Range-clustered parquet must have narrow, mostly non-overlapping
+    row-group [min, max] stats on the sort key — the physical property
+    zone-map skipping depends on — while a random layout spans nearly
+    the full range in every row group."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from movie_recommendation_engine_spark.sources.writers import write_parquet, write_sorted
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_partkey", "l_quantity"
+    )
+    lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    span = hi - lo
+
+    def rowgroup_spans(d):
+        spans = []
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("l_partkey")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append((st.min, st.max))
+        return spans
+
+    d_sorted = tempfile.mkdtemp(prefix="sorted_") + "/t"
+    d_plain = tempfile.mkdtemp(prefix="plain_") + "/t"
+    try:
+        write_sorted(li, d_sorted, ["l_partkey"], n_files=8)
+        write_parquet(li.repartition(8), d_plain)
+        sorted_spans = rowgroup_spans(d_sorted)
+        plain_spans = rowgroup_spans(d_plain)
+        assert len(sorted_spans) >= 8
+        # each clustered row group covers a small slice; random covers ~all
+        avg_sorted = sum(b - a for a, b in sorted_spans) / len(sorted_spans)
+        avg_plain = sum(b - a for a, b in plain_spans) / len(plain_spans)
+        assert avg_sorted < span * 0.25
+        assert avg_plain > span * 0.9
+        # and the data survives intact
+        assert spark.read.parquet(d_sorted).count() == li.count()
+    finally:
+        shutil.rmtree(os.path.dirname(d_sorted), ignore_errors=True)
+        shutil.rmtree(os.path.dirname(d_plain), ignore_errors=True)
