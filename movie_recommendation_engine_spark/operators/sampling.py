@@ -118,3 +118,29 @@ def stratified_sample(
         frac = F.when(cond, F.lit(f_)) if frac is None else frac.when(cond, F.lit(f_))
     frac = frac.otherwise(F.lit(0.0))
     return df.filter(h < frac)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+    salt: str = "ws",
+) -> DataFrame:
+    """k rows sampled WITHOUT replacement with probability proportional
+    to ``weight_col`` (Efraimidis & Spirakis, "Weighted random sampling
+    with a reservoir", IPL 2006: rank by u^(1/w), keep the top k —
+    spelled as ln(u)/w, which orders identically and avoids overflow).
+
+    The uniform draw is the content hash, so the sample is deterministic
+    and partition-independent like every other engine sampler; and the
+    top-k runs as TakeOrderedAndProject (per-partition k-heaps, no full
+    sort).  The u=0 hash edge maps to -inf and simply sorts last.
+    Adds ``sample_key`` (the ES key, rounded) to the output.
+    """
+    key = F.round(F.log(uniform_hash(*key_cols, salt=salt)) / F.col(weight_col), 6)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), *key_cols)
+        .limit(k)
+    )

@@ -19,6 +19,34 @@ TOKEN_PAT = X.TOKEN_PATTERN
 
 
 @register(
+    "weighted_doc_sample100",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, len({WORDS}) AS weight FROM documents),
+keyed AS (
+  SELECT doc_id, weight,
+         round(ln(CAST(('0x' || substr(md5(concat_ws(chr(1), 'ws',
+                 CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)
+               / weight, 6) AS sample_key
+  FROM base)
+SELECT doc_id, weight, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+""",
+)
+def q_weighted_doc_sample100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 documents sampled without replacement, probability
+    proportional to token count (Efraimidis-Spirakis reservoir keys over
+    content hashes — deterministic, partition-independent, heap top-k).
+    The shape every quality-weighted corpus subsample needs."""
+    from ..operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.ws_token_count("text").alias("weight")
+    )
+    return weighted_sample(docs, k=100, weight_col="weight", key_cols=["doc_id"])
+
+
+@register(
     "doc_text_stats",
     oracle=f"""
 WITH base AS (

@@ -56,3 +56,22 @@ def test_stratified_sample_deterministic_and_bounded(spark, ratings):
     n_train = labeled.filter("split = 'train'").count()
     kept_train = sum(1 for r in s1 if r.split == "train")
     assert kept_train == n_train  # fraction 1.0 keeps everything
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    """One row with weight 500 among 50 rows of weight 1: across many
+    independent draws (salts) the heavy row must win the k=1 sample most
+    of the time (ES key property), and any fixed salt is deterministic."""
+    from movie_recommendation_engine_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 500.0 if i == 0 else 1.0) for i in range(51)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    wins = 0
+    for s in range(20):
+        top = weighted_sample(df, k=1, weight_col="w", key_cols=["id"], salt=f"t{s}")
+        if top.collect()[0].id == 0:
+            wins += 1
+    assert wins >= 14, f"heavy row won only {wins}/20 draws"
+    a = weighted_sample(df, k=5, weight_col="w", key_cols=["id"], salt="fixed").collect()
+    b = weighted_sample(df, k=5, weight_col="w", key_cols=["id"], salt="fixed").collect()
+    assert [r.id for r in a] == [r.id for r in b]
