@@ -68,3 +68,41 @@ def test_weighted_rating_is_convex_combination(spark_global, v, r, floor, gm):
     s = df.collect()[0].s
     lo, hi = min(r, gm), max(r, gm)
     assert lo - 1e-9 <= s <= hi + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark_global, edges):
+    """Join-based min-label propagation must agree with a driver-side
+    union-find on arbitrary small graphs (self-loops and duplicate
+    edges included)."""
+    from movie_recommendation_engine_spark.operators.graph import connected_components
+
+    spark = spark_global
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    assert got == want
