@@ -95,6 +95,50 @@ class AlsRecommender:
             (F.col("rank0") + 1).alias("rank"),
         )
 
+    def recommend_for_users(self, users: DataFrame, k: int = 100, flat: bool = True) -> DataFrame:
+        """Top-k items for a SUBSET of users (`recommendForUserSubset`).
+
+        The scale-sane entry point: recommendForAllUsers scores every
+        (user-block x item-block) pair; serving typically needs recs for
+        the active slice only — cost shrinks proportionally.  ``users``
+        needs just the user id column."""
+        assert self.model is not None, "fit first"
+        recs = self.model.recommendForUserSubset(users.select(self.user_col), k)
+        if not flat:
+            return recs
+        return recs.select(
+            self.user_col,
+            F.posexplode("recommendations").alias("rank0", "rec"),
+        ).select(
+            self.user_col,
+            F.col(f"rec.{self.item_col}").alias(self.item_col),
+            F.col("rec.rating").alias("score"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+
+    def item_neighbors(self, k: int = 10, items: DataFrame | None = None) -> DataFrame:
+        """Item-item similarity from the learned factors: cosine top-k
+        per item over ``itemFactors`` (the "because you watched" table).
+
+        ``items`` (a DataFrame with the item id column) bounds the query
+        side — all-pairs over a large catalog is |I|^2 and never the
+        plan; pass the slice you serve.  Reuses the engine's brute-force
+        scorer; swap in ivf_topk / lsh_bucketed_topk when even the
+        candidate side is large."""
+        from ..operators.similarity import brute_force_topk
+
+        assert self.model is not None, "fit first"
+        factors = self.model.itemFactors  # (id, features: array<float>)
+        queries = factors
+        if items is not None:
+            ids = items.select(F.col(self.item_col).alias("id"))
+            queries = factors.join(F.broadcast(ids), "id")
+        out = brute_force_topk(queries, factors, k=k, id_col="id", vec_col="features")
+        return (
+            out.withColumnRenamed("query_id", self.item_col)
+            .withColumnRenamed("neighbor_id", "neighbor_" + self.item_col)
+        )
+
     def recommendation_lists(self, k: int = 100) -> DataFrame:
         """(user, recs: array<item>) ordered by predicted score — the
         input shape of plans.metrics (reference als.py:120 getField)."""

@@ -152,6 +152,28 @@ def q_als_recommend_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.recommend_top_k(k=5, flat=True)
 
 
+@register("als_item_neighbors")
+def q_als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine neighbors from the learned ALS item factors —
+    the 'because you bought' table, composing the factor model with the
+    engine's similarity search. Rows-only: factors are not
+    SQL-expressible."""
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    rec = AlsRecommender(
+        user_col="l_orderkey",
+        item_col="l_partkey",
+        rating_col="l_quantity",
+        rank=8,
+        max_iter=4,
+        reg_param=0.1,
+        seed=42,
+        num_blocks=8,
+    ).fit(train)
+    probe = train.select("l_partkey").distinct().filter(F.col("l_partkey") % 97 == 0)
+    return rec.item_neighbors(k=5, items=probe).orderBy("l_partkey", "rank")
+
+
 @register("als_rmse_eval")
 def q_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS train/test RMSE (reference als.py:103). Rows-only check."""

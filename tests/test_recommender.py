@@ -43,3 +43,30 @@ def test_factors(spark, ratings):
     uf = rec.user_factors()
     assert uf.count() == ratings.select("userId").distinct().count()
     assert len(uf.first().features) == 4
+
+
+def test_recommend_for_user_subset(spark, ratings):
+    rec = _fit(ratings)
+    some = ratings.select("userId").distinct().limit(2)
+    flat = rec.recommend_for_users(some, k=3)
+    assert flat.count() == 3 * 2
+    assert set(flat.columns) == {"userId", "movieId", "score", "rank"}
+    # subset recs agree with the all-users recs for those users
+    all_flat = rec.recommend_top_k(k=3, flat=True)
+    uids = [r.userId for r in some.collect()]
+    want = {
+        (r.userId, r.movieId, r.rank)
+        for r in all_flat.filter(F.col("userId").isin(uids)).collect()
+    }
+    got = {(r.userId, r.movieId, r.rank) for r in flat.collect()}
+    assert got == want
+
+
+def test_item_neighbors_shape_and_self_exclusion(spark, ratings):
+    rec = _fit(ratings)
+    probe = ratings.select("movieId").distinct().limit(3)
+    nb = rec.item_neighbors(k=2, items=probe).collect()
+    assert len(nb) == 3 * 2
+    for r in nb:
+        assert r.movieId != r.neighbor_movieId
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
