@@ -17,7 +17,7 @@ Operators (prompt §"text analysis"):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window, functions as F
 
 from ..functions.hashing import md5_long, word_shingles
 
@@ -127,3 +127,47 @@ def shingle_fingerprint(col: Column | str, n: int = 2, salt: str = "fp") -> Colu
     'rolling hash' fingerprint of the prompt, content-defined)."""
     sh = word_shingles(col, n=n)
     return F.array_min(F.transform(sh, lambda s: md5_long(s, salt=salt)))
+
+
+def tf_idf(
+    df,
+    id_col: str,
+    text_col: str,
+    smooth: bool = True,
+):
+    """Per-(doc, term) TF-IDF over whitespace tokens (SURVEY §7.2 M5).
+
+    tf = term count / doc token count; idf = ln((N+1)/(df+1)) + 1
+    (sklearn's smoothed variant — never divides by zero, unseen-term
+    safe).  Physically: one explode + two aggregations; the document
+    count enters as a broadcast one-row aggregate (no collect), the
+    per-term df joins back on the term — at scale both are plain
+    hash-partitioned aggregates, and the tiny df table broadcasts.
+    Output: (id_col, term, tf, idf, tf_idf).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("n"))
+        .withColumn("doc_len", F.sum("n").over(Window.partitionBy(id_col)))
+        .withColumn("tf", F.col("n") / F.col("doc_len"))
+    )
+    dfreq = toks.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    off = 1 if smooth else 0
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.log((F.col("__n") + off) / (F.col("df") + off)) + 1.0)
+        .select(
+            id_col,
+            "term",
+            F.round("tf", 6).alias("tf"),
+            F.round("idf", 6).alias("idf"),
+            F.round(F.col("tf") * F.col("idf"), 6).alias("tf_idf"),
+        )
+    )

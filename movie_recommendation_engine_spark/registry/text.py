@@ -19,6 +19,44 @@ TOKEN_PAT = X.TOKEN_PATTERN
 
 
 @register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {WORDS} AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(n) AS doc_len FROM tf GROUP BY 1),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round(t.n * 1.0 / dl.doc_len, 6) AS tf,
+         round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf,
+         round((t.n * 1.0 / dl.doc_len)
+               * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tf_idf
+  FROM tf t JOIN dl USING (doc_id) JOIN dfreq USING (term), nd),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf_idf DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, idf, tf_idf
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, tf_idf DESC, term
+""",
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (SURVEY §7.2 M5's tokenize +
+    TF-IDF, smoothed sklearn-style idf) — one explode, two aggregates,
+    broadcast df table, window top-k."""
+    from ..operators.topk import top_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X.tf_idf(docs, "doc_id", "text")
+    return top_k_per_group(
+        scored, ["doc_id"], [F.col("tf_idf").desc(), F.col("term").asc()], k=3
+    ).orderBy("doc_id", F.col("tf_idf").desc(), "term")
+
+
+@register(
     "weighted_doc_sample100",
     oracle=f"""
 WITH base AS (

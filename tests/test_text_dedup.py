@@ -126,3 +126,21 @@ def test_connected_components_chain_and_clique(spark):
     assert canon[99] == (99, True)  # isolated doc is its own canonical
     assert canon[4] == (1, False)
     assert canon[1] == (1, True)
+
+
+def test_tfidf_hand_computed(spark):
+    """Two docs, hand-checked smoothed TF-IDF values."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish")], "doc_id int, text string"
+    )
+    out = {(r.doc_id, r.term): r for r in X.tf_idf(df, "doc_id", "text").collect()}
+    # idf: N=2; df(cat)=1 -> ln(3/2)+1; df(dog)=2 -> ln(3/3)+1 = 1
+    idf_cat = math.log(3 / 2) + 1
+    r = out[(1, "cat")]
+    assert abs(r.tf - round(2 / 3, 6)) < 1e-9
+    assert abs(r.idf - round(idf_cat, 6)) < 1e-6
+    assert abs(r.tf_idf - round((2 / 3) * idf_cat, 6)) < 1e-6
+    assert out[(1, "dog")].idf == 1.0 and out[(2, "dog")].idf == 1.0
+    assert abs(out[(2, "fish")].tf - 0.5) < 1e-9
