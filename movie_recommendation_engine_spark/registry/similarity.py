@@ -15,6 +15,7 @@ from ..operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
     hyperplane,
+    ivf_kmeans_topk,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -141,6 +142,18 @@ def q_ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     return ivf_topk(queries, emb, k=5, stride=29, nprobe=2).orderBy("query_id", "rank")
+
+
+@register("ann_ivf_kmeans_top5")
+def q_ann_ivf_kmeans_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with MLlib-KMeans-refined centroids (16 cells, nprobe=2)
+    for the standard query subset.  Rows-only: iterative k-means is not
+    SQL-reproducible; recall is asserted against brute force in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return ivf_kmeans_topk(queries, emb, k=5, n_cells=16, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
 
 
 @register(

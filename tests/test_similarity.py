@@ -113,3 +113,26 @@ def test_ann_recall_on_testdata(spark):
     recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.2, f"ANN recall collapsed: {recall:.3f}"
     assert len(ann_pairs) > 0
+
+
+def test_ivf_kmeans_recall_and_no_invented_neighbors(spark):
+    """K-means-refined IVF: decent recall vs exact kNN on sf0.001, and
+    every returned cosine equals the exact value (re-rank is exact)."""
+    from movie_recommendation_engine_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(emb, emb, k=19).collect()
+    }
+    exact_top5 = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb, k=5).collect()
+    }
+    got = ivf_kmeans_topk(emb, emb, k=5, n_cells=4, nprobe=2).collect()
+    assert len(got) > 0
+    hits = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(hits & exact_top5) / len(exact_top5)
+    assert recall >= 0.2, f"k-means IVF recall collapsed: {recall:.3f}"
+    for r in got:
+        assert abs(exact_all[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
