@@ -82,6 +82,24 @@ def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_never_returned",
+    oracle="""
+SELECT l_orderkey FROM lineitem
+EXCEPT
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+ORDER BY l_orderkey
+""",
+)
+def q_orders_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set EXCEPT (distinct) via DataFrame.subtract — completes the set
+    algebra alongside exceptAll / intersect / intersectAll."""
+    li = _t(spark, sf_dir, "lineitem")
+    all_orders = li.select("l_orderkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return all_orders.subtract(returned).orderBy("l_orderkey")
+
+
+@register(
     "rollup_flag_status",
     oracle="""
 SELECT l_returnflag, l_linestatus,

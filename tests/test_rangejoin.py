@@ -58,3 +58,17 @@ def test_upsert_semantics(spark):
     )
     out = {r.k: (r.name, r.v) for r in upsert(base, updates, ["k"], order_col="v").collect()}
     assert out == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d_newer", 41)}
+
+
+def test_null_safe_join_semantics(spark):
+    """eqNullSafe treats NULL keys as equal (IS NOT DISTINCT FROM);
+    a plain equi-join silently drops NULL-keyed rows — the classic
+    silent-data-loss trap in dimension joins."""
+    left = spark.createDataFrame([(1, "a"), (None, "b")], "k int, lv string")
+    right = spark.createDataFrame([(1, "x"), (None, "y")], "k int, rv string")
+    plain = left.join(right, left.k == right.k).count()
+    safe = left.join(right, left.k.eqNullSafe(right.k))
+    assert plain == 1
+    assert safe.count() == 2
+    pairs = {(r.lv, r.rv) for r in safe.collect()}
+    assert ("b", "y") in pairs
