@@ -82,6 +82,40 @@ def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_counts_outer",
+    oracle="""
+SELECT c_custkey,
+       count(o_orderkey) AS n_orders,
+       CAST(round(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(38,2))), 2) AS DOUBLE)
+         AS total_spent
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+)
+def q_customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeping zero-order customers (count(col) skips
+    the null-extended rows, so they surface as n_orders = 0) — the
+    outer-join shape no other query covers."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast("decimal(38,2)")), 2
+            )
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "orders_never_returned",
     oracle="""
 SELECT l_orderkey FROM lineitem
