@@ -133,6 +133,26 @@ def q_orders_never_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_orders.subtract(returned).orderBy("l_orderkey")
 
 
+_Q17_SQL = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice
+FROM lineitem l1
+WHERE l_extendedprice > 1.5 * (SELECT avg(l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l1.l_partkey)
+ORDER BY l_orderkey, l_partkey, l_linenumber
+"""
+
+
+@register("lineitems_above_part_avg", oracle=_Q17_SQL)
+def q_lineitems_above_part_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems priced
+    50% above their part's average.  Catalyst DECORRELATES this into a
+    per-part aggregate + join — no per-row subquery execution; the plan
+    is two scans, one agg, one equi-join regardless of row count."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q17_SQL)
+
+
 @register(
     "rollup_flag_status",
     oracle="""

@@ -154,3 +154,12 @@ def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_partkey" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema, "scan reads columns the query never uses"
+
+
+def test_correlated_subquery_decorrelates_to_join(spark):
+    """The TPC-H Q17-shaped correlated scalar subquery must plan as
+    aggregate + equi-join (Catalyst decorrelation), never per-row
+    subquery re-execution."""
+    plan = _plan(QUERIES["lineitems_above_part_avg"](spark, SF))
+    assert "Join" in plan or "HashJoin" in plan
+    assert "Subquery" not in plan, "subquery survived into the physical plan"
