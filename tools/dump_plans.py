@@ -21,6 +21,7 @@ SHOWCASE = [
     ("dedup_minhash_lsh", "MinHash LSH: signature agg + band bucket join + verify"),
     ("ann_ivf_top5", "IVF-Flat: broadcast centroids, cell equi-join, windowed top-k"),
     ("sql_interface_revenue", "same plan from the SQL entry path"),
+    ("lineitems_above_part_avg", "correlated scalar subquery decorrelated to agg+join"),
 ]
 
 
