@@ -57,6 +57,28 @@ def _ap_at_k(recs: str, truth: str, k: int) -> Column:
     )
 
 
+def _ndcg_at_k(recs: str, truth: str, k: int) -> Column:
+    """NDCG@k with binary relevance: DCG = sum of 1/log2(pos+1) over
+    hit positions in the top-k; IDCG = the same sum over the first
+    min(k, |truth|) positions (all-hits ideal).  One aggregate over a
+    position sequence — JVM-side, no explode."""
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(1, size(slice({recs}, 1, {k}))),
+          cast(0.0 as double),
+          (acc, i) -> acc + if(array_contains({truth}, element_at({recs}, i)),
+                               1.0 / log2(cast(i + 1 as double)),
+                               cast(0.0 as double))
+        ) / aggregate(
+          sequence(1, least({k}, size({truth}))),
+          cast(0.0 as double),
+          (acc, i) -> acc + 1.0 / log2(cast(i + 1 as double))
+        )
+        """
+    )
+
+
 def _ref_map(recs: str, truth: str) -> Column:
     """The reference's nonstandard mAP (als.py:10-20) as a column expr:
     per truth item found at 1-based position p in recs, add
@@ -100,10 +122,11 @@ def per_user_ranking_metrics(
         (n_hits / F.lit(k)).cast("double").alias("precision"),
         (n_hits / F.size(F.col(t))).cast("double").alias("recall"),
         (n_hits > 0).cast("double").alias("hit"),
+        _ndcg_at_k(r, t, k).alias("ndcg"),
         _ref_map(r, t).alias("ref_ap"),
     )
     if round_to is not None:
-        for c in ("ap", "precision", "recall", "ref_ap"):
+        for c in ("ap", "precision", "recall", "ndcg", "ref_ap"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
 
@@ -115,6 +138,7 @@ def summarize_ranking(per_user: DataFrame, round_to: int = 6) -> DataFrame:
         F.round(F.avg("precision"), round_to).alias("mean_precision"),
         F.round(F.avg("recall"), round_to).alias("mean_recall"),
         F.round(F.avg("hit"), round_to).alias("hit_rate"),
+        F.round(F.avg("ndcg"), round_to).alias("mean_ndcg"),
         F.round(F.avg("ref_ap"), round_to).alias("ref_map"),
         F.count("*").alias("n_users"),
     )

@@ -98,12 +98,19 @@ hits AS (
   SELECT v.l_orderkey, p.pos,
          row_number() OVER (PARTITION BY v.l_orderkey ORDER BY p.pos) AS j
   FROM val_pairs v JOIN recs_pos p ON v.l_partkey = p.item),
+idcg AS (
+  SELECT n, sum(1.0 / log2(i + 1)) AS v
+  FROM (SELECT n, unnest(generate_series(1, n)) AS i
+        FROM (SELECT DISTINCT least(100, n) AS n FROM truth_n))
+  GROUP BY n),
 per_user AS (
   SELECT t.l_orderkey,
          coalesce(sum(h.j / h.pos), 0) / least(100, t.n) AS ap,
          coalesce(count(h.pos), 0) / 100.0 AS precision,
          coalesce(count(h.pos), 0) / t.n AS recall,
          CASE WHEN count(h.pos) > 0 THEN 1.0 ELSE 0.0 END AS hit,
+         coalesce(sum(1.0 / log2(h.pos + 1)), 0)
+           / (SELECT v FROM idcg WHERE idcg.n = least(100, t.n)) AS ndcg,
          coalesce(sum((1.0 + 1.0/h.pos) / (SELECT len(items) FROM recs)), 0) / t.n AS ref_ap
   FROM truth_n t LEFT JOIN hits h USING (l_orderkey)
   GROUP BY t.l_orderkey, t.n),
@@ -112,6 +119,7 @@ summary AS (
          round(avg(precision), 6) AS mean_precision,
          round(avg(recall), 6) AS mean_recall,
          round(avg(hit), 6) AS hit_rate,
+         round(avg(ndcg), 6) AS mean_ndcg,
          round(avg(ref_ap), 6) AS ref_map,
          count(*) AS n_users
   FROM per_user),

@@ -70,3 +70,18 @@ def test_rmse(spark):
     got = rmse(df).collect()[0].rmse
     # errors 1,0,1 -> rmse = sqrt(2/3)
     assert abs(got - (2 / 3) ** 0.5) < 1e-12
+
+
+def test_ndcg_hand_computed(spark, recs_truth):
+    """User 1: hits at positions 2 and 4 of 4 recs, |truth|=2 ->
+    DCG = 1/log2(3) + 1/log2(5); IDCG = 1/log2(2) + 1/log2(3).
+    User 2: no hits -> 0.  User 3: hit at position 1, |truth|=1 -> 1."""
+    import math
+
+    recs, truth = recs_truth
+    out = {r.userId: r.ndcg for r in per_user_ranking_metrics(recs, truth, k=4).collect()}
+    dcg1 = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg1 = 1 / math.log2(2) + 1 / math.log2(3)
+    assert abs(out[1] - round(dcg1 / idcg1, 6)) < 1e-6
+    assert out[2] == 0.0
+    assert out[3] == 1.0
