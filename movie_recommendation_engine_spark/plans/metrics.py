@@ -79,6 +79,20 @@ def _ndcg_at_k(recs: str, truth: str, k: int) -> Column:
     )
 
 
+def _mrr_at_k(recs: str, truth: str, k: int) -> Column:
+    """Reciprocal rank of the FIRST hit in the top-k (0 when no hit)."""
+    return F.expr(
+        f"""
+        coalesce(
+          1.0 / array_min(filter(
+            transform(sequence(1, size(slice({recs}, 1, {k}))),
+                      i -> if(array_contains({truth}, element_at({recs}, i)), i, null)),
+            x -> x is not null)),
+          cast(0.0 as double))
+        """
+    )
+
+
 def _ref_map(recs: str, truth: str) -> Column:
     """The reference's nonstandard mAP (als.py:10-20) as a column expr:
     per truth item found at 1-based position p in recs, add
@@ -123,10 +137,11 @@ def per_user_ranking_metrics(
         (n_hits / F.size(F.col(t))).cast("double").alias("recall"),
         (n_hits > 0).cast("double").alias("hit"),
         _ndcg_at_k(r, t, k).alias("ndcg"),
+        _mrr_at_k(r, t, k).alias("rr"),
         _ref_map(r, t).alias("ref_ap"),
     )
     if round_to is not None:
-        for c in ("ap", "precision", "recall", "ndcg", "ref_ap"):
+        for c in ("ap", "precision", "recall", "ndcg", "rr", "ref_ap"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
 
@@ -139,6 +154,7 @@ def summarize_ranking(per_user: DataFrame, round_to: int = 6) -> DataFrame:
         F.round(F.avg("recall"), round_to).alias("mean_recall"),
         F.round(F.avg("hit"), round_to).alias("hit_rate"),
         F.round(F.avg("ndcg"), round_to).alias("mean_ndcg"),
+        F.round(F.avg("rr"), round_to).alias("mrr"),
         F.round(F.avg("ref_ap"), round_to).alias("ref_map"),
         F.count("*").alias("n_users"),
     )

@@ -111,6 +111,7 @@ per_user AS (
          CASE WHEN count(h.pos) > 0 THEN 1.0 ELSE 0.0 END AS hit,
          coalesce(sum(1.0 / log2(h.pos + 1)), 0)
            / (SELECT v FROM idcg WHERE idcg.n = least(100, t.n)) AS ndcg,
+         coalesce(1.0 / min(h.pos), 0) AS rr,
          coalesce(sum((1.0 + 1.0/h.pos) / (SELECT len(items) FROM recs)), 0) / t.n AS ref_ap
   FROM truth_n t LEFT JOIN hits h USING (l_orderkey)
   GROUP BY t.l_orderkey, t.n),
@@ -120,6 +121,7 @@ summary AS (
          round(avg(recall), 6) AS mean_recall,
          round(avg(hit), 6) AS hit_rate,
          round(avg(ndcg), 6) AS mean_ndcg,
+         round(avg(rr), 6) AS mrr,
          round(avg(ref_ap), 6) AS ref_map,
          count(*) AS n_users
   FROM per_user),

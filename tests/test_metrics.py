@@ -85,3 +85,11 @@ def test_ndcg_hand_computed(spark, recs_truth):
     assert abs(out[1] - round(dcg1 / idcg1, 6)) < 1e-6
     assert out[2] == 0.0
     assert out[3] == 1.0
+
+
+def test_mrr_hand_computed(spark, recs_truth):
+    """User 1: first hit at position 2 -> 0.5; user 2: no hit -> 0;
+    user 3: first hit at position 1 -> 1."""
+    recs, truth = recs_truth
+    out = {r.userId: r.rr for r in per_user_ranking_metrics(recs, truth, k=4).collect()}
+    assert out == {1: 0.5, 2: 0.0, 3: 1.0}
