@@ -16,6 +16,7 @@ from ..streaming.events import (
     sliding_value_stats,
     tumbling_counts,
 )
+from ..streaming.joins import click_attribution_stats
 from . import _t, register
 
 
@@ -116,6 +117,30 @@ def q_events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "events_click_attribution",
+    oracle="""
+SELECT v.user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT v.event_id) AS n_views,
+       count(DISTINCT c.event_id) AS n_clicks
+FROM events v
+JOIN events c
+  ON c.user_id = v.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+GROUP BY v.user_id
+ORDER BY v.user_id
+""",
+)
+def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (view -> clicks within 10 minutes by the
+    same user), rolled up per user.  The same function is a genuine
+    stream-stream join in streaming mode (tests/test_streaming.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return click_attribution_stats(ev, "10 minutes").orderBy("user_id")
 
 
 @register(

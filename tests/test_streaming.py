@@ -123,3 +123,63 @@ def test_foreach_batch_upsert_converges_to_batch(spark, events_dir):
     finally:
         shutil.rmtree(os.path.dirname(state), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def attribution_dir(spark):
+    """Views in one file, clicks in another — the stream-stream join must
+    buffer state across trigger batches to pair them."""
+    d = tempfile.mkdtemp(prefix="events_attr_")
+    views = [
+        (10, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (20, "2024-01-01 00:02:00", 2, "view", 1.0, "{}"),
+        (21, "2024-01-01 00:06:00", 2, "view", 1.0, "{}"),
+        (40, "2024-01-01 01:00:00", 4, "view", 1.0, "{}"),
+    ]
+    clicks = [
+        (11, "2024-01-01 00:05:00", 1, "click", 1.0, "{}"),  # 5m after view 10
+        (12, "2024-01-01 00:20:00", 1, "click", 1.0, "{}"),  # 20m after: out
+        (22, "2024-01-01 00:08:00", 2, "click", 1.0, "{}"),  # matches 20 and 21
+        (30, "2024-01-01 00:01:00", 3, "click", 1.0, "{}"),  # no view at all
+        (41, "2024-01-01 01:10:00", 4, "click", 1.0, "{}"),  # exactly +10m: in
+        (42, "2024-01-01 01:00:00", 4, "click", 1.0, "{}"),  # same ts: out
+    ]
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    for rows in (views, clicks):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_interval_join_batch_semantics(spark, attribution_dir):
+    """Strict lower bound, inclusive upper bound, per-key matching."""
+    from movie_recommendation_engine_spark.streaming.joins import view_click_pairs
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(attribution_dir)
+    pairs = {
+        (r.view_id, r.click_id)
+        for r in view_click_pairs(batch, "10 minutes").collect()
+    }
+    assert pairs == {(10, 11), (20, 22), (21, 22), (40, 41)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, attribution_dir):
+    from movie_recommendation_engine_spark.streaming.joins import view_click_pairs
+
+    stream = read_events_stream(spark, attribution_dir)
+    assert stream.isStreaming
+    # generous watermark: availableNow file ordering is arbitrary, so no
+    # row may be evicted before its cross-batch partner arrives
+    got = _run_stream(
+        spark, view_click_pairs(stream, "10 minutes", watermark="2 hours"),
+        "t_ssjoin", "append",
+    )
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(attribution_dir)
+    want = view_click_pairs(batch, "10 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
