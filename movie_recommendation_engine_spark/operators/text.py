@@ -171,3 +171,70 @@ def tf_idf(
             F.round(F.col("tf") * F.col("idf"), 6).alias("tf_idf"),
         )
     )
+
+
+# --- PII scrubbing -----------------------------------------------------
+# Patterns are deliberately RE2-compatible (no lookaround, no
+# backreferences) so the DuckDB oracle evaluates the very same regex;
+# at scale they run as JVM regexp_replace inside whole-stage codegen.
+PII_PATTERNS: dict[str, str] = {
+    # order matters: emails before URLs (an address inside a URL query
+    # string is redacted as mail first), phones last
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "URL": r"https?://[A-Za-z0-9./_%?=&#-]+",
+    "PHONE": r"\+[0-9][0-9 ()-]{5,}[0-9]",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of occurrences of one PII pattern (pre-redaction audit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(col: Column | str, kinds: tuple[str, ...] = ("EMAIL", "URL", "PHONE")) -> Column:
+    """Replace every email / URL / phone occurrence with a typed token
+    (``<EMAIL>`` etc.) — the standard scrub pass before text lands in a
+    training corpus.  Pure regexp_replace chain: one codegen stage, no
+    Python workers, safe to run inline over a 100 TB parquet scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind}>")
+    return c
+
+
+# --- Chunking ----------------------------------------------------------
+def chunk_tokens(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 50,
+    overlap: int = 10,
+):
+    """Split each document into overlapping token-window chunks — the
+    standard shaping step before tokenization for LLM training data.
+
+    Chunk i covers tokens ``[i*step, i*step + chunk_size)`` with
+    ``step = chunk_size - overlap``; the final chunk may be short.  The
+    whole operator is explode-over-sequence + ``F.slice`` — rows fan out
+    to ~n_tokens/step per doc with no shuffle at all (narrow explode
+    over the scan), so it scales linearly and partitions stay intact.
+
+    Returns (id_col, chunk_idx, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    toks = F.col("toks")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    chunk = F.slice(toks, F.col("start") + 1, chunk_size)
+    return (
+        df.select(F.col(id_col), words(text_col).alias("toks"))
+        .select(id_col, "toks", F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            (F.col("start") / step).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )

@@ -181,3 +181,110 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.exact_fingerprint("text").alias("fingerprint"),
         X.shingle_fingerprint("text", n=2, salt="fp").alias("min_shingle_hash"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {WORDS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 40)) AS start
+  FROM t)
+SELECT doc_id,
+       CAST(start // 40 AS INT) AS chunk_idx,
+       len(list_slice(toks, start + 1, start + 50)) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + 50), ' ')) AS chunk_md5
+FROM s
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token chunks, 10-token
+    overlap) — the pre-tokenization shaping pass of an LLM training-data
+    pipeline.  Chunk text leaves the plan as an md5 fingerprint so the
+    oracle hash stays compact."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        X.chunk_tokens(docs, "doc_id", "text", chunk_size=50, overlap=10)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "pii_redaction_audit",
+    oracle="""
+WITH contact AS (
+  SELECT c_custkey, c_mktsegment,
+         c_name || ' <user' || c_custkey || '@example.com> call +'
+                || lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0')
+                || ' or https://ex.com/u/' || c_custkey AS txt
+  FROM customer),
+redacted AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(txt, 'https?://[A-Za-z0-9./_%?=&#-]+')) AS n_url,
+         len(regexp_extract_all(txt, '\\+[0-9][0-9 ()-]{5,}[0-9]')) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[A-Za-z0-9./_%?=&#-]+', '<URL>', 'g'),
+           '\\+[0-9][0-9 ()-]{5,}[0-9]', '<PHONE>', 'g') AS clean
+  FROM contact)
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       sum(n_email) AS emails_found,
+       sum(n_url) AS urls_found,
+       sum(n_phone) AS phones_found,
+       sum(len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(clean, 'https?://[A-Za-z0-9./_%?=&#-]+'))
+         + len(regexp_extract_all(clean, '\\+[0-9][0-9 ()-]{5,}[0-9]'))) AS residual_pii,
+       sum(length(clean)) AS total_clean_len
+FROM redacted
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: synthesize a contact blurb per customer (name +
+    email + phone + URL derived deterministically from c_custkey — the
+    slim testdata has no real PII columns), count each PII kind, redact,
+    and prove the residual is zero.  Both engines evaluate the identical
+    RE2-compatible regexes."""
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    txt = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"), key, F.lit("@example.com> call +"),
+        F.lpad(((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"),
+        F.lit(" or https://ex.com/u/"), key,
+    )
+    base = cust.select(
+        "c_mktsegment",
+        txt.alias("txt"),
+        *[X.pii_count(txt, k).alias(f"n_{k.lower()}") for k in ("EMAIL", "URL", "PHONE")],
+    ).withColumn("clean", X.redact_pii("txt"))
+    residual = (
+        X.pii_count("clean", "EMAIL")
+        + X.pii_count("clean", "URL")
+        + X.pii_count("clean", "PHONE")
+    )
+    return (
+        base.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_email").alias("emails_found"),
+            F.sum("n_url").alias("urls_found"),
+            F.sum("n_phone").alias("phones_found"),
+            F.sum(residual).alias("residual_pii"),
+            F.sum(F.length("clean")).alias("total_clean_len"),
+        )
+        .orderBy("c_mktsegment")
+    )

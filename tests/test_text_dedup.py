@@ -144,3 +144,58 @@ def test_tfidf_hand_computed(spark):
     assert abs(r.tf_idf - round((2 / 3) * idf_cat, 6)) < 1e-6
     assert out[(1, "dog")].idf == 1.0 and out[(2, "dog")].idf == 1.0
     assert abs(out[(2, "fish")].tf - 0.5) < 1e-9
+
+
+def test_redact_pii_all_kinds(spark):
+    from movie_recommendation_engine_spark.operators.text import pii_count, redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.co.uk please"),
+        (2, "see https://a.b/c?q=1&r=2#frag and http://plain.org/x"),
+        (3, "call +1 (212) 555-0100 now"),
+        (4, "nothing sensitive here"),
+        (5, "combo a@b.io via https://t.co/z +44 20 7946 0958 end"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("clean"),
+            pii_count("t", "EMAIL").alias("ne"),
+            pii_count("t", "URL").alias("nu"),
+            pii_count("t", "PHONE").alias("np"),
+        ).collect()
+    }
+    assert out[1].clean == "mail me at <EMAIL> please" and out[1].ne == 1
+    assert out[2].clean == "see <URL> and <URL>" and out[2].nu == 2
+    assert out[3].clean == "call <PHONE> now" and out[3].np == 1
+    assert out[4].clean == "nothing sensitive here"
+    assert out[5].clean == "combo <EMAIL> via <URL> <PHONE> end"
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    import pytest as _pytest
+
+    from movie_recommendation_engine_spark.operators.text import chunk_tokens
+
+    words = [f"w{i}" for i in range(12)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo")], "doc_id int, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in chunk_tokens(df, "doc_id", "text", chunk_size=5, overlap=2).collect()
+    }
+    # doc 1: 12 tokens, step 3 -> starts 0,3,6,9 -> sizes 5,5,5,3
+    assert got[(1, 0)] == (5, "w0 w1 w2 w3 w4")
+    assert got[(1, 1)] == (5, "w3 w4 w5 w6 w7")
+    assert got[(1, 2)] == (5, "w6 w7 w8 w9 w10")
+    assert got[(1, 3)] == (3, "w9 w10 w11")
+    # consecutive chunks share exactly `overlap` tokens
+    assert got[(1, 0)][1].split()[-2:] == got[(1, 1)][1].split()[:2]
+    # 1-token doc -> one short chunk
+    assert got[(2, 0)] == (1, "solo")
+    assert len(got) == 5
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, "doc_id", "text", chunk_size=5, overlap=5)
