@@ -1,0 +1,119 @@
+"""Bloom-filter semi-join reduction.
+
+The pattern Spark's own runtime row-level filtering (InjectRuntimeFilter)
+applies under AQE, exposed as an explicit operator: aggregate the small
+side's join keys into a compact bit array, inject it into the plan as a
+literal, and pre-filter the large side *before* its shuffle.  At 100 TB
+the win is shuffle volume: a semi join must still exchange every probe
+row, but a bloom with ~1% false positives drops ~99% of non-matching
+rows at the scan, so only matches (plus a sliver of false positives)
+ever hit the wire.  The final exact semi join over the survivors makes
+the result identical to the plain semi join — the bloom only prunes.
+
+Build cost and driver traffic are bounded by the bitmap, not the data:
+the distributed build OR-folds bit positions into 64-bit words map-side
+and ships at most ``num_bits/64`` (word_idx, word) rows to the driver —
+32 KB for the default 2^18 bits, the same order as any broadcast-join
+build.  Hashing uses the engine's md5 family (functions.hashing), so
+membership tests are deterministic and partitioning-independent.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import md5_long
+
+
+def build_bloom(
+    small: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 18,
+    num_hashes: int = 5,
+    salt: str = "bf",
+) -> list[int]:
+    """Distributed bloom build: k bit positions per key, OR-folded into
+    64-bit words by a partial-aggregating groupBy; only populated words
+    reach the driver.  Returns the bitmap as a list of longs."""
+    pos = F.explode(
+        F.array(
+            *[
+                md5_long(key_col, salt=f"{salt}{i}") % F.lit(num_bits)
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        small.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            (F.col("pos") % 64).cast("int").alias("bit"),
+        )
+        .select("word_idx", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("bitval"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bitval)").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * ((num_bits + 63) // 64)
+    for r in words:
+        bitmap[r.word_idx] = r.word
+    return bitmap
+
+
+def bloom_might_contain(
+    bitmap: list[int],
+    key: Column | str,
+    num_hashes: int = 5,
+    salt: str = "bf",
+) -> Column:
+    """Membership-test column: true iff all k hashed bits are set.  The
+    bitmap enters the plan as an array literal (shipped to executors
+    with the serialized plan — no extra job, no Python workers)."""
+    key = F.col(key) if isinstance(key, str) else key
+    num_bits = len(bitmap) * 64
+    # explicit long cast: a small word would otherwise become an INT
+    # literal and getbit would reject bit positions >= 32
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
+    cond = None
+    for i in range(num_hashes):
+        p = md5_long(key, salt=f"{salt}{i}") % F.lit(num_bits)
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        hit = F.getbit(word, (p % 64).cast("int")) == 1
+        cond = hit if cond is None else cond & hit
+    return cond
+
+
+def bloom_semi_join(
+    large: DataFrame,
+    small: DataFrame,
+    large_key: str,
+    small_key: str,
+    num_bits: int = 1 << 18,
+    num_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Rows of ``large`` whose key appears in ``small``: a left-semi
+    join with a bloom pre-filter on the probe side.
+
+    With ``exact=True`` (default) survivors still pass a real semi join,
+    so the output is exactly the plain semi join — the bloom only cuts
+    what the shuffle has to carry.  ``exact=False`` keeps just the bloom
+    pass (false positives possible, no shuffle at all — for pipelines
+    that tolerate ``expected_fpr`` slack).
+    """
+    bitmap = build_bloom(small, small_key, num_bits, num_hashes)
+    pruned = large.filter(bloom_might_contain(bitmap, large_key, num_hashes))
+    if not exact:
+        return pruned
+    return pruned.join(
+        small.select(F.col(small_key).alias(large_key)).distinct(),
+        large_key,
+        "left_semi",
+    )
+
+
+def expected_fpr(n_keys: int, num_bits: int, num_hashes: int) -> float:
+    """Textbook bloom false-positive rate (1 - e^{-kn/m})^k."""
+    return (1.0 - math.exp(-num_hashes * n_keys / num_bits)) ** num_hashes

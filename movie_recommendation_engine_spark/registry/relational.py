@@ -369,3 +369,41 @@ def q_lineitem_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_price_quartiles"
         ),
     )
+
+
+@register(
+    "bloom_semi_join_revenue",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a bloom pre-filter on the probe side (the explicit
+    form of Spark's AQE runtime row-level filtering): lineitems of
+    urgent orders.  exact=True makes the bloom purely a shuffle
+    reducer, so the oracle is the plain EXISTS semi join."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
