@@ -89,3 +89,75 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key column over 2+ numeric columns.
+
+    Each column is min-max scaled to ``bits`` bits with a broadcast
+    one-row aggregate (no driver collect), then the bit strings are
+    interleaved: bit b of column i lands at position b*n_cols + i.  The
+    result is a single long whose ordering clusters rows that are close
+    in EVERY dimension — the multi-column generalization of the
+    single-key range clustering in :func:`write_sorted`.  Min-max
+    scaling assumes roughly uniform keys; for heavily skewed columns
+    substitute a rank (ntile) per column before calling.
+
+    Returns (df_with_bounds, key_column) — the caller attaches the key
+    and drops the bound columns after layout.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import with_scalars
+
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least two columns")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * n_cols must fit in a signed long")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__zmin_{c}"), F.max(c).alias(f"__zmax_{c}")]
+    bounded = with_scalars(df, df.agg(*aggs))
+    top = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = F.col(f"__zmin_{c}"), F.col(f"__zmax_{c}")
+        span = (hi - lo).cast("double")
+        scaled = F.when(span > 0, ((F.col(c) - lo) / span * top).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.getbit(scaled, F.lit(b)).cast("long"), b * len(cols) + i
+            )
+    return bounded, key
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: rows range-partitioned and sorted by
+    the interleaved Morton key, so row-group [min, max] zone maps are
+    narrow on EVERY z-ordered column at once.
+
+    ``write_sorted`` gives perfect skipping on its leading key and none
+    on the others; z-ordering trades a little per-column locality for
+    locality on all dimensions — the standard layout for tables queried
+    by several independent selective predicates (at 100 TB: cuts both
+    "by part" and "by supplier" scans without storing the table twice).
+    """
+    bounded, key = zorder_key(df, cols, bits)
+    out = bounded.withColumn("__zkey", key)
+    out = (
+        out.repartitionByRange(n_files, "__zkey")
+        if n_files
+        else out.repartitionByRange("__zkey")
+    )
+    out.sortWithinPartitions("__zkey").drop(
+        "__zkey", *[f"__zmin_{c}" for c in cols], *[f"__zmax_{c}" for c in cols]
+    ).write.mode(mode).parquet(path)

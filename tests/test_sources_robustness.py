@@ -105,3 +105,56 @@ def test_write_sorted_produces_skippable_row_groups(spark):
     finally:
         shutil.rmtree(os.path.dirname(d_sorted), ignore_errors=True)
         shutil.rmtree(os.path.dirname(d_plain), ignore_errors=True)
+
+
+def test_write_zorder_clusters_both_dimensions(spark):
+    """Morton-interleaved layout must give narrow row-group zone maps on
+    BOTH z-ordered columns at once (~sqrt(1/n_files) of the span each),
+    where single-key range clustering helps only its leading key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from movie_recommendation_engine_spark.sources.writers import write_parquet, write_zorder
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def avg_span_frac(d, col):
+        lo, hi = li.agg(F.min(col), F.max(col)).collect()[0]
+        spans = []
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append(st.max - st.min)
+        return sum(spans) / len(spans) / (hi - lo)
+
+    d_z = tempfile.mkdtemp(prefix="zorder_") + "/t"
+    d_plain = tempfile.mkdtemp(prefix="zplain_") + "/t"
+    try:
+        write_zorder(li, d_z, ["l_partkey", "l_suppkey"], bits=16, n_files=16)
+        write_parquet(li.repartition(16), d_plain)
+        for col in ("l_partkey", "l_suppkey"):
+            assert avg_span_frac(d_z, col) < 0.5, col
+            assert avg_span_frac(d_plain, col) > 0.9, col
+        assert spark.read.parquet(d_z).count() == li.count()
+        # schema untouched: no helper columns leak into the layout
+        assert set(spark.read.parquet(d_z).columns) == set(li.columns)
+    finally:
+        shutil.rmtree(os.path.dirname(d_z), ignore_errors=True)
+        shutil.rmtree(os.path.dirname(d_plain), ignore_errors=True)
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pytest
+
+    from movie_recommendation_engine_spark.sources.writers import zorder_key
+
+    li = spark.range(10).withColumn("a", F.col("id")).withColumn("b", F.col("id"))
+    with _pytest.raises(ValueError):
+        zorder_key(li, ["a"])
+    with _pytest.raises(ValueError):
+        zorder_key(li, ["a", "b"], bits=32)
