@@ -288,3 +288,44 @@ def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "token_freq_cms",
+    oracle=f"""
+WITH occ AS (SELECT unnest({WORDS}) AS term FROM documents),
+depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS d(i)),
+cells AS (
+  SELECT i,
+         CAST(('0x' || substr(md5(concat_ws(chr(1), 'cms' || i, term)), 1, 8)) AS BIGINT)
+           % 1024 AS b,
+         count(*) AS n
+  FROM occ CROSS JOIN depths
+  GROUP BY 1, 2),
+exact AS (SELECT term, count(*) AS exact_n FROM occ GROUP BY 1),
+est AS (
+  SELECT e.term, e.exact_n, min(c.n) AS cms_n
+  FROM exact e
+  CROSS JOIN depths d
+  JOIN cells c
+    ON c.i = d.i
+   AND c.b = CAST(('0x' || substr(md5(concat_ws(chr(1), 'cms' || d.i, e.term)), 1, 8)) AS BIGINT)
+             % 1024
+  GROUP BY 1, 2)
+SELECT term, exact_n, cms_n
+FROM est
+ORDER BY term
+""",
+)
+def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch token frequencies next to exact counts.  The md5
+    hash family makes the sketch deterministic, so DuckDB rebuilds the
+    identical counter grid — an approximate operator under a full value
+    hash, not a weaker rows-only check."""
+    from ..operators.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.words("text")).alias("term"))
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(cms_build(toks, "term"), exact.select("term"), "term")
+    return exact.join(est, "term").select("term", "exact_n", "cms_n").orderBy("term")
