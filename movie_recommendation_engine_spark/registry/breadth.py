@@ -591,3 +591,82 @@ def q_salted_agg_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_qty", 2).alias("sum_qty"),
         F.round("max_price", 2).alias("max_price"),
     ).orderBy("l_partkey")
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide-aggregate scan.  One pass,
+    partial+final hash agg on a 2-value grouping key; the shipdate
+    filter and 6-column projection reach the parquet scan (pushdown +
+    pruning), which is what makes this cheap at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "part_cooccurrence_top20",
+    oracle="""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def q_part_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order.
+    The self-join shuffles once on l_orderkey and fans out k^2/2 pairs
+    per k-line order — at 100 TB the thing to bound is basket width
+    (TPC-H orders are <= 7 lines, so the blowup is a small constant,
+    unlike e.g. session baskets which need a top-k-items-per-basket cap
+    first).  Fully deterministic top-20 via (count, part_a, part_b)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
