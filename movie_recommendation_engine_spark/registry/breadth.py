@@ -670,3 +670,58 @@ def q_part_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "dq_lineitem_audit",
+    oracle="""
+SELECT 'accepted_values(l_returnflag)' AS rule,
+       (SELECT count(*) FROM lineitem
+        WHERE l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL) AS violations
+UNION ALL
+SELECT 'in_range(l_discount,0,0.1)',
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1)
+UNION ALL
+SELECT 'in_range(l_quantity,1,10)',
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 10)
+UNION ALL
+SELECT 'not_null(l_orderkey)',
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+UNION ALL
+SELECT 'refers_to(l_orderkey)',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'satisfies(disc_price_le_base)',
+       (SELECT count(*) FROM lineitem
+        WHERE NOT coalesce(l_extendedprice * (1 - l_discount) <= l_extendedprice, FALSE))
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)',
+       (SELECT coalesce(sum(cnt - 1), 0) FROM (
+          SELECT count(*) AS cnt FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+ORDER BY rule
+""",
+)
+def q_dq_lineitem_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table contract over lineitem: five row-level rules
+    fused into one aggregate scan, plus a key-uniqueness shuffle and a
+    referential-integrity anti-join.  The range rule on quantity is
+    deliberately tight so the audit shows a nonzero violation count."""
+    from ..operators import quality as Q
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rules = [
+        Q.not_null("l_orderkey"),
+        Q.accepted_values("l_returnflag", ["A", "N", "R"]),
+        Q.in_range("l_discount", 0, 0.1),
+        Q.in_range("l_quantity", 1, 10),
+        Q.satisfies("disc_price_le_base", disc_price <= F.col("l_extendedprice")),
+        Q.is_unique("l_orderkey", "l_linenumber"),
+        Q.refers_to("l_orderkey", orders, "o_orderkey"),
+    ]
+    return Q.audit(li, rules).orderBy("rule")
