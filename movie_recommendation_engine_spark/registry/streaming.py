@@ -168,3 +168,32 @@ def q_events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_gap_filled_30m",
+    oracle="""
+WITH actual AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b, event_type,
+         count(*) AS n, round(sum(value), 2) AS sv
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM actual),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 30 MINUTE)) AS b, et.event_type
+  FROM bounds, (SELECT DISTINCT event_type FROM events) et)
+SELECT strftime(g.b, '%Y-%m-%d %H:%M:%S') AS window_start,
+       g.event_type,
+       coalesce(a.n, 0) AS n_events,
+       coalesce(a.sv, 0) AS sum_value
+FROM grid g
+LEFT JOIN actual a ON a.b = g.b AND a.event_type = g.event_type
+ORDER BY 1, 2
+""",
+)
+def q_events_gap_filled_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled dense time grid (resampling): every 30-minute bucket
+    per event type, including silent ones."""
+    from ..streaming.events import gap_filled_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_filled_counts(ev, "30 minutes").orderBy("window_start", "event_type")

@@ -126,3 +126,43 @@ def first_event_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def gap_filled_counts(events: DataFrame, window: str = "30 minutes") -> DataFrame:
+    """Dense tumbling-window counts: every (bucket, event_type) cell
+    between the first and last observed bucket, zero-filled where no
+    events landed — time-series resampling for downstream models that
+    need a gapless grid.
+
+    Batch-only (the dense grid needs global bounds).  The grid itself is
+    generated distributively: a one-row bounds aggregate is broadcast
+    onto the distinct event types (operators.relational.with_scalars
+    pattern), then ``sequence()`` explodes the timestamps — no driver
+    loop, and the grid size is #buckets x #types regardless of event
+    volume.  The join back to the actual aggregate is a broadcast of
+    whichever side is smaller.
+    """
+    from ..operators.relational import with_scalars
+
+    actual = (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_value")
+    )
+    bounds = actual.agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+    types = events.select("event_type").distinct()
+    grid = with_scalars(types, bounds).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval {window}"))
+        ).alias("bucket"),
+    )
+    return (
+        grid.join(actual, ["bucket", "event_type"], "left")
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )

@@ -183,3 +183,17 @@ def test_stream_stream_interval_join_matches_batch(spark, attribution_dir):
     batch = spark.read.schema(EVENTS_SCHEMA).parquet(attribution_dir)
     want = view_click_pairs(batch, "10 minutes")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_gap_filled_grid_is_dense_and_zeroed(spark, events_dir):
+    from movie_recommendation_engine_spark.streaming.events import gap_filled_counts
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got = gap_filled_counts(batch, "10 minutes").collect()
+    # fixture spans 00:00-00:25 -> 3 buckets x 2 types = 6 dense cells
+    assert len(got) == 6
+    zeros = [r for r in got if r.n_events == 0]
+    assert zeros and all(r.sum_value == 0.0 for r in zeros)
+    filled = {(r.window_start, r.event_type): r.n_events for r in got}
+    assert filled[("2024-01-01 00:00:00", "click")] == 1
+    assert filled[("2024-01-01 00:20:00", "click")] == 0
