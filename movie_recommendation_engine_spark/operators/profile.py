@@ -47,3 +47,35 @@ def table_profile(df: DataFrame, cols: list[str], approx: bool = False) -> DataF
         f"stack({len(cols)}, {', '.join(stack_args)}) AS "
         "(column, n, n_null, n_distinct, min_value, max_value)"
     )
+
+
+def value_histogram(df: DataFrame, col: str, n_bins: int = 20) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bin, bin_lo, bin_hi,
+    n) for every non-empty bin.
+
+    The [min, max] bounds ride in as a broadcast one-row aggregate (no
+    driver collect — the with_scalars pattern), the bin id is pure
+    column arithmetic, and the groupBy partial-aggregates map-side, so
+    the shuffle carries at most n_bins rows per task regardless of data
+    volume.  The top edge folds into the last bin (least(...)), matching
+    the usual closed-right histogram convention.
+    """
+    from .relational import with_scalars
+
+    bounds = df.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    bin_id = F.when(width > 0, F.least(
+        F.floor((F.col(col) - F.col("__lo")) / width).cast("int"), F.lit(n_bins - 1)
+    )).otherwise(F.lit(0))  # all-equal column: one bin, no 0/0
+    return (
+        with_scalars(df.select(col), bounds)
+        .select(bin_id.alias("bin"), "__lo", "__hi")
+        .groupBy("bin", "__lo", "__hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+            "n",
+        )
+    )

@@ -725,3 +725,88 @@ def q_dq_lineitem_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.refers_to("l_orderkey", orders, "o_orderkey"),
     ]
     return Q.audit(li, rules).orderBy("rule")
+
+
+@register(
+    "price_histogram_20",
+    oracle="""
+WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+binned AS (
+  SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20)) AS INT), 19) AS bin,
+         lo, hi
+  FROM lineitem, b)
+SELECT bin,
+       round(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+       round(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+       count(*) AS n
+FROM binned
+GROUP BY bin, lo, hi
+ORDER BY bin
+""",
+)
+def q_price_histogram_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of extended price — bounds via
+    broadcast one-row aggregate, bin arithmetic bit-identical across
+    engines (same IEEE double ops on both sides)."""
+    from ..operators.profile import value_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return value_histogram(li, "l_extendedprice", 20).orderBy("bin")
+
+
+@register(
+    "lineitem_metrics_unpivot",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS value FROM w
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+ORDER BY l_returnflag, metric
+""",
+)
+def q_lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt (DataFrame.unpivot) of a per-flag metric row —
+    the oracle derives the same long table with UNION ALL, so the two
+    formulations check each other."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")
+
+
+@register(
+    "top1_supplier_per_nation",
+    oracle="""
+SELECT s_nationkey,
+       arg_max(s_name, s_acctbal) AS top_supplier,
+       round(max(s_acctbal), 2) AS top_acctbal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+)
+def q_top1_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass argmax (max_by) — top-1 per group WITHOUT a window
+    sort: one partial-aggregating shuffle carries a single candidate per
+    (group, task) instead of sorting every row.  (Ties: acctbal is
+    unique per nation in this data; tie-sensitive callers should
+    max_by over a (value, tiebreak) struct.)"""
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(
+            F.max_by("s_name", "s_acctbal").alias("top_supplier"),
+            F.round(F.max("s_acctbal"), 2).alias("top_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )

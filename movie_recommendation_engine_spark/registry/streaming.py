@@ -197,3 +197,30 @@ def q_events_gap_filled_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return gap_filled_counts(ev, "30 minutes").orderBy("window_start", "event_type")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 0 AS stage, 'view' AS step, (SELECT count(*) FROM v) AS n_users
+UNION ALL SELECT 1, 'click', (SELECT count(*) FROM c)
+UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM p)
+ORDER BY stage
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: a step counts only
+    strictly after the user's earliest completion of the previous
+    step."""
+    from ..streaming.events import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"]).orderBy("stage")

@@ -166,3 +166,51 @@ def gap_filled_counts(events: DataFrame, window: str = "30 minutes") -> DataFram
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reach each step, where a
+    step only counts if it happens strictly AFTER the user's (earliest)
+    completion of the previous step.
+
+    Stage i is a join-chain: events of step i ⋈ stage i-1 on user with
+    ``ts > prev_ts``, reduced to the earliest qualifying timestamp per
+    user.  Every stage shuffles on the user key only — at 100 TB the
+    stage frames shrink monotonically (funnels only narrow), so each
+    successive join is cheaper, and the per-stage reduction is a
+    partial-aggregated min.  Returns (stage, step, n_users).
+    """
+    prev = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    frames = [
+        prev.agg(F.count("*").alias("n_users")).select(
+            F.lit(0).alias("stage"), F.lit(steps[0]).alias("step"), "n_users"
+        )
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(prev.withColumnRenamed("__t", "__prev_t"), user_col)
+            .filter(F.col(ts_col) > F.col("__prev_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        frames.append(
+            nxt.agg(F.count("*").alias("n_users")).select(
+                F.lit(i).alias("stage"), F.lit(step).alias("step"), "n_users"
+            )
+        )
+        prev = nxt
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

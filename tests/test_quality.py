@@ -51,3 +51,48 @@ def test_row_rules_fuse_into_single_aggregate(spark):
     rules = [Q.not_null("k"), Q.in_range("v", 0, 5), Q.satisfies("even", F.col("v") % 2 == 0)]
     plan = Q.audit(df, rules)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1
+
+
+def test_value_histogram_bins_and_edges(spark):
+    from movie_recommendation_engine_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    got = {r.bin: r for r in value_histogram(df, "v", 10).collect()}
+    assert len(got) == 10
+    assert all(r.n == 10 for r in got.values())
+    assert got[0].bin_lo == 0.0 and abs(got[0].bin_hi - 9.9) < 1e-9
+    # the max value folds into the last bin (closed-right)
+    assert abs(got[9].bin_hi - 99.0) < 1e-9
+
+
+def test_value_histogram_degenerate_single_value(spark):
+    from movie_recommendation_engine_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([(5.0,)] * 4, "v double")
+    [r] = value_histogram(df, "v", 10).collect()
+    assert (r.bin, r.n) == (0, 4)
+
+
+def test_funnel_requires_strict_order(spark):
+    from movie_recommendation_engine_spark.streaming.events import funnel_counts
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        # u2 clicks BEFORE viewing -> stalls at stage 0
+        (4, "2024-01-01 00:01:00", 2, "click"),
+        (5, "2024-01-01 00:02:00", 2, "view"),
+        # u3 views and clicks, purchase precedes the click -> stage 1
+        (6, "2024-01-01 00:00:00", 3, "view"),
+        (7, "2024-01-01 00:03:00", 3, "click"),
+        (8, "2024-01-01 00:01:00", 3, "purchase"),
+        # u4 never views
+        (9, "2024-01-01 00:00:00", 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.step: r.n_users for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
