@@ -163,3 +163,25 @@ def test_correlated_subquery_decorrelates_to_join(spark):
     plan = _plan(QUERIES["lineitems_above_part_avg"](spark, SF))
     assert "Join" in plan or "HashJoin" in plan
     assert "Subquery" not in plan, "subquery survived into the physical plan"
+
+
+def test_interval_join_is_equi_join_with_residual(spark):
+    """The stream-stream-capable interval join must plan as a hash-family
+    equi-join on the key with the time range as residual condition —
+    never a cartesian/nested-loop theta join."""
+    plan = _plan(QUERIES["events_click_attribution"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_bloom_prefilter_sits_on_probe_scan(spark):
+    """The bloom membership test (getbit over the literal bitmap) must be
+    a Filter in the probe side's plan, before the semi join."""
+    plan = _plan(QUERIES["bloom_semi_join_revenue"](spark, SF))
+    assert "getbit" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_stages_stay_equi_joins(spark):
+    plan = _plan(QUERIES["events_funnel"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
