@@ -810,3 +810,105 @@ def q_top1_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+_SQL_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, flag, status
+"""
+
+
+@register("grouping_sets_quantity", oracle=_SQL_GROUPING_SETS)
+def q_grouping_sets_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not expressible as one rollup/cube):
+    per-flag, per-status, and grand-total groups in a single pass, with
+    grouping() disambiguating the NULL-as-ALL rows.  Identical SQL text
+    runs on both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_GROUPING_SETS)
+
+
+@register(
+    "acctbal_peer_density",
+    oracle="""
+SELECT c_nationkey, c_custkey,
+       count(*) OVER w AS n_peers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,2))) OVER w, 2) AS DOUBLE)
+         AS peer_balance
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+ORDER BY c_nationkey, c_custkey
+""",
+)
+def q_acctbal_peer_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (not ROWS): for every customer, how many
+    same-nation customers sit within +/-500 of their balance.  RANGE
+    frames are tie-safe by construction (all value-peers join the
+    frame), so the result is deterministic without a tiebreak column."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-500, 500)
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.count("*").over(w).alias("n_peers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,2)")).over(w), 2)
+            .cast("double")
+            .alias("peer_balance"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+@register(
+    "acctbal_quartiles_per_nation",
+    oracle="""
+WITH tiled AS (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS tile
+  FROM customer)
+SELECT c_nationkey, tile,
+       count(*) AS n,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE) AS tile_balance,
+       round(min(c_acctbal), 2) AS lo,
+       round(max(c_acctbal), 2) AS hi
+FROM tiled
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_acctbal_quartiles_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quantile binning per nation (the distributed form of
+    quantile feature bucketing) — full (value, key) tiebreak makes the
+    tile assignment a total order, hence engine-independent."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_nationkey", "c_acctbal", F.ntile(4).over(w).alias("tile"))
+        .groupBy("c_nationkey", "tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("tile_balance"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("c_nationkey", "tile")
+    )
