@@ -22,6 +22,9 @@ SHOWCASE = [
     ("ann_ivf_top5", "IVF-Flat: broadcast centroids, cell equi-join, windowed top-k"),
     ("sql_interface_revenue", "same plan from the SQL entry path"),
     ("lineitems_above_part_avg", "correlated scalar subquery decorrelated to agg+join"),
+    ("bloom_semi_join_revenue", "bloom bitmap literal filters the probe scan pre-shuffle"),
+    ("events_click_attribution", "interval join: hash equi-join on key, time range residual"),
+    ("dq_lineitem_audit", "row-level quality rules fused into one scan"),
 ]
 
 
