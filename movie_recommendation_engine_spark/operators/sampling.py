@@ -144,3 +144,41 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), *key_cols)
         .limit(k)
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    key_cols: list[str],
+    per_class: int | None = None,
+    salt: str = "bal",
+) -> DataFrame:
+    """Deterministic class balancing: downsample every label class to
+    the same size — ``per_class`` rows if given, else the minority-class
+    count — the standard rebalancing pass before training on skewed
+    label distributions.
+
+    Rows are ranked within their class by content hash (uniform,
+    partitioning-independent) and the first k survive, so the selection
+    is reproducible across cluster sizes and re-runs, and exact per
+    class (a Bernoulli per-class fraction would only balance in
+    expectation).  One shuffle on the label column; the minority count
+    rides in as a broadcast one-row aggregate, never a driver collect.
+    """
+    h = uniform_hash(*key_cols, salt=salt)
+    w = Window.partitionBy(label_col)
+    ranked = df.withColumn(
+        "__rn", F.row_number().over(w.orderBy(h, *key_cols))
+    )
+    if per_class is not None:
+        out = ranked.filter(F.col("__rn") <= per_class)
+    else:
+        from .relational import with_scalars
+
+        minority = (
+            df.groupBy(label_col)
+            .agg(F.count("*").alias("__n"))
+            .agg(F.min("__n").alias("__k"))
+        )
+        out = with_scalars(ranked, minority).filter(F.col("__rn") <= F.col("__k"))
+    return out.drop("__rn", "__k")

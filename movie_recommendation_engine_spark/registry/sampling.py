@@ -113,3 +113,43 @@ def q_stratified_sample_returnflag(spark: SparkSession, sf_dir: str) -> DataFram
     li = _t(spark, sf_dir, "lineitem")
     out = stratified_sample(li, "l_returnflag", {"R": 0.1, "A": 0.5}, _KEYS)
     return out.select(*_KEYS, "l_returnflag").orderBy(*_KEYS)
+
+
+_H_BAL = duck_hash_sql("bal", "doc_id")
+
+
+@register(
+    "balanced_docs_by_lang",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_H_BAL}, doc_id) AS rn
+  FROM documents),
+k AS (SELECT min(n) AS k FROM (SELECT count(*) AS n FROM documents GROUP BY lang))
+SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
+       min(doc_id) AS id_min, max(doc_id) AS id_max
+FROM ranked, k
+WHERE rn <= k
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_balanced_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: every language downsampled to the minority
+    class size by content-hash rank — exact, deterministic, and
+    partition-independent; the id_sum/min/max fingerprint pins WHICH
+    rows survived, not just how many."""
+    from ..operators.sampling import balance_classes
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = balance_classes(docs, "lang", ["doc_id"])
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("doc_id").alias("id_min"),
+            F.max("doc_id").alias("id_max"),
+        )
+        .orderBy("lang")
+    )

@@ -75,3 +75,20 @@ def test_weighted_sample_favors_heavy_weights(spark):
     a = weighted_sample(df, k=5, weight_col="w", key_cols=["id"], salt="fixed").collect()
     b = weighted_sample(df, k=5, weight_col="w", key_cols=["id"], salt="fixed").collect()
     assert [r.id for r in a] == [r.id for r in b]
+
+
+def test_balance_classes_equalizes_and_is_deterministic(spark):
+    from movie_recommendation_engine_spark.operators.sampling import balance_classes
+
+    rows = [(i, "maj") for i in range(90)] + [(100 + i, "min") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, label string")
+    out = balance_classes(df, "label", ["id"])
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"maj": 10, "min": 10}
+    # deterministic selection: same rows across repartitionings
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in balance_classes(df.repartition(7), "label", ["id"]).collect())
+    assert ids1 == ids2
+    # explicit per_class cap
+    capped = balance_classes(df, "label", ["id"], per_class=3)
+    assert capped.count() == 6
