@@ -407,3 +407,70 @@ def q_bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "nation_activity_full_outer",
+    oracle="""
+WITH s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+           FROM supplier WHERE s_acctbal > 5000 GROUP BY 1),
+c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+      FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY 1)
+SELECT coalesce(s.nk, c.nk) AS nationkey,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(n_customers, 0) AS n_customers
+FROM s FULL OUTER JOIN c ON s.nk = c.nk
+ORDER BY nationkey
+""",
+)
+def q_nation_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered per-nation aggregates — either
+    side may be missing a nation, and both null-extensions must
+    surface.  Completes the join-type matrix (inner / left / semi /
+    anti / full / cross are all oracle-checked now)."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return (
+        sup.join(cust, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "region_priority_grid",
+    oracle="""
+SELECT r_name, p.o_orderpriority, count(*) AS n_cells
+FROM region
+CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS join: the (region x priority) dense dimension grid
+    — the pattern behind dense report scaffolds and the with_scalars
+    helper, here surfaced as a first-class operator."""
+    region = _t(spark, sf_dir, "region")
+    prio = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return (
+        region.select("r_name")
+        .crossJoin(prio)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count("*").alias("n_cells"))
+        .orderBy("r_name", "o_orderpriority")
+    )
