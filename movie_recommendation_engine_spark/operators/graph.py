@@ -31,15 +31,29 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_every: int = 5,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; ``component`` is the
     smallest node id reachable from ``id`` (undirected).
+
+    Adaptive execution, same spirit as AQE's broadcast decision: the
+    edge list is materialized (it is consumed every round anyway) and
+    counted; below ``small_graph_threshold`` edges the component
+    labeling runs as a driver-side union-find — one job end-to-end
+    instead of 2-4 propagation rounds that each pay a full
+    join+agg+action of scheduling overhead (measured ~3 s/round on a
+    500-edge graph at local[32]).  Near-dup pair graphs are usually
+    this shape: the corpus is huge, the surviving pair graph is not.
+    Above the threshold — or with ``small_graph_threshold=0`` — the
+    distributed min-label propagation below runs unchanged.
 
     Raises RuntimeError if propagation has not converged after
     ``max_iter`` rounds (diameter larger than max_iter).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().cache()
+    if small_graph_threshold and e.count() <= small_graph_threshold:
+        return _driver_union_find(edges.sparkSession, e)
     labels = (
         e.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id")).cache()
     )
@@ -67,6 +81,34 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _driver_union_find(spark, e: DataFrame) -> DataFrame:
+    """Exact union-find over a collected (small, count-verified) edge
+    list; returns the same (id, comp) frame the propagation produces."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in e.collect():
+        u, v = r.u, r.v
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the representative is the smallest id,
+            # matching the propagation's min-label semantics
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    schema = e.select(F.col("u").alias("id"), F.col("u").alias("comp")).schema
+    return spark.createDataFrame(rows, schema)
 
 
 def dedup_canonical(

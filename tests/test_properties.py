@@ -104,5 +104,8 @@ def test_connected_components_matches_union_find(spark_global, edges):
     want = {x: find(x) for x in parent}
 
     df = spark.createDataFrame(edges, "id_a int, id_b int")
-    got = {r.id: r.comp for r in connected_components(df).collect()}
+    # threshold 0 forces the distributed propagation path — the point of
+    # this property is propagation vs union-find, not the small-graph
+    # shortcut (which IS a union-find)
+    got = {r.id: r.comp for r in connected_components(df, small_graph_threshold=0).collect()}
     assert got == want

@@ -118,7 +118,7 @@ def test_connected_components_chain_and_clique(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
         "id_a int, id_b int",
     )
-    comps = {r.id: r.comp for r in connected_components(edges).collect()}
+    comps = {r.id: r.comp for r in connected_components(edges, small_graph_threshold=0).collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
     all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id int")
@@ -199,3 +199,16 @@ def test_chunk_tokens_windows_and_tail(spark):
     assert len(got) == 5
     with _pytest.raises(ValueError):
         chunk_tokens(df, "doc_id", "text", chunk_size=5, overlap=5)
+
+
+def test_small_graph_shortcut_matches_propagation(spark):
+    from movie_recommendation_engine_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (5, 4)], "id_a int, id_b int"
+    )
+    fast = {r.id: r.comp for r in connected_components(edges).collect()}
+    slow = {r.id: r.comp
+            for r in connected_components(edges, small_graph_threshold=0).collect()}
+    assert fast == slow
+    assert fast[3] == 1 and fast[11] == 10 and fast[20] == 20 and fast[4] == 4
