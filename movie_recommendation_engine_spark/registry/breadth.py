@@ -912,3 +912,81 @@ def q_acctbal_quartiles_per_nation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("c_nationkey", "tile")
     )
+
+
+@register(
+    "quantity_dispersion_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 6) AS med_qty,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept_price_on_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_quantity_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family — interpolating median, sample
+    stddev/variance, Pearson correlation, covariance, and OLS
+    slope/intercept — all JVM-native partial-aggregating built-ins
+    with identical textbook definitions on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median(q), 6).alias("med_qty"),
+            F.round(F.stddev_samp(q), 6).alias("sd_qty"),
+            F.round(F.var_samp(q), 6).alias("var_qty"),
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 6).alias("cov_qty_price"),
+            F.round(F.regr_slope(p, q), 6).alias("slope_price_on_qty"),
+            F.round(F.regr_intercept(p, q), 6).alias("icept_price_on_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+WITH norms AS (
+  SELECT vec_id, label,
+         sqrt((SELECT sum(x * x) FROM unnest(CAST(embedding AS DOUBLE[])) AS t(x)))
+           AS l2
+  FROM embeddings)
+SELECT label,
+       count(*) AS n,
+       round(avg(l2), 6) AS avg_norm,
+       round(min(l2), 6) AS min_norm,
+       round(max(l2), 6) AS max_norm
+FROM norms
+GROUP BY label
+ORDER BY label
+""",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding column — the sanity
+    pass before any cosine-based pipeline (un-normalized vectors break
+    dot-product shortcuts).  Vectors are cast float->double BEFORE the
+    arithmetic so per-term squares match the oracle bit-for-bit."""
+    from ..functions.arrays import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec_d = F.transform("embedding", lambda x: x.cast("double"))
+    norms = emb.select("label", l2_norm(vec_d).alias("l2"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l2"), 6).alias("avg_norm"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
