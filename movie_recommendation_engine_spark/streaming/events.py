@@ -214,3 +214,22 @@ def funnel_counts(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup with PROVABLY bounded state:
+    ``dropDuplicatesWithinWatermark`` evicts a key's state as soon as
+    the watermark passes its event time, so the state store holds only
+    the trailing watermark window of keys — the contract plain
+    ``dropDuplicates`` (state forever, per key) cannot give.  Use this
+    form when duplicates are bursty (retries, at-least-once sources)
+    and never separated by more than the watermark horizon.  Falls back
+    to plain dropDuplicates in batch mode, where the distinction is
+    moot."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -197,3 +197,21 @@ def test_gap_filled_grid_is_dense_and_zeroed(spark, events_dir):
     filled = {(r.window_start, r.event_type): r.n_events for r in got}
     assert filled[("2024-01-01 00:00:00", "click")] == 1
     assert filled[("2024-01-01 00:20:00", "click")] == 0
+
+
+def test_dedup_within_watermark_drops_burst_duplicates(spark, events_dir):
+    from movie_recommendation_engine_spark.streaming.events import (
+        dedup_events_within_watermark,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark, dedup_events_within_watermark(stream, "1 hour"), "t_dedup_wm", "append"
+    )
+    ids = sorted(r.event_id for r in got.select("event_id").collect())
+    assert ids == [1, 2, 3, 4]  # duplicate id-3 inside the horizon removed
+    # batch-mode fallback gives the same surviving ids
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    assert sorted(
+        r.event_id for r in dedup_events_within_watermark(batch).collect()
+    ) == [1, 2, 3, 4]
