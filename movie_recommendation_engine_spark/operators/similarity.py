@@ -22,8 +22,16 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions.arrays import cosine_similarity
+from ..functions.arrays import cosine_similarity, dot_product, l2_norm
 from .topk import top_k_per_group
+
+
+def _cos(va: str, vb: str, na: str, nb: str, round_to: int):
+    """Cosine from a precomputed-norm pair: norms are per-vector, so
+    every scoring join attaches them BEFORE the join and divides the
+    per-pair dot by the product — cosine_similarity inline would re-run
+    both HOF norm folds for every candidate pair."""
+    return F.round(dot_product(va, vb) / (F.col(na) * F.col(nb)), round_to)
 
 
 def _dvec(col: Column | str) -> Column:
@@ -75,13 +83,19 @@ def brute_force_topk(
     side of queries x candidates, score JVM-side, then window top-k
     partitioned by query (SURVEY §2.5 pattern).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(vec_col).alias("qv"),
+    ).withColumn("qn", l2_norm("qv"))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(vec_col).alias("cv"),
+    ).withColumn("cn", l2_norm("cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity("qv", "cv"), round_to))
+        .withColumn("cosine", _cos("qv", "cv", "qn", "cn", round_to))
     )
     return top_k_per_group(
         scored,
@@ -114,16 +128,16 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         _dvec(vec_col).alias("qv"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("qn", l2_norm("qv"))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         _dvec(vec_col).alias("cv"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("cn", l2_norm("cv"))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity("qv", "cv"), round_to))
+        .withColumn("cosine", _cos("qv", "cv", "qn", "cn", round_to))
     )
     return top_k_per_group(
         scored,
@@ -217,28 +231,33 @@ def _ivf_probe(
     vec_col: str,
     round_to: int,
 ) -> DataFrame:
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv"))
+    cents_n = cents.withColumn("cent_n", l2_norm("cent_v"))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm("cv"))
     assign = top_k_per_group(
-        c.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", F.round(cosine_similarity("cv", "cent_v"), round_to)
+        c.crossJoin(F.broadcast(cents_n)).withColumn(
+            "sim", _cos("cv", "cent_v", "cn", "cent_n", round_to)
         ),
         ["neighbor_id"],
         [F.col("sim").desc(), F.col("cent_id").asc()],
         k=1,
-    ).select("neighbor_id", "cent_id", "cv")
-    q = queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
+    ).select("neighbor_id", "cent_id", "cv", "cn")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm("qv"))
     probe = top_k_per_group(
-        q.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", F.round(cosine_similarity("qv", "cent_v"), round_to)
+        q.crossJoin(F.broadcast(cents_n)).withColumn(
+            "sim", _cos("qv", "cent_v", "qn", "cent_n", round_to)
         ),
         ["query_id"],
         [F.col("sim").desc(), F.col("cent_id").asc()],
         k=nprobe,
-    ).select("query_id", "qv", "cent_id")
+    ).select("query_id", "qv", "qn", "cent_id")
     scored = (
         probe.join(assign, "cent_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity("qv", "cv"), round_to))
+        .withColumn("cosine", _cos("qv", "cv", "qn", "cn", round_to))
     )
     return top_k_per_group(
         scored,
@@ -266,12 +285,16 @@ def embedding_neardup_pairs(
         _dvec(vec_col).alias("v"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    a = sig.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    ).withColumn("na", l2_norm("va"))
+    b = sig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    ).withColumn("nb", l2_norm("vb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity("va", "vb"), round_to))
+        .withColumn("cosine", _cos("va", "vb", "na", "nb", round_to))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
