@@ -132,3 +132,45 @@ def frame_sample(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, bin_col).mapInPandas(sample, schema)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    meta_col: str = "meta",
+    target_w: int = 64,
+    target_h: int = 64,
+) -> DataFrame:
+    """Deterministic fake resize: truncates/pads the blob to
+    ``target_w * target_h`` bytes and rewrites the metadata struct to
+    the new dimensions (real impl: PIL/libvips resize in the same
+    mapInPandas shape — the schema contract, metadata rewrite, and
+    Arrow batch flow are the real plumbing under test).  Output keeps
+    (id, resized binary, updated meta)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(bin_col, T.BinaryType(), False),
+            T.StructField(meta_col, MEDIA_META_SCHEMA, True),
+        ]
+    )
+    target = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                bytes(b[:target]).ljust(target, b"\0") for b in pdf[bin_col]
+            ]
+            metas = [
+                {
+                    "mime": (m or {}).get("mime"),
+                    "width": target_w,
+                    "height": target_h,
+                    "duration_ms": (m or {}).get("duration_ms"),
+                }
+                for m in pdf[meta_col]
+            ]
+            yield pd.DataFrame({"id": pdf[id_col], bin_col: blobs, meta_col: metas})
+
+    return df.select(id_col, bin_col, meta_col).mapInPandas(resize, schema)

@@ -45,3 +45,26 @@ def test_frame_sample_covers_blob(spark, media):
 def test_decode_is_explicit_stub(spark, media):
     with pytest.raises(NotImplementedError):
         decode_media(media)
+
+
+def test_resize_rewrites_blob_and_meta(spark, media):
+    from movie_recommendation_engine_spark.operators.multimodal import (
+        resize_media,
+        with_media_meta,
+    )
+
+    df = with_media_meta(media, "media", mime="image/fake")
+    out = {
+        r.id: r
+        for r in resize_media(
+            df, "id", "media", meta_col="media_meta", target_w=4, target_h=3
+        ).collect()
+    }
+    assert all(len(r.media) == 12 for r in out.values())
+    assert all((r.media_meta.width, r.media_meta.height) == (4, 3) for r in out.values())
+    assert all(r.media_meta.mime == "image/fake" for r in out.values())
+    # truncation is a prefix; short blobs are zero-padded
+    src = {r.id: bytes(r.media) for r in media.collect()}
+    for i, r in out.items():
+        want = src[i][:12].ljust(12, b"\0")
+        assert bytes(r.media) == want
