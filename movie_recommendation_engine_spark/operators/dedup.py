@@ -373,3 +373,33 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def cross_split_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Eval documents that share ANY word n-gram with ANY train
+    document — the decontamination check run before holding out an
+    evaluation set (a contaminated eval doc inflates measured quality).
+
+    With n >= 5 on natural text a shared shingle almost surely means a
+    copied span, so "any overlap" is the right sensitivity.  Exact
+    string keys (no hashing): this is a pure semi join — one shuffle on
+    the shingle — and a false positive would wrongly discard an eval
+    doc.  At 100 TB put a bloom of the train shingle set in front
+    (operators.bloom) to cut the eval-side shuffle; semantics unchanged.
+    Returns the distinct contaminated eval ids.
+    """
+    tg = (
+        _shingled(train, id_col, text_col, n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    eg = _shingled(eval_df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("g")
+    )
+    return eg.join(tg, "g", "left_semi").select(id_col).distinct()

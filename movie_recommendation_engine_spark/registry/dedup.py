@@ -20,7 +20,7 @@ from ..operators.dedup import (
 )
 from ..operators.graph import dedup_canonical
 from .text import NORM, WORDS
-from . import _t, register
+from . import _t, duck_hash_sql, register
 
 # shared DuckDB fragments: distinct word-bigram shingles per doc
 SHINGLES = f"""
@@ -190,3 +190,69 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash, pairs within Hamming distance 6."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=6).orderBy("id_a", "id_b")
+
+
+_H_CONTAM = f"({duck_hash_sql('contam', 'doc_id')}) < 0.8"
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {WORDS} AS w,
+                     {_H_CONTAM} AS in_train
+              FROM documents),
+sh AS (SELECT doc_id, in_train,
+              list_distinct([array_to_string(w[i:i+4], ' ')
+                             for i in generate_series(1, greatest(len(w)-4, 1))]) AS s
+       FROM base),
+ex AS (SELECT doc_id, in_train, unnest(s) AS g FROM sh),
+contaminated AS (
+  SELECT DISTINCT e.doc_id
+  FROM ex e
+  WHERE NOT e.in_train
+    AND EXISTS (SELECT 1 FROM ex t WHERE t.in_train AND t.g = e.g)),
+n_eval AS (SELECT count(*) AS n FROM base WHERE NOT in_train)
+SELECT (SELECT n FROM n_eval) AS n_eval,
+       count(*) AS n_contaminated,
+       round(count(*) * 1.0 / (SELECT n FROM n_eval), 6) AS contamination_rate,
+       coalesce(sum(doc_id), 0) AS id_sum,
+       coalesce(min(doc_id), -1) AS id_min,
+       coalesce(max(doc_id), -1) AS id_max
+FROM contaminated
+""",
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: hash-split the corpus 80/20, then flag
+    eval docs sharing any word-5-gram with the train side (planted
+    near-dup pairs make this nonzero by construction).  The id
+    fingerprint pins exactly WHICH docs were flagged."""
+    from ..functions.hashing import uniform_hash
+    from ..operators.dedup import cross_split_contamination
+    from ..operators.relational import with_scalars
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "in_train", uniform_hash("doc_id", salt="contam") < 0.8
+    ).cache()
+    train = labeled.filter("in_train")
+    ev = labeled.filter("NOT in_train")
+    bad = cross_split_contamination(train, ev, "doc_id", "text", n=5)
+    n_eval = ev.agg(F.count("*").alias("n_eval"))
+    return with_scalars(
+        bad.agg(
+            F.count("*").alias("n_contaminated"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"),
+            F.coalesce(F.min("doc_id"), F.lit(-1)).alias("id_min"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("id_max"),
+        ),
+        n_eval,
+    ).select(
+        "n_eval",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_eval"), 6).alias(
+            "contamination_rate"
+        ),
+        "id_sum",
+        "id_min",
+        "id_max",
+    )

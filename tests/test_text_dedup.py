@@ -212,3 +212,29 @@ def test_small_graph_shortcut_matches_propagation(spark):
             for r in connected_components(edges, small_graph_threshold=0).collect()}
     assert fast == slow
     assert fast[3] == 1 and fast[11] == 10 and fast[20] == 20 and fast[4] == 4
+
+
+def test_cross_split_contamination_flags_copied_spans(spark):
+    from movie_recommendation_engine_spark.operators.dedup import (
+        cross_split_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "zzz alpha beta gamma delta epsilon yyy"),  # copied 5-gram span
+            (11, "totally fresh words nothing shared here at all"),
+            (12, "one two three four banana six seven"),  # break the 5-gram chain
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.doc_id for r in cross_split_contamination(train, ev, "doc_id", "text").collect()
+    )
+    assert got == [10]
