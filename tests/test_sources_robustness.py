@@ -158,3 +158,21 @@ def test_zorder_key_validation(spark):
         zorder_key(li, ["a"])
     with _pytest.raises(ValueError):
         zorder_key(li, ["a", "b"], bits=32)
+
+
+def test_merge_schema_reads_evolved_parquet(spark):
+    """Schema evolution: a table whose later files carry an extra column
+    must be readable with mergeSchema — old rows surface NULL for the
+    new column, and the union schema is stable."""
+    d = tempfile.mkdtemp(prefix="evolve_") + "/t"
+    try:
+        spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(d)
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, v string, score double"
+        ).write.mode("append").parquet(d)
+        got = spark.read.option("mergeSchema", "true").parquet(d)
+        assert set(got.columns) == {"id", "v", "score"}
+        rows = {r.id: r.score for r in got.collect()}
+        assert rows == {1: None, 2: 9.5}
+    finally:
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
