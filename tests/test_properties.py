@@ -109,3 +109,77 @@ def test_connected_components_matches_union_find(spark_global, edges):
     # shortcut (which IS a union-find)
     got = {r.id: r.comp for r in connected_components(df, small_graph_threshold=0).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_tokens=st.integers(1, 120),
+    chunk_size=st.integers(2, 30),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+def test_chunking_invariants(spark_global, n_tokens, chunk_size, overlap_frac):
+    """Chunks tile the document: stepped starts cover every token, each
+    chunk is at most chunk_size tokens, consecutive chunks share exactly
+    `overlap` tokens, and de-overlapped concatenation rebuilds the doc."""
+    from movie_recommendation_engine_spark.operators.text import chunk_tokens
+
+    overlap = min(int(chunk_size * overlap_frac), chunk_size - 1)
+    step = chunk_size - overlap
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark_global.createDataFrame([(1, " ".join(toks))], "doc_id int, text string")
+    got = sorted(
+        (r.chunk_idx, r.chunk_text.split(" "))
+        for r in chunk_tokens(df, "doc_id", "text", chunk_size, overlap).collect()
+    )
+    assert [i for i, _ in got] == list(range(len(got)))
+    assert all(len(c) <= chunk_size for _, c in got)
+    rebuilt = list(got[0][1])
+    for (_, prev), (_, cur) in zip(got, got[1:]):
+        shared = min(overlap, len(cur))
+        assert prev[step : step + shared] == cur[:shared]
+        rebuilt.extend(cur[shared:] if len(prev) == chunk_size else cur[len(prev) - step:])
+    assert rebuilt == toks
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+    probes=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+)
+def test_bloom_never_false_negative(spark_global, keys, probes):
+    from movie_recommendation_engine_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    spark = spark_global
+    small = spark.createDataFrame([(k,) for k in keys], "k long")
+    bm = build_bloom(small, "k", num_bits=1 << 12, num_hashes=3)
+    probe = spark.createDataFrame([(p,) for p in probes], "k long")
+    passed = {
+        r.k
+        for r in probe.filter(
+            bloom_might_contain(bm, "k", num_hashes=3)
+        ).collect()
+    }
+    assert keys & probes <= passed  # every true member survives
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    labels=st.lists(st.sampled_from(["a", "b", "c"]), min_size=3, max_size=60),
+)
+def test_balance_classes_invariants(spark_global, labels):
+    from movie_recommendation_engine_spark.operators.sampling import balance_classes
+
+    rows = [(i, lab) for i, lab in enumerate(labels)]
+    df = spark_global.createDataFrame(rows, "id long, label string")
+    from collections import Counter
+
+    counts = Counter(labels)
+    k = min(counts.values())
+    out = balance_classes(df, "label", ["id"]).collect()
+    got = Counter(r.label for r in out)
+    assert set(got) == set(counts) and all(v == k for v in got.values())
+    # selection is a subset of the input
+    assert {(r.id, r.label) for r in out} <= set(rows)
