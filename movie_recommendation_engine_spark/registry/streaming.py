@@ -224,3 +224,75 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"]).orderBy("stage")
+
+
+@register(
+    "events_time_features",
+    oracle="""
+SELECT isodow(ts) AS dow,
+       hour(ts) AS hr,
+       strftime(min(ts), '%Y-%m-%d') AS first_day,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_events_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction from event time (ISO weekday, hour,
+    day rendering) — the date-function family the reference never
+    touches (timestamps read and discarded, als.py:25-26).  Spark
+    weekday() is Mon=0, so weekday+1 == DuckDB's isodow."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@register(
+    "events_sessionized_dynamic",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS gap_s
+  FROM events),
+m AS (
+  SELECT *, max(epoch_us(ts) + gap_s * 1000000) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM g),
+s AS (SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+                     THEN 1 ELSE 0 END AS brk
+      FROM m),
+i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM i
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def q_events_sessionized_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions: error events hold the session open only 5
+    minutes, everything else 30.  The oracle re-derives the same merge
+    semantics ([ts, ts+gap) interval overlap) as a running-max
+    gaps-and-islands over exact microsecond epochs."""
+    from ..streaming.events import sessionize_dynamic
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_dynamic(ev, {"error": "5 minutes"}, "30 minutes").orderBy(
+        "user_id", "session_start"
+    )

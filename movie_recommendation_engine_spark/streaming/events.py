@@ -233,3 +233,34 @@ def dedup_events_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def sessionize_dynamic(
+    events: DataFrame,
+    gaps_by_type: dict[str, str] | None = None,
+    default_gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-user sessions whose inactivity gap depends on the EVENT: each
+    event holds its session open for its own type's horizon (e.g. an
+    error closes a session fast, a purchase keeps it alive).  This is
+    ``session_window`` with a gap *expression* — the state-store
+    semantics (merge overlapping [ts, ts+gap) intervals) are identical
+    in batch and streaming."""
+    gaps_by_type = gaps_by_type or {"error": "5 minutes"}
+    gap = None
+    for etype, g in gaps_by_type.items():
+        cond = F.when(F.col("event_type") == etype, F.lit(g))
+        gap = cond if gap is None else gap.when(F.col("event_type") == etype, F.lit(g))
+    gap = gap.otherwise(F.lit(default_gap))
+    df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
