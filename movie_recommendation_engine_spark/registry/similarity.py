@@ -178,3 +178,73 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35, n_planes=_N_PLANES, dim=_DIM).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+exact_scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv, {_COS} AS cosine
+  FROM q, e c WHERE c.vec_id <> query_id),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM exact_scored) WHERE rank <= 5),
+sig AS (SELECT vec_id, v, {_planes_sql('v')} AS bucket FROM e),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id % 97 = 0),
+ann_scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv, {_COS} AS cosine
+  FROM qb JOIN sig c USING (bucket) WHERE c.vec_id <> query_id),
+ann_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ann_scored) WHERE rank <= 5),
+per_query AS (
+  SELECT e.query_id,
+         count(*) AS k_exact,
+         count(a.neighbor_id) AS k_hit
+  FROM exact_top e
+  LEFT JOIN ann_top a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id)
+SELECT count(*) AS n_queries,
+       round(avg(k_hit * 1.0 / k_exact), 6) AS recall_at_5,
+       min(k_hit) AS worst_hits
+FROM per_query
+""",
+)
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN quality: recall@5 of the LSH path against the
+    exact brute-force top-5 over the same query subset — the
+    recall/cost dial made measurable as a query (both algorithms replay
+    in the oracle, so even the quality NUMBER is hash-checked)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    ann = lsh_bucketed_topk(queries, emb, k=5, n_planes=_N_PLANES, dim=_DIM).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    per_query = (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_neighbor_id),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.count("ann_neighbor_id").alias("k_hit"),
+        )
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg(F.col("k_hit") / F.col("k_exact")), 6).alias("recall_at_5"),
+        F.min("k_hit").alias("worst_hits"),
+    )
