@@ -990,3 +990,55 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS seq,
+       coalesce(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), 0)
+         AS days_since_prev,
+       coalesce(date_diff('day', o_orderdate, lead(o_orderdate) OVER w), -1)
+         AS days_to_next,
+       strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_order,
+       strftime(last_value(o_orderdate) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                '%Y-%m-%d') AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, seq
+""",
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-history windows: lead/lag day gaps plus first_value /
+    last_value (the latter over an explicitly unbounded frame — the
+    default frame ends at CURRENT ROW, a classic silent-wrong-answer).
+    Dates are midnight-aligned timestamps, so datediff is exact."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("seq"),
+            F.coalesce(
+                F.datediff("o_orderdate", F.lag("o_orderdate").over(w)), F.lit(0)
+            ).alias("days_since_prev"),
+            F.coalesce(
+                F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")),
+                F.lit(-1),
+            ).alias("days_to_next"),
+            F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias(
+                "first_order"
+            ),
+            F.date_format(F.last("o_orderdate").over(w_full), "yyyy-MM-dd").alias(
+                "last_order"
+            ),
+        )
+        .orderBy("o_custkey", "seq")
+    )
