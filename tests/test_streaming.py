@@ -215,3 +215,24 @@ def test_dedup_within_watermark_drops_burst_duplicates(spark, events_dir):
     assert sorted(
         r.event_id for r in dedup_events_within_watermark(batch).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_gap_filled_empty_input_yields_empty_grid(spark):
+    from movie_recommendation_engine_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        gap_filled_counts,
+    )
+
+    empty = spark.createDataFrame([], EVENTS_SCHEMA)
+    assert gap_filled_counts(empty, "10 minutes").count() == 0
+
+
+def test_funnel_zero_rows_per_stage_when_first_step_absent(spark):
+    from movie_recommendation_engine_spark.streaming.events import funnel_counts
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.step: r.n_users for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert got == {"view": 0, "click": 0}
