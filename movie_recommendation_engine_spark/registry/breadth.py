@@ -1042,3 +1042,24 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "seq")
     )
+
+
+_SQL_LATERAL_TOP_ORDER = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS top_price
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+ORDER BY c.c_custkey
+"""
+
+
+@register("top_order_per_customer_lateral", oracle=_SQL_LATERAL_TOP_ORDER)
+def q_top_order_per_customer_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — the
+    dependent-join form of per-group top-1.  The identical SQL text
+    runs on both engines; Catalyst decorrelates it to a window/join
+    plan rather than a nested loop."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_LATERAL_TOP_ORDER)
