@@ -1063,3 +1063,47 @@ def q_top_order_per_customer_lateral(spark: SparkSession, sf_dir: str) -> DataFr
     for t in ("customer", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_LATERAL_TOP_ORDER)
+
+
+@register(
+    "recency_weighted_customer_value",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS anchor FROM orders),
+w AS (
+  SELECT o_custkey,
+         o_totalprice * pow(0.5, date_diff('day', o_orderdate, anchor) / 365.0)
+           AS decayed
+  FROM orders, mx)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(sum(decayed), 2) AS decayed_value
+FROM w
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def q_recency_weighted_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer value: each order's price decays with a
+    1-year half-life from the corpus's newest order (anchor attached as
+    a broadcast one-row aggregate — no collect).  The recsys-standard
+    upgrade to the reference's recency-blind popularity scoring."""
+    from ..functions.weighted import exp_decay
+    from ..operators.relational import with_scalars
+
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    decayed = exp_decay(
+        F.col("o_totalprice"),
+        F.datediff(F.col("anchor"), F.col("o_orderdate")),
+        365.0,
+    )
+    return (
+        with_scalars(orders, anchor)
+        .select("o_custkey", decayed.alias("decayed"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("decayed"), 2).alias("decayed_value"),
+        )
+        .orderBy("o_custkey")
+    )
