@@ -92,3 +92,26 @@ def test_balance_classes_equalizes_and_is_deterministic(spark):
     # explicit per_class cap
     capped = balance_classes(df, "label", ["id"], per_class=3)
     assert capped.count() == 6
+
+
+def test_sampling_results_invariant_to_shuffle_partitions(spark):
+    """The content-hash determinism claim, verified end-to-end: the
+    hash-based split/sample queries must return IDENTICAL rows when the
+    cluster parallelism changes (rand(seed) would not)."""
+    from movie_recommendation_engine_spark.registry import QUERIES
+
+    names = ["split_counts", "stratified_sample_returnflag", "balanced_docs_by_lang"]
+    sf = "/root/testdata/sf0.001"
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for nparts in ("3", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for n in names:
+                results.setdefault(n, []).append(
+                    sorted(map(tuple, QUERIES[n](spark, sf).collect()))
+                )
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} changed under different parallelism"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
