@@ -161,3 +161,34 @@ def write_zorder(
     out.sortWithinPartitions("__zkey").drop(
         "__zkey", *[f"__zmin_{c}" for c in cols], *[f"__zmax_{c}" for c in cols]
     ).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    mode: str = "overwrite",
+) -> int:
+    """Compact a small-files parquet table into ~target-sized files.
+
+    The small-file problem is an operational fact of incremental
+    ingestion (every micro-batch lands a file; a year of 5-minute
+    batches is 100k files whose footers alone slow planning).  Sizing
+    from the actual on-disk bytes, the data is rewritten through
+    ``coalesce`` — a narrow dependency, no shuffle: each output file
+    concatenates whole input partitions.  Use ``repartition`` instead
+    when the table also needs re-clustering (write_sorted /
+    write_zorder already cover that).  Returns the file count written.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src).coalesce(n_files).write.mode(mode).parquet(dst)
+    return n_files

@@ -176,3 +176,25 @@ def test_merge_schema_reads_evolved_parquet(spark):
         assert rows == {1: None, 2: 9.5}
     finally:
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_compact_parquet_reduces_files_preserving_rows(spark):
+    from movie_recommendation_engine_spark.sources.writers import compact_parquet
+
+    import glob
+
+    src = tempfile.mkdtemp(prefix="frag_") + "/t"
+    dst = tempfile.mkdtemp(prefix="compact_") + "/t"
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        li.repartition(16).write.parquet(src)  # fragment: 16 small files
+        assert len(glob.glob(os.path.join(src, "*.parquet"))) == 16
+        n = compact_parquet(spark, src, dst, target_file_mb=512)
+        assert n == 1  # tiny table: everything fits one target file
+        assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 1
+        a = sorted(map(tuple, spark.read.parquet(src).collect()))
+        b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+        assert a == b
+    finally:
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+        shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
