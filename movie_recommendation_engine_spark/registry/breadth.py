@@ -1107,3 +1107,42 @@ def q_recency_weighted_customer_value(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "events_trailing_30m_avg",
+    oracle="""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_in_window,
+       round(avg(value) OVER w, 6) AS trailing_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, epoch_us(ts), event_id
+""",
+)
+def q_events_trailing_30m_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-minute moving average per user — a time-RANGE window
+    frame over exact microsecond epochs (unix_micros == DuckDB
+    epoch_us, verified by the dynamic-session oracle), so frame
+    membership is bit-identical across engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_in_window"),
+            F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+            us.alias("__us"),
+        )
+        .orderBy("user_id", "__us", "event_id")
+        .drop("__us")
+    )
