@@ -79,3 +79,16 @@ def value_histogram(df: DataFrame, col: str, n_bins: int = 20) -> DataFrame:
             "n",
         )
     )
+
+
+def partition_sizes(df: DataFrame) -> DataFrame:
+    """Physical-partition row counts: (partition_id, n_rows) — the skew
+    diagnostic.  A healthy distribution has max/median near 1; a hot
+    partition (skewed key, bad repartition) jumps out immediately.
+    Uses spark_partition_id() — one narrow pass, aggregates map-side."""
+    return (
+        df.select(F.spark_partition_id().alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("partition_id")
+    )

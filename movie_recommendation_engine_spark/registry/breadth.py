@@ -1146,3 +1146,40 @@ def q_events_trailing_30m_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "__us", "event_id")
         .drop("__us")
     )
+
+
+@register(
+    "part_name_string_features",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 3) AS prefix3,
+       reverse(p_name) AS name_rev,
+       replace(p_name, ' ', '_') AS name_snake,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       length(p_name) AS name_len,
+       levenshtein(p_name, p_type) AS dist_to_type
+FROM part
+WHERE p_partkey % 17 = 0
+ORDER BY p_partkey
+""",
+)
+def q_part_name_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function family (upper / substr / reverse /
+    replace / lpad / length / levenshtein) — identical semantics on
+    both engines, checked value-for-value."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") % 17 == 0)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 3).alias("prefix3"),
+            F.reverse("p_name").alias("name_rev"),
+            F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+            F.length("p_name").alias("name_len"),
+            F.levenshtein("p_name", "p_type").alias("dist_to_type"),
+        )
+        .orderBy("p_partkey")
+    )

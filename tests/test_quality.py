@@ -96,3 +96,15 @@ def test_funnel_requires_strict_order(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = {r.step: r.n_users for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_partition_sizes_sums_to_total_and_flags_skew(spark):
+    from movie_recommendation_engine_spark.operators.profile import partition_sizes
+
+    df = spark.range(1000).repartition(4)
+    sizes = partition_sizes(df).collect()
+    assert sum(r.n_rows for r in sizes) == 1000
+    assert len(sizes) <= 4
+    # single-partition skew is visible
+    skewed = partition_sizes(spark.range(1000).coalesce(1)).collect()
+    assert len(skewed) == 1 and skewed[0].n_rows == 1000
