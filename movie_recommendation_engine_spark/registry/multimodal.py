@@ -34,3 +34,40 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = with_media_meta(docs, mime="text/plain")
     return extract_features(docs, "doc_id", "media", dim=4).orderBy("id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS ln,
+         greatest(length(text) // 3, 1) AS step
+  FROM documents),
+f AS (
+  SELECT doc_id, fi.i AS frame_idx,
+         md5(substr(text, fi.i * step + 1, step)) AS frame_md5,
+         length(substr(text, fi.i * step + 1, step)) AS frame_len
+  FROM d, (SELECT unnest(generate_series(0, 2)) AS i) fi)
+SELECT doc_id, frame_idx, frame_len, frame_md5
+FROM f
+ORDER BY doc_id, frame_idx
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the REAL Arrow mapInPandas path, value-
+    hash-checked: the fake sampler slices the blob into 3 byte windows,
+    and because the blob is ASCII text the oracle reproduces every
+    frame's md5 with plain substr — a Python-crossing operator under
+    the full correctness gate, not a weaker rows-only check."""
+    from ..operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    frames = frame_sample(docs, "doc_id", "media", n_frames=3)
+    return frames.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        F.length("frame").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    ).orderBy("doc_id", "frame_idx")
