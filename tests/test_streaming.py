@@ -236,3 +236,18 @@ def test_funnel_zero_rows_per_stage_when_first_step_absent(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = {r.step: r.n_users for r in funnel_counts(ev, ["view", "click"]).collect()}
     assert got == {"view": 0, "click": 0}
+
+
+def test_dynamic_session_stream_matches_batch(spark, events_dir):
+    from movie_recommendation_engine_spark.streaming.events import sessionize_dynamic
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        sessionize_dynamic(stream, {"click": "5 minutes"}, "30 minutes"),
+        "t_dynsess",
+        "complete",
+    )
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = sessionize_dynamic(batch, {"click": "5 minutes"}, "30 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
