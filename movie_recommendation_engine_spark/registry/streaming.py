@@ -296,3 +296,45 @@ def q_events_sessionized_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_dynamic(ev, {"error": "5 minutes"}, "30 minutes").orderBy(
         "user_id", "session_start"
     )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type AS et, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1),
+z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (e.value - s.mu) / s.sigma AS zscore
+  FROM events e JOIN stats s ON s.et = e.event_type)
+SELECT event_type,
+       count(*) AS n,
+       sum(CASE WHEN abs(zscore) > 2.5 THEN 1 ELSE 0 END) AS n_outliers,
+       round(max(abs(zscore)), 6) AS max_abs_z
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier screening per event type: per-type mean/stddev
+    join back as a broadcast (tiny stats table), flag |z| > 2.5 — the
+    one-pass-plus-broadcast shape of distributed anomaly detection."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (
+        ev.join(F.broadcast(stats), ev.event_type == stats.et)
+        .withColumn("zscore", (F.col("value") - F.col("mu")) / F.col("sigma"))
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.abs("zscore") > 2.5, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(F.abs("zscore")), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
