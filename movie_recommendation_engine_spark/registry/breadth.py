@@ -1183,3 +1183,53 @@ def q_part_name_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS rf,
+         quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT l.l_returnflag,
+         l.l_extendedprice AS raw,
+         least(greatest(l.l_extendedprice, b.p01), b.p99) AS clipped
+  FROM lineitem l JOIN b ON b.rf = l.l_returnflag)
+SELECT l_returnflag,
+       round(avg(raw), 6) AS avg_raw,
+       round(avg(clipped), 6) AS avg_winsorized,
+       sum(CASE WHEN clipped <> raw THEN 1 ELSE 0 END) AS n_clipped
+FROM c
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping): per-group exact p01/p99
+    bounds join back as a broadcast, values clip via least/greatest —
+    the standard tail-taming pass before training on heavy-tailed
+    features.  Interpolating percentile matches quantile_cont."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        li.join(F.broadcast(bounds), li.l_returnflag == bounds.rf)
+        .select("l_returnflag", F.col("l_extendedprice").alias("raw"), clipped.alias("clipped"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("raw"), 6).alias("avg_raw"),
+            F.round(F.avg("clipped"), 6).alias("avg_winsorized"),
+            F.sum(F.when(F.col("clipped") != F.col("raw"), 1).otherwise(0)).alias(
+                "n_clipped"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
