@@ -21,6 +21,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # Stdout purity: the driver parses stdout as ONE JSON line, but the
+    # JVM (launched as a child inheriting fd 1) writes banner/log noise
+    # there.  Save the real stdout, point fd 1 at stderr BEFORE the JVM
+    # starts, and write the JSON to the saved fd at the end — so the
+    # process's stdout contains exactly the JSON line, nothing else.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     from movie_recommendation_engine_spark.registry import QUERIES
     from movie_recommendation_engine_spark.session import get_spark
 
@@ -75,18 +84,18 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     ok = {k: v for k, v in timings.items() if v >= 0}
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(sum(ok.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": round(sum(ok.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
     spark.stop()
+    os.write(real_stdout, (line + "\n").encode())
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

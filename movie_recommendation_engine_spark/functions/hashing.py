@@ -21,7 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-_SEP = ""  # unlikely-in-data separator for multi-column keys
+# Separator for multi-column keys — MUST equal the oracle SQL's chr(1).
+# Written as the escape "\x01" (not a raw control byte) so editors/diff
+# tooling can't silently strip it and break hash parity everywhere.
+_SEP = "\x01"
 _TWO_32 = float(2**32)
 
 

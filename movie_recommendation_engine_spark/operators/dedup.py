@@ -125,14 +125,18 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     max_df: int | None = None,
+    verify_hash_collisions: bool = False,
 ) -> DataFrame:
     """All document pairs (a < b) with word-n-gram Jaccard >= threshold.
 
     Inverted-index self-join; ``max_df`` (scale guard) removes shingles
     occurring in more than max_df docs from *candidate generation* —
     verification still uses full shingle sets, so max_df only affects
-    recall of pairs whose every shared shingle is ubiquitous.  For exact
-    results with a pruned index see ``prefix_filtered_jaccard_pairs``.
+    recall of pairs whose every shared shingle is ubiquitous.  Without
+    max_df the candidate count is O(sum df^2) over the shingle document
+    frequencies — on a Zipfian web-scale corpus ALWAYS set max_df (or
+    use minhash_lsh_pairs, the banded scale path).  For exact results
+    with a pruned index see ``prefix_filtered_jaccard_pairs``.
     Output: (id_a, id_b, jaccard).
     """
     sh = _shingled(df, id_col, text_col, n).cache()
@@ -143,12 +147,12 @@ def ngram_jaccard_pairs(
     # on the whole candidate phase at sf0.1.
     ex_str = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("g"))
     ex = ex_str.select("id", F.xxhash64("g").alias("g")).cache()
-    if max_df is None:
-        # exact-count path: `shared` is read straight off the groupBy, so
-        # the encoding must be collision-free — one vocab-sized aggregate
-        # proves it (cost ~ one pass over the index, nothing at small
-        # vocab, proportionate at web-scale vocab); on the astronomically
-        # rare collision fall back to exact string keys
+    if max_df is None and verify_hash_collisions:
+        # optional audit: the exact-count path reads `shared` straight
+        # off the groupBy, so the xxhash64 encoding must be collision-
+        # free over the vocab.  A collision is a ~v^2/2^65 event, so the
+        # check is OFF by default — enabling it runs a vocab-sized
+        # aggregate as an extra job the moment this builder is called.
         n_str, n_int = ex_str.agg(
             F.countDistinct("g"), F.countDistinct(F.xxhash64("g"))
         ).first()

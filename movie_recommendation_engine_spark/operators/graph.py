@@ -50,8 +50,21 @@ def connected_components(
     Raises RuntimeError if propagation has not converged after
     ``max_iter`` rounds (diameter larger than max_iter).
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().cache()
+    # Materialize the edge list ONCE before symmetrizing: the union
+    # references it in both branches, and without this the upstream
+    # pipeline that produced the pairs (e.g. the whole MinHash-LSH
+    # candidate+verify cascade) executes twice inside a single job.
+    # localCheckpoint (not cache) so lineage is truncated for the
+    # propagation rounds AND the blocks are freed by the ContextCleaner
+    # when the frame goes out of scope — no cross-query cache leak.
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    e = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if small_graph_threshold and e.count() <= small_graph_threshold:
         return _driver_union_find(edges.sparkSession, e)
     labels = (

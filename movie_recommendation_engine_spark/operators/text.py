@@ -215,9 +215,13 @@ def chunk_tokens(
     standard shaping step before tokenization for LLM training data.
 
     Chunk i covers tokens ``[i*step, i*step + chunk_size)`` with
-    ``step = chunk_size - overlap``; the final chunk may be short.  The
-    whole operator is explode-over-sequence + ``F.slice`` — rows fan out
-    to ~n_tokens/step per doc with no shuffle at all (narrow explode
+    ``step = chunk_size - overlap``; the final chunk may be short.  A
+    chunk only starts where it contributes tokens beyond the previous
+    chunk's overlap (start <= n_tokens - overlap - 1), so a tail shorter
+    than or equal to ``overlap`` never becomes a duplicate chunk wholly
+    contained in its predecessor (duplicated text in training data).
+    The whole operator is explode-over-sequence + ``F.slice`` — rows fan
+    out to ~n_tokens/step per doc with no shuffle at all (narrow explode
     over the scan), so it scales linearly and partitions stay intact.
 
     Returns (id_col, chunk_idx, n_tokens, chunk_text).
@@ -226,7 +230,9 @@ def chunk_tokens(
         raise ValueError("overlap must be smaller than chunk_size")
     step = chunk_size - overlap
     toks = F.col("toks")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - overlap - 1, F.lit(0)), F.lit(step)
+    )
     chunk = F.slice(toks, F.col("start") + 1, chunk_size)
     return (
         df.select(F.col(id_col), words(text_col).alias("toks"))

@@ -26,6 +26,70 @@ from pyspark.sql import DataFrame, functions as F
 from .metrics import rmse as rmse_agg
 
 
+def als_rank1_factors(
+    train: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    sweeps: int = 3,
+    reg_param: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact rank-1 ALS via closed-form ridge sweeps — the oracle-
+    checkable matrix factorization (MLlib ALS factors are float/
+    order-dependent and can never hash-match a SQL oracle; this can).
+
+    Rank-1 makes each half-sweep a closed-form ridge regression:
+        u_u = Σ_i r_ui·v_i / (λ·n_u + Σ_i v_i²)
+        v_i = Σ_u r_ui·u_u / (λ·n_i + Σ_u u_u²)
+    with ALS-WR count-scaled regularization (λ·n, Zhou et al. 2008),
+    v initialized to 1.0, alternating ``sweeps`` times.  Every updated
+    factor is ``round(x, 6)`` so both engines re-enter the next sweep
+    with IDENTICAL doubles — summation-order ulp noise is absorbed at
+    each sweep boundary instead of compounding across sweeps.
+
+    Physically each half-sweep is one shuffle: join ratings with the
+    ~|users|- or ~|items|-sized factor table on its key, then a grouped
+    aggregate — the same block-exchange shape MLlib's distributed ALS
+    runs, so the plan scales to ratings that don't fit one machine.
+
+    Returns (user_factors(u, f), item_factors(i, f)).
+    """
+    r = F.col(rating_col).cast("double")
+    items = train.select(F.col(item_col).alias("i")).distinct()
+    v = items.withColumn("f", F.lit(1.0))
+    u = None
+    for _ in range(sweeps):
+        # localCheckpoint per half-sweep: consumers reference u inside
+        # v's lineage AND directly, so without truncation the sweep
+        # subtrees nest exponentially in the final plan (same failure
+        # class MLlib ALS's checkpointInterval exists for)
+        u = (
+            train.join(v, train[item_col] == v["i"])
+            .groupBy(F.col(user_col).alias("u"))
+            .agg(
+                F.round(
+                    F.sum(r * F.col("f"))
+                    / (F.lit(reg_param) * F.count("*") + F.sum(F.col("f") * F.col("f"))),
+                    6,
+                ).alias("f")
+            )
+            .localCheckpoint(eager=False)
+        )
+        v = (
+            train.join(u, train[user_col] == u["u"])
+            .groupBy(F.col(item_col).alias("i"))
+            .agg(
+                F.round(
+                    F.sum(r * F.col("f"))
+                    / (F.lit(reg_param) * F.count("*") + F.sum(F.col("f") * F.col("f"))),
+                    6,
+                ).alias("f")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return u, v
+
+
 @dataclass
 class AlsRecommender:
     user_col: str = "userId"
@@ -160,6 +224,31 @@ class AlsRecommender:
         """One-row RMSE over held-out ratings (reference als.py:103)."""
         return rmse_agg(
             self.transform(test), label_col=self.rating_col, pred_col="prediction"
+        )
+
+    def transform_manual(self, df: DataFrame) -> DataFrame:
+        """The J2 model-predict join spelled out (reference als.py:93):
+        df ⋈ userFactors ⋈ itemFactors + explicit dot product — must
+        equal ``transform`` exactly (coldStartStrategy='drop' ≡ the
+        inner joins).  Exists so the transform mechanics are testable
+        independently of MLlib's physical plan."""
+        assert self.model is not None, "fit first"
+        uf = self.model.userFactors.select(
+            F.col("id").alias(self.user_col), F.col("features").alias("__uf")
+        )
+        itf = self.model.itemFactors.select(
+            F.col("id").alias(self.item_col), F.col("features").alias("__if")
+        )
+        dot = F.aggregate(
+            F.zip_with("__uf", "__if", lambda a, b: a * b),
+            F.lit(0.0).cast("float"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            df.join(uf, self.user_col)
+            .join(itf, self.item_col)
+            .withColumn("prediction", dot)
+            .drop("__uf", "__if")
         )
 
     def tune(

@@ -474,7 +474,8 @@ def q_upsert_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_quantity_quartiles",
     oracle="""
 SELECT l_returnflag,
-       [round(q, 6) for q in quantile_cont(l_quantity, [0.25, 0.5, 0.75])] AS quartiles,
+       array_to_string([round(q, 6) for q in quantile_cont(l_quantity, [0.25, 0.5, 0.75])], ',')
+         AS quartiles,
        round(avg(l_quantity), 6) AS mean_qty
 FROM lineitem
 GROUP BY l_returnflag
@@ -485,7 +486,9 @@ def q_grouped_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentile vector (SURVEY A3 extended to groups).
     Exact percentile sorts within each group — fine keyed by a
     low-cardinality column; at 100 TB with high-cardinality groups use
-    percentile_approx (Greenwald-Khanna, mergeable map-side)."""
+    percentile_approx (Greenwald-Khanna, mergeable map-side).  The
+    vector is emitted ','-joined: raw array cells crash the driver's
+    pandas canonicalizer."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -495,7 +498,9 @@ def q_grouped_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            F.transform("q", lambda x: F.round(x, 6)).alias("quartiles"),
+            F.array_join(
+                F.transform("q", lambda x: F.round(x, 6)).cast("array<string>"), ","
+            ).alias("quartiles"),
             "mean_qty",
         )
         .orderBy("l_returnflag")
@@ -530,20 +535,20 @@ def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_profile",
     oracle="""
 SELECT 'l_orderkey' AS "column", count(l_orderkey) AS n,
-       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        count(DISTINCT l_orderkey) AS n_distinct,
        CAST(min(l_orderkey) AS VARCHAR) AS min_value,
        CAST(max(l_orderkey) AS VARCHAR) AS max_value
 FROM lineitem
 UNION ALL
 SELECT 'l_quantity', count(l_quantity),
-       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT l_quantity),
        CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
 FROM lineitem
 UNION ALL
 SELECT 'l_returnflag', count(l_returnflag),
-       sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT l_returnflag),
        min(l_returnflag), max(l_returnflag)
 FROM lineitem
@@ -699,7 +704,7 @@ SELECT 'satisfies(disc_price_le_base)',
         WHERE NOT coalesce(l_extendedprice * (1 - l_discount) <= l_extendedprice, FALSE))
 UNION ALL
 SELECT 'unique(l_orderkey,l_linenumber)',
-       (SELECT coalesce(sum(cnt - 1), 0) FROM (
+       (SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) FROM (
           SELECT count(*) AS cnt FROM lineitem
           GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
 ORDER BY rule
@@ -1201,7 +1206,7 @@ c AS (
 SELECT l_returnflag,
        round(avg(raw), 6) AS avg_raw,
        round(avg(clipped), 6) AS avg_winsorized,
-       sum(CASE WHEN clipped <> raw THEN 1 ELSE 0 END) AS n_clipped
+       CAST(sum(CASE WHEN clipped <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
 FROM c
 GROUP BY l_returnflag
 ORDER BY l_returnflag

@@ -215,7 +215,7 @@ n_eval AS (SELECT count(*) AS n FROM base WHERE NOT in_train)
 SELECT (SELECT n FROM n_eval) AS n_eval,
        count(*) AS n_contaminated,
        round(count(*) * 1.0 / (SELECT n FROM n_eval), 6) AS contamination_rate,
-       coalesce(sum(doc_id), 0) AS id_sum,
+       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
        coalesce(min(doc_id), -1) AS id_min,
        coalesce(max(doc_id), -1) AS id_max
 FROM contaminated

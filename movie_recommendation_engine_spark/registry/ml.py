@@ -200,7 +200,81 @@ def q_als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("als_rmse_eval")
 def q_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALS train/test RMSE (reference als.py:103). Rows-only check."""
+    """ALS train/test RMSE (reference als.py:103). Rows-only check for
+    the MLlib model (float factors are not SQL-reproducible); the
+    hash-checked counterpart is ``als_rank1_rmse`` below."""
     labeled = _split_ratings(spark, sf_dir)
     test = labeled.filter(F.col("split") == "test")
     return _fitted_als(spark, sf_dir).evaluate_rmse(test)
+
+
+def _rank1_sweep_sql(sweeps: int, lam: float) -> str:
+    """Unrolled rank-1 ALS sweeps as DuckDB CTEs (v0 = all-ones)."""
+    parts = ["v0 AS (SELECT DISTINCT l_partkey AS i, 1.0 AS f FROM train)"]
+    for t in range(1, sweeps + 1):
+        parts.append(f"""
+u{t} AS (
+  SELECT t.l_orderkey AS u,
+         round(sum(CAST(t.l_quantity AS DOUBLE) * v.f)
+               / ({lam} * count(*) + sum(v.f * v.f)), 6) AS f
+  FROM train t JOIN v{t - 1} v ON v.i = t.l_partkey GROUP BY 1)""")
+        parts.append(f"""
+v{t} AS (
+  SELECT t.l_partkey AS i,
+         round(sum(CAST(t.l_quantity AS DOUBLE) * u.f)
+               / ({lam} * count(*) + sum(u.f * u.f)), 6) AS f
+  FROM train t JOIN u{t} u ON u.u = t.l_orderkey GROUP BY 1)""")
+    return ",".join(parts)
+
+
+_R1_SWEEPS, _R1_LAM = 3, 0.1
+
+
+@register(
+    "als_rank1_rmse",
+    oracle=f"""
+WITH labeled AS ({_SPLIT_SQL}),
+train AS (SELECT * FROM labeled WHERE split = 'train'),
+test AS (SELECT * FROM labeled WHERE split = 'test'),
+{_rank1_sweep_sql(_R1_SWEEPS, _R1_LAM)},
+pred AS (
+  SELECT CAST(te.l_quantity AS DOUBLE) AS r, u.f * v.f AS p
+  FROM test te
+  JOIN u{_R1_SWEEPS} u ON u.u = te.l_orderkey
+  JOIN v{_R1_SWEEPS} v ON v.i = te.l_partkey)
+SELECT round(sqrt(avg((r - p) * (r - p))), 6) AS rmse,
+       count(*) AS n_scored
+FROM pred
+""",
+)
+def q_als_rank1_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-factorization RMSE under the FULL value-hash gate: exact
+    rank-1 ALS (closed-form ridge sweeps, plans.recommender.
+    als_rank1_factors), predictions via the J2 factor join (inner joins
+    ≡ coldStartStrategy='drop', reference als.py:93,103).  The oracle
+    replays the identical sweeps as unrolled SQL — two engines running
+    the same alternating least squares and agreeing on every factor to
+    6 decimals."""
+    from ..plans.recommender import als_rank1_factors
+
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    test = labeled.filter(F.col("split") == "test")
+    u, v = als_rank1_factors(
+        train, "l_orderkey", "l_partkey", "l_quantity",
+        sweeps=_R1_SWEEPS, reg_param=_R1_LAM,
+    )
+    pred = (
+        test.join(u, test.l_orderkey == u.u)
+        .join(v, test.l_partkey == v.i)
+        .select(
+            F.col("l_quantity").cast("double").alias("r"),
+            (u.f * v.f).alias("p"),
+        )
+    )
+    return pred.agg(
+        F.round(F.sqrt(F.avg((F.col("r") - F.col("p")) * (F.col("r") - F.col("p")))), 6).alias(
+            "rmse"
+        ),
+        F.count("*").alias("n_scored"),
+    )

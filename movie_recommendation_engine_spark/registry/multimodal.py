@@ -20,10 +20,11 @@ from . import _t, register
     oracle="""
 SELECT doc_id AS id,
        octet_length(encode(text)) AS n_bytes,
-       [CAST(octet_length(encode(text)) AS DOUBLE),
-        CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-        CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
-        CAST(octet_length(encode(text)) % 251 AS DOUBLE)] AS features
+       array_to_string(
+         [CAST(octet_length(encode(text)) AS DOUBLE),
+          CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+          CAST(ascii(substr(text, length(text), 1)) AS DOUBLE),
+          CAST(octet_length(encode(text)) % 251 AS DOUBLE)], ',') AS features
 FROM documents
 ORDER BY doc_id
 """,
@@ -33,7 +34,14 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("media")
     )
     docs = with_media_meta(docs, mime="text/plain")
-    return extract_features(docs, "doc_id", "media", dim=4).orderBy("id")
+    feats = extract_features(docs, "doc_id", "media", dim=4)
+    # ','-join the vector for the gate: raw array cells crash the
+    # driver's pandas canonicalizer (operator output stays array<double>).
+    return feats.select(
+        "id",
+        "n_bytes",
+        F.array_join(F.col("features").cast("array<string>"), ",").alias("features"),
+    ).orderBy("id")
 
 
 @register(

@@ -216,7 +216,7 @@ def q_active_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     "order_part_lists",
     oracle="""
 SELECT l_orderkey,
-       list_sort(list(l_partkey)) AS parts,
+       array_to_string(list_sort(list(l_partkey)), ',') AS parts,
        count(*) AS n_parts
 FROM (SELECT l_orderkey, l_partkey, avg(l_quantity) AS q
       FROM lineitem GROUP BY l_orderkey, l_partkey)
@@ -226,13 +226,18 @@ ORDER BY l_orderkey
 )
 def q_order_part_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-mean then per-group sorted list — the exact shape the
-    reference uses to build per-user ground-truth label lists."""
+    reference uses to build per-user ground-truth label lists.  The
+    sorted list is emitted as a ','-joined string: the driver's pandas
+    canonicalizer cannot hash raw list cells, and the string form is
+    the order-canonical fingerprint anyway."""
     li = _t(spark, sf_dir, "lineitem")
     dedup = li.groupBy("l_orderkey", "l_partkey").agg(F.avg("l_quantity").alias("q"))
     return (
         dedup.groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_partkey")).alias("parts"),
+            F.array_join(
+                F.sort_array(F.collect_list("l_partkey")).cast("array<string>"), ","
+            ).alias("parts"),
             F.count("*").alias("n_parts"),
         )
         .orderBy("l_orderkey")
@@ -300,9 +305,10 @@ def q_part_type_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_items_in_line_order",
     oracle="""
 SELECT l_orderkey,
-       list_transform(
-         list_sort(list({'a': l_linenumber, 'b': l_partkey})),
-         x -> x.b) AS items
+       array_to_string(
+         list_transform(
+           list_sort(list({'a': l_linenumber, 'b': l_partkey})),
+           x -> x.b), ',') AS items
 FROM lineitem
 GROUP BY l_orderkey
 ORDER BY l_orderkey
@@ -310,16 +316,23 @@ ORDER BY l_orderkey
 )
 def q_order_items_in_line_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect array<struct>, sort by line number, extract one field —
-    the recommendForAllUsers output-shaping pattern."""
+    the recommendForAllUsers output-shaping pattern.  Emitted as a
+    ','-joined string so the driver's pandas canonicalizer can hash it
+    (order inside the string IS the semantic payload here)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("l_linenumber").alias("a"), F.col("l_partkey").alias("b")))
-            )
-            .getField("b")
-            .alias("items")
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("l_linenumber").alias("a"), F.col("l_partkey").alias("b"))
+                    )
+                )
+                .getField("b")
+                .cast("array<string>"),
+                ",",
+            ).alias("items")
         )
         .orderBy("l_orderkey")
     )
@@ -362,12 +375,14 @@ def q_lineitem_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check: sketch results are engine-specific by design
     (exact counterparts are oracle-checked in lineitem_global_stats)."""
     li = _t(spark, sf_dir, "lineitem")
+    quart = F.expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75))")
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.expr("percentile_approx(l_quantity, 0.5)").alias("approx_median_qty"),
-        F.expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75))").alias(
-            "approx_price_quartiles"
-        ),
+        # scalar columns, not a raw array: the driver canon can't hash lists
+        quart.getItem(0).alias("approx_price_q25"),
+        quart.getItem(1).alias("approx_price_q50"),
+        quart.getItem(2).alias("approx_price_q75"),
     )
 
 

@@ -126,7 +126,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY lang ORDER BY {_H_BAL}, doc_id) AS rn
   FROM documents),
 k AS (SELECT min(n) AS k FROM (SELECT count(*) AS n FROM documents GROUP BY lang))
-SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
+SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
        min(doc_id) AS id_min, max(doc_id) AS id_max
 FROM ranked, k
 WHERE rn <= k

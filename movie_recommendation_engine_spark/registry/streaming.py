@@ -310,7 +310,7 @@ z AS (
   FROM events e JOIN stats s ON s.et = e.event_type)
 SELECT event_type,
        count(*) AS n,
-       sum(CASE WHEN abs(zscore) > 2.5 THEN 1 ELSE 0 END) AS n_outliers,
+       CAST(sum(CASE WHEN abs(zscore) > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(max(abs(zscore)), 6) AS max_abs_z
 FROM z
 GROUP BY event_type

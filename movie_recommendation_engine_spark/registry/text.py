@@ -189,7 +189,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, {WORDS} AS toks FROM documents),
 s AS (
   SELECT doc_id, toks,
-         unnest(generate_series(0, greatest(len(toks) - 1, 0), 40)) AS start
+         unnest(generate_series(0, greatest(len(toks) - 10 - 1, 0), 40)) AS start
   FROM t)
 SELECT doc_id,
        CAST(start // 40 AS INT) AS chunk_idx,
@@ -240,13 +240,13 @@ redacted AS (
   FROM contact)
 SELECT c_mktsegment,
        count(*) AS n_rows,
-       sum(n_email) AS emails_found,
-       sum(n_url) AS urls_found,
-       sum(n_phone) AS phones_found,
-       sum(len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       CAST(sum(n_email) AS BIGINT) AS emails_found,
+       CAST(sum(n_url) AS BIGINT) AS urls_found,
+       CAST(sum(n_phone) AS BIGINT) AS phones_found,
+       CAST(sum(len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
          + len(regexp_extract_all(clean, 'https?://[A-Za-z0-9./_%?=&#-]+'))
-         + len(regexp_extract_all(clean, '\\+[0-9][0-9 ()-]{5,}[0-9]'))) AS residual_pii,
-       sum(length(clean)) AS total_clean_len
+         + len(regexp_extract_all(clean, '\\+[0-9][0-9 ()-]{5,}[0-9]'))) AS BIGINT) AS residual_pii,
+       CAST(sum(length(clean)) AS BIGINT) AS total_clean_len
 FROM redacted
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment

@@ -59,8 +59,11 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; read it as a long (legacy conf) and
-    convert to a microsecond timestamp — the same truncation DuckDB
-    applies, so oracle comparisons stay exact.
+    convert to a microsecond timestamp.  The ns->µs step MUST be integer
+    division (``ts DIV 1000``): dividing the int64 nanosecond value as a
+    double loses precision past the 53-bit mantissa (ulp ≈ 256 ns at
+    2024 epochs), landing ~12% of rows on the wrong microsecond vs
+    DuckDB's exact integer truncation.
     """
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown testdata table {table!r}; know {TESTDATA_TABLES}")
@@ -70,7 +73,7 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts / 1000 AS LONG))")
+            "ts", F.expr("timestamp_micros(ts DIV 1000)")
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 

@@ -47,7 +47,9 @@ def _update_totals(
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+    # full precision in state — rounding per micro-batch would compound
+    # across batches and drift from the batch twin; round only on emit
+    state.update((n, total))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]})
 
 

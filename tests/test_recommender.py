@@ -62,6 +62,56 @@ def test_recommend_for_user_subset(spark, ratings):
     assert got == want
 
 
+def test_transform_manual_matches_mllib(spark, ratings):
+    """J2 mechanics: the spelled-out factor-join dot product equals
+    MLlib's transform (reference als.py:93)."""
+    rec = _fit(ratings)
+    got = {
+        (r.userId, r.movieId): r.prediction
+        for r in rec.transform_manual(ratings).collect()
+    }
+    want = {
+        (r.userId, r.movieId): r.prediction for r in rec.transform(ratings).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-4, k
+
+
+def test_als_rank1_factors_closed_form(spark, ratings):
+    """Rank-1 ALS sweeps equal a numpy replay of the closed-form ridge
+    updates (round-6 at each half-sweep, ALS-WR count scaling)."""
+    from collections import defaultdict
+
+    from movie_recommendation_engine_spark.plans.recommender import als_rank1_factors
+
+    lam, sweeps = 0.1, 2
+    rows = [(r.userId, r.movieId, r.rating) for r in ratings.collect()]
+    v = defaultdict(lambda: 1.0)
+    u = {}
+    for _ in range(sweeps):
+        num, den = defaultdict(float), defaultdict(float)
+        for uu, ii, rr in rows:
+            num[uu] += rr * v[ii]
+            den[uu] += lam + v[ii] * v[ii]
+        u = {k: round(num[k] / den[k], 6) for k in num}
+        num, den = defaultdict(float), defaultdict(float)
+        for uu, ii, rr in rows:
+            num[ii] += rr * u[uu]
+            den[ii] += lam + u[uu] * u[uu]
+        v = {k: round(num[k] / den[k], 6) for k in num}
+    uf, vf = als_rank1_factors(
+        ratings, "userId", "movieId", "rating", sweeps=sweeps, reg_param=lam
+    )
+    got_u = {r.u: r.f for r in uf.collect()}
+    got_v = {r.i: r.f for r in vf.collect()}
+    assert set(got_u) == set(u) and set(got_v) == set(v)
+    for k in u:
+        assert abs(got_u[k] - u[k]) <= 1e-6, ("u", k)
+    for k in v:
+        assert abs(got_v[k] - v[k]) <= 1e-6, ("v", k)
+
+
 def test_item_neighbors_shape_and_self_exclusion(spark, ratings):
     rec = _fit(ratings)
     probe = ratings.select("movieId").distinct().limit(3)

@@ -22,28 +22,31 @@ TABLES = (
 
 
 def norm_cell(v) -> str:
-    import datetime
-    import math
+    """Render a cell the way the driver's pandas canon does: plain str()
+    on whatever dtype pandas materialized.  NO float prettifying — a
+    DuckDB HUGEINT that pandas coerces to float64 must render '17171.0'
+    and MISMATCH Spark's int64 '17171', exactly as it does at the
+    driver.  Raw list/array cells must raise, exactly as the driver's
+    sort_values does (TypeError: unhashable type)."""
+    import numpy as np
 
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".") or "0"
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise TypeError(
+            f"unhashable type: {type(v).__name__!r} — raw array column in output; "
+            "serialize it (array_join / array_to_string) on both sides"
+        )
     return str(v)
 
 
-def table_hash(rows, colnames) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+def canon_hash(pdf) -> str:
+    """Order-insensitive value hash over a pandas frame, mimicking the
+    driver: columns sorted by name, rows sorted by all columns (this is
+    where raw lists crash at the driver too), cells via str()."""
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
     h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
+    for row in pdf.itertuples(index=False):
+        h.update("|".join(norm_cell(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -64,41 +67,53 @@ def main() -> int:
     for name in names:
         try:
             sdf = qs[name](spark, SF_DIR)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"rows-only  {name}: {len(srows)} rows, cols={scols}")
+            # the driver still runs its canon on rows-only queries (a raw
+            # array column crashes it even without an oracle) — so do we.
+            try:
+                canon_hash(spdf)
+            except Exception as ex:
+                print(f"FAIL  {name}: rows-only but canon crashed: {ex}")
+                failures += 1
+                continue
+            print(f"rows-only  {name}: {len(spdf)} rows, cols={scols}")
             continue
         try:
-            res = con.execute(oracles[name])
-            drows = res.fetchall()
-            dcols = [d[0] for d in res.description]
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures += 1
             continue
-        ok_n = len(srows) == len(drows)
+        ok_n = len(spdf) == len(dpdf)
         ok_c = sorted(scols) == sorted(dcols)
-        ok_h = ok_n and ok_c and table_hash(srows, scols) == table_hash(drows, dcols)
+        try:
+            ok_h = ok_n and ok_c and canon_hash(spdf) == canon_hash(dpdf)
+            canon_err = None
+        except Exception as ex:
+            ok_h, canon_err = False, ex
         status = "OK   " if (ok_n and ok_c and ok_h) else "FAIL "
         if status.startswith("FAIL"):
             failures += 1
         print(
-            f"{status} {name}: rows {len(srows)}/{len(drows)} "
-            f"cols={'ok' if ok_c else (scols, dcols)} hash={'ok' if ok_h else 'MISMATCH'}"
+            f"{status} {name}: rows {len(spdf)}/{len(dpdf)} "
+            f"cols={'ok' if ok_c else (scols, dcols)} "
+            f"hash={'ok' if ok_h else ('CANON-CRASH: ' + str(canon_err) if canon_err else 'MISMATCH')}"
         )
-        if not ok_h and ok_n and ok_c:
-            order = sorted(range(len(scols)), key=lambda i: scols[i])
-            sset = sorted("|".join(norm_cell(r[i]) for i in order) for r in srows)
-            dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-            dset = sorted("|".join(norm_cell(r[i]) for i in dorder) for r in drows)
-            for a, b in zip(sset, dset):
-                if a != b:
-                    print(f"   spark: {a}\n   duck : {b}")
+        if not ok_h and ok_n and ok_c and canon_err is None:
+            a = spdf[sorted(scols)].sort_values(sorted(scols)).reset_index(drop=True)
+            b = dpdf[sorted(dcols)].sort_values(sorted(dcols)).reset_index(drop=True)
+            for i in range(len(a)):
+                ra = "|".join(norm_cell(v) for v in a.iloc[i])
+                rb = "|".join(norm_cell(v) for v in b.iloc[i])
+                if ra != rb:
+                    print(f"   spark: {ra}\n   duck : {rb}")
                     break
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'} ({len(names)} queries)")
     return 1 if failures else 0
