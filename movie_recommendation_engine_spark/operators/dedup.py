@@ -30,6 +30,14 @@ Scale design notes (the part that matters at 100 TB):
 - **embedding cosine**: see operators.similarity — near-dup is
   ``similar_pairs`` with a threshold.
 
+Intermediate frames consumed twice within one plan (shingle sets,
+band tables, fingerprints) are persisted with ``localCheckpoint``
+rather than ``cache()``: same MEMORY_AND_DISK materialization, but
+blocks are freed by the ContextCleaner when the query's frames go out
+of scope — a long-lived session sweeping many queries doesn't
+accumulate orphaned cache entries (cache() registrations live until
+an explicit unpersist).
+
 All hashing uses the engine's md5 construction, so every operator here
 is bit-reproducible in the DuckDB oracle.
 """
@@ -88,7 +96,7 @@ def prefix_filtered_jaccard_pairs(
     id (scales out); no global rank is materialized — the (df, token)
     pair itself is the order key.  Output: (id_a, id_b, jaccard).
     """
-    sh = _shingled(df, id_col, text_col, n).cache()
+    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=False)
     ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "g")
@@ -139,14 +147,14 @@ def ngram_jaccard_pairs(
     with a pruned index see ``prefix_filtered_jaccard_pairs``.
     Output: (id_a, id_b, jaccard).
     """
-    sh = _shingled(df, id_col, text_col, n).cache()
-    # cache the inverted index: the self-join consumes it twice.
+    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # persist the inverted index: the self-join consumes it twice.
     # The join key is xxhash64(shingle), not the shingle string: the
     # self-join materializes O(sum df^2) rows and hashing/comparing an
     # 8-byte long instead of a ~16-byte UTF8 string is a measured ~1.6x
     # on the whole candidate phase at sf0.1.
     ex_str = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("g"))
-    ex = ex_str.select("id", F.xxhash64("g").alias("g")).cache()
+    ex = ex_str.select("id", F.xxhash64("g").alias("g")).localCheckpoint(eager=False)
     if max_df is None and verify_hash_collisions:
         # optional audit: the exact-count path reads `shared` straight
         # off the groupBy, so the xxhash64 encoding must be collision-
@@ -157,7 +165,7 @@ def ngram_jaccard_pairs(
             F.countDistinct("g"), F.countDistinct(F.xxhash64("g"))
         ).first()
         if n_str != n_int:  # pragma: no cover - 2^-64-scale event
-            ex = ex_str.cache()
+            ex = ex_str.localCheckpoint(eager=False)
     if max_df is not None:
         # candidate generation only: drop ubiquitous shingles so the
         # inverted-index join stays near-linear; verification below still
@@ -256,7 +264,7 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
-    sh = _shingled(df, id_col, text_col, n).cache()
+    sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=False)
     sig = minhash_signatures(sh, id_col, n_hashes=n_hashes)
     # band key: md5 over (band index, its slice of the signature)
     bands = sig.select(
@@ -279,7 +287,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).cache()  # self-join below would recompute the signatures twice
+    ).localCheckpoint(eager=False)  # self-join below would recompute the signatures twice
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
@@ -300,27 +308,73 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprint(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, bits: int = 32, salt: str = "sh"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    bits: int = 32,
+    salt: str = "sh",
+    packed: bool = True,
 ) -> DataFrame:
     """32-bit SimHash per document: sign of the per-bit vote over shingle
-    hashes.  One explode + `bits` conditional sums; integer arithmetic
-    only, so it is bit-identical across engines."""
+    hashes.  Integer arithmetic only, so it is bit-identical across
+    engines.
+
+    ``packed=True`` (default) folds the per-bit one-counts into
+    ``bits/4`` lane-packed sums — four 16-bit counters per 64-bit
+    aggregate — instead of ``bits`` independent sums: the hash-aggregate
+    row shrinks 4x and the agg-update work per shingle drops
+    accordingly (the vote aggregates were the bulk of this operator's
+    cost in BENCH_r01).  The sign test ``votes_j > 0`` becomes
+    ``2*ones_j > n_shingles``, which is the same predicate exactly.
+    Lane budget: a document may have at most 65535 distinct shingles;
+    pass ``packed=False`` for corpora beyond that (identical output).
+    """
     ex = _shingled(df, id_col, text_col, n).select(
         F.col(id_col).alias("id"), F.explode("shingles").alias("g")
     )
     h = md5_long(F.concat_ws("\x01", F.lit(salt), F.col("g")))
-    votes = ex.groupBy("id").agg(
-        *[
-            F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-                f"b{j}"
+    if not packed:
+        votes = ex.groupBy("id").agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"b{j}")
+                for j in range(bits)
+            ]
+        )
+        fp = None
+        for j in range(bits):
+            term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+                F.lit(0).cast("long")
             )
-            for j in range(bits)
-        ]
-    )
+            fp = term if fp is None else fp + term
+        return votes.select(F.col("id").alias(id_col), fp.alias("simhash"))
+    n_lanes = 4
+    n_packs = -(-bits // n_lanes)  # ceil
+    packs = []
+    for k in range(n_packs):
+        lanes = None
+        for lane in range(n_lanes):
+            j = k * n_lanes + lane
+            if j >= bits:
+                break
+            one = F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long"))
+            term = one * F.lit(1 << (16 * lane)).cast("long")
+            lanes = term if lanes is None else lanes + term
+        packs.append(F.sum(lanes).alias(f"p{k}"))
+    votes = ex.groupBy("id").agg(F.count("*").alias("__n"), *packs)
     fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
+    for k in range(n_packs):
+        for lane in range(n_lanes):
+            j = k * n_lanes + lane
+            if j >= bits:
+                break
+            ones = F.shiftright(F.col(f"p{k}"), 16 * lane).bitwiseAND(F.lit(0xFFFF).cast("long"))
+            term = F.when(ones * 2 > F.col("__n"), F.lit(2**j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            fp = term if fp is None else fp + term
     return votes.select(F.col("id").alias(id_col), fp.alias("simhash"))
 
 
@@ -345,7 +399,7 @@ def simhash_pairs(
     (wider blocks -> fewer chance collisions per bucket).
     Output: (id_a, id_b, hamming).
     """
-    fp = simhash_fingerprint(df, id_col, text_col, n=n, bits=bits).cache()
+    fp = simhash_fingerprint(df, id_col, text_col, n=n, bits=bits).localCheckpoint(eager=False)
     n_blocks = max_hamming + 1
     width = -(-bits // n_blocks)  # ceil
     mask = (1 << width) - 1

@@ -58,6 +58,7 @@ def split_assign(
     fractions: Mapping[str, float] = None,
     split_col: str = "split",
     salt: str = "split",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Label every row train/validation/test, per-group exact fractions.
 
@@ -72,6 +73,14 @@ def split_assign(
     Splits are pairwise disjoint, exhaustive, and every group with >= 3
     rows appears in all three splits (boundaries use ceil, so tiny
     groups fill validation, then test, then train).
+
+    ``order_cols`` (default: ``key_cols``) is the rank tiebreak after
+    the content hash.  If ``key_cols`` is NOT a unique row key, pass
+    enough extra columns here to make the order total — otherwise rows
+    sharing a key tuple get an arbitrary rank order, and any payload
+    column that rides along (a rating, a quantity) lands in a
+    nondeterministic split even though the key->split mapping looks
+    stable.
     """
     fractions = dict(fractions or {"validation": 0.25, "test": 0.25, "train": 0.50})
     total = sum(fractions.values())
@@ -82,7 +91,7 @@ def split_assign(
     w = Window.partitionBy(group_col)
     ranked = (
         df.withColumn("__h", h)
-        .withColumn("__rn", F.row_number().over(w.orderBy("__h", *key_cols)))
+        .withColumn("__rn", F.row_number().over(w.orderBy("__h", *(order_cols or key_cols))))
         .withColumn("__n", F.count(F.lit(1)).over(w))
     )
     # cumulative ceil boundaries: label = first bucket whose boundary >= rn

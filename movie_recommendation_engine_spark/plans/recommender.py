@@ -42,10 +42,14 @@ def als_rank1_factors(
         u_u = Σ_i r_ui·v_i / (λ·n_u + Σ_i v_i²)
         v_i = Σ_u r_ui·u_u / (λ·n_i + Σ_u u_u²)
     with ALS-WR count-scaled regularization (λ·n, Zhou et al. 2008),
-    v initialized to 1.0, alternating ``sweeps`` times.  Every updated
-    factor is ``round(x, 6)`` so both engines re-enter the next sweep
-    with IDENTICAL doubles — summation-order ulp noise is absorbed at
-    each sweep boundary instead of compounding across sweeps.
+    v initialized to 1.0, alternating ``sweeps`` times.  Determinism is
+    engineered, not hoped for: factors are round(x, 6) doubles, and the
+    per-sweep numerator/denominator accumulate in DECIMAL — ratings and
+    6-dp factors are exact decimals, so the sums are EXACT and
+    order-independent (double sums would carry summation-order ulp
+    noise that can flip a round-6 boundary differently per run/engine).
+    Only the final division runs in double arithmetic, on identical
+    operands in both engines.
 
     Physically each half-sweep is one shuffle: join ratings with the
     ~|users|- or ~|items|-sized factor table on its key, then a grouped
@@ -54,7 +58,21 @@ def als_rank1_factors(
 
     Returns (user_factors(u, f), item_factors(i, f)).
     """
-    r = F.col(rating_col).cast("double")
+    # Decimal widths are chosen so Spark's type-combination rules never
+    # exceed precision 38 (which would silently TRUNCATE the scale and
+    # poison the factors at ~1e-6): (12,6)*(12,6) -> (25,12), sum ->
+    # (35,12), lam*(count as (10,0)) -> (18,6), and (18,6)+(35,12) ->
+    # (36,12) — every step exact.  Bounds: |rating|, |factor| < 1e6 and
+    # < 1e10 ratings per key; both hold by orders of magnitude for any
+    # realistic ratings matrix.
+    rd = F.col(rating_col).cast("decimal(12,6)")
+    fd = F.col("f").cast("decimal(12,6)")
+    lam = F.lit(reg_param).cast("decimal(7,6)")
+    ridge = F.round(
+        F.sum(rd * fd).cast("double")
+        / (lam * F.count("*").cast("decimal(10,0)") + F.sum(fd * fd)).cast("double"),
+        6,
+    ).alias("f")
     items = train.select(F.col(item_col).alias("i")).distinct()
     v = items.withColumn("f", F.lit(1.0))
     u = None
@@ -66,25 +84,13 @@ def als_rank1_factors(
         u = (
             train.join(v, train[item_col] == v["i"])
             .groupBy(F.col(user_col).alias("u"))
-            .agg(
-                F.round(
-                    F.sum(r * F.col("f"))
-                    / (F.lit(reg_param) * F.count("*") + F.sum(F.col("f") * F.col("f"))),
-                    6,
-                ).alias("f")
-            )
+            .agg(ridge)
             .localCheckpoint(eager=False)
         )
         v = (
             train.join(u, train[user_col] == u["u"])
             .groupBy(F.col(item_col).alias("i"))
-            .agg(
-                F.round(
-                    F.sum(r * F.col("f"))
-                    / (F.lit(reg_param) * F.count("*") + F.sum(F.col("f") * F.col("f"))),
-                    6,
-                ).alias("f")
-            )
+            .agg(ridge)
             .localCheckpoint(eager=False)
         )
     return u, v

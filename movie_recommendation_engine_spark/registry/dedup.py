@@ -233,7 +233,7 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     labeled = docs.withColumn(
         "in_train", uniform_hash("doc_id", salt="contam") < 0.8
-    ).cache()
+    ).localCheckpoint(eager=False)
     train = labeled.filter("in_train")
     ev = labeled.filter("NOT in_train")
     bad = cross_split_contamination(train, ev, "doc_id", "text", n=5)

@@ -21,29 +21,54 @@ from ..plans.recommender import AlsRecommender
 from . import _t, register
 from .sampling import _H_SPLIT, _KEYS
 
+# NOTE the l_quantity tiebreak: (l_orderkey, l_partkey, l_linenumber) is
+# NOT unique in the testdata (a handful of planted duplicate keys with
+# different quantities), so the rank order must include the payload
+# column to be total — otherwise which duplicate's QUANTITY lands in
+# validation vs test is engine/run-dependent and every consumer of the
+# split (ALS factors, RMSE) flakes.
 _SPLIT_SQL = f"""
   SELECT l_orderkey, l_partkey, l_quantity,
          CASE WHEN row_number() OVER (PARTITION BY l_orderkey
-                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber)
+                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber, l_quantity)
                   <= ceil(count(*) OVER (PARTITION BY l_orderkey) * 0.25) THEN 'validation'
               WHEN row_number() OVER (PARTITION BY l_orderkey
-                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber)
+                  ORDER BY {_H_SPLIT}, l_orderkey, l_partkey, l_linenumber, l_quantity)
                   <= ceil(count(*) OVER (PARTITION BY l_orderkey) * 0.50) THEN 'test'
               ELSE 'train' END AS split
   FROM lineitem
 """
 
 
+_SPLIT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _split_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    # cached: the downstream pipelines consume train/val several times
-    # each (popularity scalars, truth lists, ALS iterations) and the
-    # window-ranked lineage would otherwise re-execute per consumer
-    return (
-        split_assign(li, group_col="l_orderkey", key_cols=_KEYS)
-        .select("l_orderkey", "l_partkey", "l_quantity", "split")
-        .cache()
-    )
+    """Labeled ratings split, cached ONCE per (SparkContext, sf_dir).
+
+    Memoized: five registry queries consume this frame, and an
+    un-memoized ``.cache()`` would register five independent cached
+    copies per sweep (the round-1 cache-leak finding); the downstream
+    pipelines still need persistence because popularity scalars, truth
+    lists and ALS iterations each re-consume the window-ranked lineage.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SPLIT_CACHE:
+        li = _t(spark, sf_dir, "lineitem")
+        _SPLIT_CACHE[key] = (
+            split_assign(
+                li,
+                group_col="l_orderkey",
+                key_cols=_KEYS,
+                # total order: _KEYS alone is not unique in the testdata
+                # (duplicate keys with different quantities) — see the
+                # _SPLIT_SQL note above
+                order_cols=[*_KEYS, "l_quantity"],
+            )
+            .select("l_orderkey", "l_partkey", "l_quantity", "split")
+            .cache()
+        )
+    return _SPLIT_CACHE[key]
 
 
 # one fitted model per (SparkContext, sf_dir): the three ALS queries
@@ -209,20 +234,29 @@ def q_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rank1_sweep_sql(sweeps: int, lam: float) -> str:
-    """Unrolled rank-1 ALS sweeps as DuckDB CTEs (v0 = all-ones)."""
+    """Unrolled rank-1 ALS sweeps as DuckDB CTEs (v0 = all-ones).
+
+    Numerator/denominator accumulate in DECIMAL — ratings and round-6
+    factors are exact decimals, so the sums are exact and order-
+    independent, matching the Spark side bit-for-bit; only the final
+    division is double arithmetic (identical operands both engines)."""
+
+    def ridge(fq: str) -> str:
+        return (
+            f"round(CAST(sum(CAST(t.l_quantity AS DECIMAL(18,6)) * CAST({fq} AS DECIMAL(18,6))) AS DOUBLE)"
+            f" / CAST(CAST({lam} AS DECIMAL(18,6)) * count(*)"
+            f"        + sum(CAST({fq} AS DECIMAL(18,6)) * CAST({fq} AS DECIMAL(18,6))) AS DOUBLE), 6)"
+        )
+
     parts = ["v0 AS (SELECT DISTINCT l_partkey AS i, 1.0 AS f FROM train)"]
     for t in range(1, sweeps + 1):
         parts.append(f"""
 u{t} AS (
-  SELECT t.l_orderkey AS u,
-         round(sum(CAST(t.l_quantity AS DOUBLE) * v.f)
-               / ({lam} * count(*) + sum(v.f * v.f)), 6) AS f
+  SELECT t.l_orderkey AS u, {ridge("v.f")} AS f
   FROM train t JOIN v{t - 1} v ON v.i = t.l_partkey GROUP BY 1)""")
         parts.append(f"""
 v{t} AS (
-  SELECT t.l_partkey AS i,
-         round(sum(CAST(t.l_quantity AS DOUBLE) * u.f)
-               / ({lam} * count(*) + sum(u.f * u.f)), 6) AS f
+  SELECT t.l_partkey AS i, {ridge("u.f")} AS f
   FROM train t JOIN u{t} u ON u.u = t.l_orderkey GROUP BY 1)""")
     return ",".join(parts)
 
@@ -242,7 +276,8 @@ pred AS (
   FROM test te
   JOIN u{_R1_SWEEPS} u ON u.u = te.l_orderkey
   JOIN v{_R1_SWEEPS} v ON v.i = te.l_partkey)
-SELECT round(sqrt(avg((r - p) * (r - p))), 6) AS rmse,
+SELECT round(sqrt(CAST(sum(CAST((r - p) * (r - p) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*)), 6) AS rmse,
        count(*) AS n_scored
 FROM pred
 """,
@@ -272,9 +307,10 @@ def q_als_rank1_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u.f * v.f).alias("p"),
         )
     )
+    # exact decimal sum of squared errors: order-independent, so the
+    # round-6 rmse can't flip on summation order across runs/engines
+    se2 = ((F.col("r") - F.col("p")) * (F.col("r") - F.col("p"))).cast("decimal(38,18)")
     return pred.agg(
-        F.round(F.sqrt(F.avg((F.col("r") - F.col("p")) * (F.col("r") - F.col("p")))), 6).alias(
-            "rmse"
-        ),
+        F.round(F.sqrt(F.sum(se2).cast("double") / F.count("*")), 6).alias("rmse"),
         F.count("*").alias("n_scored"),
     )

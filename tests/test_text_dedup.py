@@ -91,6 +91,22 @@ def test_simhash_identical_docs_zero_hamming(spark, docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_packed_equals_per_bit(spark, docs):
+    """The lane-packed vote aggregation is a physical optimization only:
+    fingerprints must equal the 32-sum per-bit path bit-for-bit."""
+    from movie_recommendation_engine_spark.operators.dedup import simhash_fingerprint
+
+    packed = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprint(docs, "doc_id", "text", packed=True).collect()
+    }
+    plain = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprint(docs, "doc_id", "text", packed=False).collect()
+    }
+    assert packed == plain and len(packed) == 4
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [
