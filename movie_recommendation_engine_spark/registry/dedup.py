@@ -75,7 +75,17 @@ ORDER BY id_a, id_b
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index n-gram Jaccard: finds the 25 planted pairs."""
+    """Inverted-index n-gram Jaccard: finds the 25 planted pairs.
+
+    Perf note (measured at sf0.1): the synthetic corpus has a 931-bigram
+    vocab with huge document frequencies — sum(df^2) = 73M index join
+    rows collapsing to 10.3M distinct candidate pairs out of 12.5M
+    possible, i.e. exact all-pairs here is inherently ~n^2 and costs
+    ~20 s.  Alternatives measured SLOWER on this corpus: per-shingle
+    combination explode 2.7x worse (HOF slice is O(df^2) interpreted),
+    prefix filtering 4x worse (dfs too uniform to prune).  The scale
+    paths are max_df (prunes candidate generation) and dedup_minhash_lsh
+    (banded, ~6 s) — this query exists to pin the EXACT semantics."""
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5).orderBy(
         "id_a", "id_b"
