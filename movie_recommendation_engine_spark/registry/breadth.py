@@ -15,8 +15,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sources.readers import read_csv, read_json
-from ..sources.writers import write_csv, write_json
+from ..sources.readers import read_csv, read_json, read_orc
+from ..sources.writers import write_csv, write_json, write_orc
 from . import _t, duck_hash_sql, register
 
 
@@ -275,6 +275,37 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_name").alias("last_nation"),
         )
         .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "orc_roundtrip_agg",
+    oracle="""
+SELECT p_brand, count(*) AS n, CAST(round(sum(CAST(p_retailprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS total_price
+FROM part
+WHERE p_size >= 25
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan proven inside the oracle gate: part -> ORC ->
+    read back -> filtered aggregate must match the parquet-side oracle.
+    The p_size predicate is applied on the ORC scan, exercising ORC
+    predicate pushdown (stripe/row-group index skipping) — the second
+    columnar format a landing zone typically needs besides parquet."""
+    part = _t(spark, sf_dir, "part")
+    d = os.path.join(tempfile.gettempdir(), "mres_orc_roundtrip")
+    write_orc(part.select("p_partkey", "p_brand", "p_size", "p_retailprice"), d)
+    back = read_orc(spark, d).filter(F.col("p_size") >= 25)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("p_retailprice").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("p_brand")
     )
 
 

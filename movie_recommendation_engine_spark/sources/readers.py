@@ -37,6 +37,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — vectorized, with predicate pushdown into stripe/row-
+    group indexes (same scan-pruning contract as parquet)."""
+    return spark.read.orc(path)
+
+
 def read_json(
     spark: SparkSession,
     path: str,

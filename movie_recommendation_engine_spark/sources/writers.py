@@ -24,6 +24,14 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default): the second columnar interchange format —
+    same predicate-pushdown/column-pruning story as parquet (ORC stripe
+    + row-group indexes), natively supported by Spark's vectorized
+    reader, common when landing data for Hive/Trino consumers."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

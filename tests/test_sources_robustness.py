@@ -198,3 +198,22 @@ def test_compact_parquet_reduces_files_preserving_rows(spark):
     finally:
         shutil.rmtree(os.path.dirname(src), ignore_errors=True)
         shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/scan: values survive the round trip and a scan-level
+    predicate reaches the ORC reader as a pushed filter."""
+    from movie_recommendation_engine_spark.sources.readers import read_orc
+    from movie_recommendation_engine_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(100)],
+        "id long, name string, score double",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert sorted(r.id for r in back.filter("id < 5").collect()) == [0, 1, 2, 3, 4]
+    plan = back.filter("id >= 90")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1][:120]
