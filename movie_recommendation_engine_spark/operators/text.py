@@ -95,6 +95,34 @@ def quality_score(col: Column | str) -> Column:
     return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
 
 
+def unigram_logprob(df, id_col: str, text_col: str):
+    """Corpus-trained unigram language-model score per document — the
+    classic perplexity-style quality filter of LLM data pipelines (docs
+    whose tokens are improbable under the corpus LM are noise/garble
+    candidates).
+
+    Physically: one explode + token-count aggregate trains the LM (the
+    vocab table is tiny relative to the corpus — broadcast), then the
+    score pass is a map-side broadcast join + per-doc aggregate.  Two
+    scans of the token stream total, no vocab-sized shuffle on the
+    scoring side; at 100 TB the vocab table is the only state that
+    crosses executors.
+
+    Returns (id_col, n_tokens, avg_logprob) with avg_logprob =
+    round(mean ln P(tok), 6).
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = tf.agg(F.sum("n").alias("tot"))
+    scored = toks.join(F.broadcast(tf), "tok").crossJoin(F.broadcast(tot))
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.avg(F.log(F.col("n").cast("double") / F.col("tot").cast("double"))), 6
+        ).alias("avg_logprob"),
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Marker-word language heuristic: count distinct marker hits per
     language, pick the best scorer (CJK codepoints short-circuit to

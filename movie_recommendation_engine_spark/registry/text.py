@@ -57,6 +57,28 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_unigram_logprob",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({WORDS}) AS tok FROM documents),
+tf AS (SELECT tok, count(*) AS n FROM w GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS avg_logprob
+FROM w JOIN tf USING (tok), tot
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: train a unigram LM on the corpus
+    (one token-count aggregate, broadcast), score every document by its
+    mean token log-probability.  Low scorers are the garble/noise
+    candidates an LLM data pipeline drops before training."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "weighted_doc_sample100",
     oracle=f"""
 WITH base AS (
