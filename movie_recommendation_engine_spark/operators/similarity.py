@@ -106,6 +106,77 @@ def brute_force_topk(
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def arrow_brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k through the Arrow/numpy path — identical
+    results to ``brute_force_topk``, different physical engine.
+
+    The JVM path evaluates the dot product as an interpreted HOF fold
+    per pair; here each candidate partition is scored against the whole
+    query matrix with ONE BLAS matmul (`C @ Q.T`) inside `mapInPandas`,
+    then reduced to a per-batch top-k under the exact global comparator
+    (round-6 cosine desc, neighbor id asc — a total order, so per-batch
+    top-k composes losslessly into the global window top-k).  This is
+    the SIMD scale path for wide embeddings: per-batch work is
+    memory-bandwidth-bound matmul instead of expression interpretation.
+
+    The bounded query set is driver-collected and broadcast — the same
+    |Q|-boundedness contract ``brute_force_topk`` documents for its
+    broadcast side.  Scores replay the oracle's exact formula
+    dot/(|q|·|c|) in float64, so the same DuckDB oracle hash-checks
+    this path too.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()  # bounded query set
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    spark = queries.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def score(batches):
+        ids_q, qm, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            # oracle formula exactly: dot / (|q| * |c|), float64 matmul
+            s = np.round(cmat @ qm.T / np.outer(cnorm, qn), round_to)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids_q)):
+                col = s[:, j]
+                mask = cids != ids_q[j]  # exclude self
+                vid, val = cids[mask], col[mask]
+                order = np.lexsort((vid, -val))[:k]  # total order: -cos, id
+                out_q.extend([ids_q[j]] * len(order))
+                out_n.extend(vid[order])
+                out_c.extend(val[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    return top_k_per_group(
+        partial,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,

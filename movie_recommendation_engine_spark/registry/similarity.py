@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.similarity import (
+    arrow_brute_force_topk,
     brute_force_topk,
     embedding_neardup_pairs,
     hyperplane,
@@ -66,6 +67,36 @@ def q_knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
     return brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "knn_arrow_top5",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv,
+         {_COS} AS cosine
+  FROM q, e c WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_knn_arrow_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact-kNN contract as knn_bruteforce_top5, but executed
+    through the Arrow/numpy BLAS-matmul path (mapInPandas partial top-k
+    + window merge) — the vectorized physical plan for wide embeddings,
+    hash-checked against the identical oracle to prove the two engines'
+    physical strategies agree bit-for-bit after round-6."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return arrow_brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
 
 
 @register(
@@ -177,6 +208,47 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.35, n_planes=_N_PLANES, dim=_DIM).orderBy(
         "id_a", "id_b"
+    )
+
+
+@register(
+    "embedding_dedup_components",
+    oracle=f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {_planes_sql('v')} AS bucket FROM e),
+cpairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+    FROM sig a JOIN sig b USING (bucket) WHERE a.vec_id < b.vec_id)
+  WHERE {_COS} >= 0.35),
+edges AS (SELECT id_a AS u, id_b AS v FROM cpairs
+          UNION SELECT id_b, id_a FROM cpairs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, ed.v FROM reach r JOIN edges ed ON r.dst = ed.u),
+comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src)
+SELECT al.vec_id,
+       coalesce(c.component, al.vec_id) AS component,
+       (coalesce(c.component, al.vec_id) = al.vec_id) AS is_canonical
+FROM embeddings al LEFT JOIN comp c ON c.vec_id = al.vec_id
+ORDER BY al.vec_id
+""",
+)
+def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup end-to-end: LSH-bucketed cosine near-dup
+    pairs collapsed to canonical clusters via connected components —
+    the same pairs->clusters composition as dedup_components, driven by
+    vector similarity instead of token shingles (the oracle replays it
+    with a recursive transitive-closure CTE)."""
+    from ..operators.graph import dedup_canonical
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.35, n_planes=_N_PLANES, dim=_DIM)
+    return dedup_canonical(emb.select("vec_id"), pairs, id_col="vec_id").orderBy(
+        "vec_id"
     )
 
 

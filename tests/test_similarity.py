@@ -136,3 +136,21 @@ def test_ivf_kmeans_recall_and_no_invented_neighbors(spark):
     assert recall >= 0.2, f"k-means IVF recall collapsed: {recall:.3f}"
     for r in got:
         assert abs(exact_all[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_arrow_topk_equals_jvm_bruteforce(spark, vectors):
+    """The Arrow/numpy matmul path must equal the JVM HOF path exactly
+    (same round-6 total order) — on the fixture and on real testdata."""
+    from movie_recommendation_engine_spark.operators.similarity import (
+        arrow_brute_force_topk,
+    )
+
+    jvm = {tuple(r) for r in brute_force_topk(vectors, vectors, k=3).collect()}
+    arw = {tuple(r) for r in arrow_brute_force_topk(vectors, vectors, k=3).collect()}
+    assert arw == jvm
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    jvm2 = {tuple(r) for r in brute_force_topk(q, emb, k=5).collect()}
+    arw2 = {tuple(r) for r in arrow_brute_force_topk(q, emb, k=5).collect()}
+    assert arw2 == jvm2
