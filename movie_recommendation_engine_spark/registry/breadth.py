@@ -279,6 +279,48 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_name_fuzzy_pairs",
+    oracle="""
+WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY p_name),
+b AS (SELECT p_name, n, string_split(p_name, ' ')[1] AS blk FROM names)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       levenshtein(a.p_name, c.p_name) AS distance,
+       a.n AS n_a, c.n AS n_b
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) <= 3
+ORDER BY name_a, name_b
+""",
+)
+def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-style fuzzy matching: distinct part names,
+    blocked on the first word (the classic blocking-key trick — the
+    edit-distance comparison runs within blocks, never all-pairs), with
+    Levenshtein <= 3 flagging probable variants.  Both engines implement
+    the identical edit-distance recurrence, so even the fuzzy matcher
+    is value-hash-checked.  At 100 TB the block key is the shuffle key;
+    pick one with bounded block sizes (or add a length band) to keep
+    the within-block quadratic term controlled."""
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count("*").alias("n"))
+    b = names.withColumn("blk", F.split("p_name", " ").getItem(0))
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.p_name") < F.col("c.p_name")))
+        .withColumn("distance", dist)
+        .filter(F.col("distance") <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            "distance",
+            F.col("a.n").alias("n_a"),
+            F.col("c.n").alias("n_b"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
     "orc_roundtrip_agg",
     oracle="""
 SELECT p_brand, count(*) AS n, CAST(round(sum(CAST(p_retailprice AS DECIMAL(38,2))), 2) AS DOUBLE) AS total_price
