@@ -17,7 +17,8 @@ reference hit exactly this class of failure with long lineages,
 SURVEY §2.13.5).  For adversarially deep graphs (long paths) switch to
 the large-star/small-star alternation (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14) — same join primitives,
-O(log^2 n) rounds; not needed for dedup-shaped graphs.
+O(log^2 n) rounds — implemented below as
+``connected_components_star`` for when the pair graph is deep.
 """
 
 from __future__ import annotations
@@ -94,6 +95,99 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log^2 n) rounds regardless of graph DIAMETER, where
+    min-label propagation needs diameter rounds.  This is the scale
+    path for adversarially deep graphs (long chains); for shallow
+    near-dup graphs ``connected_components``'s propagation (or its
+    small-graph union-find) wins on constant factors.
+
+    Each round is two shuffle phases over the edge list only — no
+    separate label table:
+
+    - **large-star**: every node u connects its strictly-larger
+      neighbors to m(u) = min(N(u) ∪ {u});
+    - **small-star**: every node u connects its not-larger neighbors
+      and itself to the minimum among them.
+
+    Convergence: the edge multiset stops changing (checked with a
+    count + order-independent hash-sum signature — one tiny aggregate
+    per round instead of a full except().count() pass).  The final
+    edge set is a star forest: every node points at its component
+    minimum.  Returns (id, comp) for every node appearing in ``edges``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter("u <> v")
+    nodes = (
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: (v, m(u)) for v in N(u), v > u
+        m = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        e1 = (
+            e.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter("u <> v")
+        )
+        e1 = e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # small-star: u and its smaller neighbors all connect to their min
+        smaller = e1.filter(F.col("v") < F.col("u"))
+        m2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        sm = (
+            smaller.join(m2, "u")
+            .select(F.col("v").alias("x"), "m")
+            .union(m2.select(F.col("u").alias("x"), "m"))
+        )
+        e2 = (
+            sm.filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        e2 = (
+            e2.union(e2.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .localCheckpoint(eager=False)
+        )
+        # decimal sum: a BIGINT sum of 64-bit hashes overflows under ANSI
+        sig = tuple(
+            e2.agg(
+                F.count("*"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+            ).first()
+        )
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"star alternation did not converge in {max_iter} rounds")
+    comp = (
+        e.filter(F.col("v") < F.col("u"))
+        .groupBy("u")
+        .agg(F.min("v").alias("comp"))
+        .withColumnRenamed("u", "id")
+    )
+    isolated = nodes.join(comp, "id", "left_anti").withColumn("comp", F.col("id"))
+    return comp.unionByName(isolated)
 
 
 def _driver_union_find(spark, e: DataFrame) -> DataFrame:
