@@ -1,0 +1,81 @@
+"""Slowly-changing-dimension type 2 merge (warehouse dimension history).
+
+The upsert operator (operators/upsert.py) OVERWRITES matching rows;
+SCD2 instead preserves history: an incoming change CLOSES the current
+row (stamps its ``valid_to``) and INSERTS a new current row.  This is
+the standard dimension-table pattern a batch pipeline applies per load.
+
+Scale shape: one shuffle join of the current slice against the update
+batch on the business key (broadcast when the batch is small), plus
+null-safe column comparison to detect real changes — no-op updates
+must NOT spawn history rows.  Historical (already-closed) rows pass
+through untouched, so at 100 TB the closed majority of the dimension
+is never joined at all — filter pushdown keeps the join input to the
+current slice.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    batch_ts: str,
+    eff_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension table.
+
+    ``dim`` has columns key_cols + attr_cols + eff_col + end_col
+    (``end_col`` NULL marks the current row per key); ``updates`` has
+    key_cols + attr_cols.  Returns the merged table:
+
+    - closed history rows: unchanged, passed through;
+    - current rows whose update differs in ANY attr (null-safe):
+      closed with ``end_col = batch_ts`` plus a new current row with
+      ``eff_col = batch_ts``;
+    - current rows with no update or a no-op update: unchanged;
+    - brand-new keys: inserted as current rows effective ``batch_ts``.
+    """
+    hist = dim.filter(F.col(end_col).isNotNull())
+    cur = dim.filter(F.col(end_col).isNull())
+    upd = updates.select(
+        *key_cols,
+        *[F.col(a).alias(f"__u_{a}") for a in attr_cols],
+        F.lit(True).alias("__u_present"),  # robust even if every attr is NULL
+    )
+    joined = cur.join(upd, key_cols, "left")
+    has_upd = F.col("__u_present").isNotNull()
+    differs = reduce(
+        lambda x, y: x | y,
+        [~F.col(a).eqNullSafe(F.col(f"__u_{a}")) for a in attr_cols],
+    )
+    changed = joined.filter(has_upd & differs)
+    unchanged = joined.filter(~(has_upd & differs)).select(*dim.columns)
+    closed = changed.select(
+        *key_cols,
+        *attr_cols,
+        F.col(eff_col),
+        F.lit(batch_ts).alias(end_col),
+    )
+    reopened = changed.select(
+        *key_cols,
+        *[F.col(f"__u_{a}").alias(a) for a in attr_cols],
+        F.lit(batch_ts).alias(eff_col),
+        F.lit(None).cast("string").alias(end_col),
+    )
+    new_keys = upd.join(cur.select(*key_cols), key_cols, "left_anti").select(
+        *key_cols,
+        *[F.col(f"__u_{a}").alias(a) for a in attr_cols],
+        F.lit(batch_ts).alias(eff_col),
+        F.lit(None).cast("string").alias(end_col),
+    )
+    return hist.unionByName(unchanged).unionByName(closed).unionByName(
+        reopened
+    ).unionByName(new_keys)

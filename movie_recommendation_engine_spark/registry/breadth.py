@@ -279,6 +279,54 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_scd2_batch",
+    oracle="""
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+       '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+FROM customer WHERE c_mktsegment <> 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2),
+       '2020-01-01', '2024-06-01'
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment, round(round(c_acctbal, 2) + 100, 2),
+       '2024-06-01', CAST(NULL AS VARCHAR)
+FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_custkey, valid_from
+""",
+)
+def q_customer_scd2_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge: an update batch (every BUILDING customer's
+    balance +100) closes the affected current rows and inserts new
+    current rows, history preserved — the warehouse-dimension
+    counterpart of upsert_customer_balances (which overwrites).  The
+    oracle spells the expected merged table as three UNION branches."""
+    from ..operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.round("c_acctbal", 2) + 100, 2).alias("acctbal"),
+    )
+    out = scd2_apply(
+        dim,
+        updates,
+        key_cols=["c_custkey"],
+        attr_cols=["c_mktsegment", "acctbal"],
+        batch_ts="2024-06-01",
+    )
+    return out.orderBy("c_custkey", "valid_from")
+
+
+@register(
     "part_name_fuzzy_pairs",
     oracle="""
 WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY p_name),
