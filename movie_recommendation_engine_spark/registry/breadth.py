@@ -279,6 +279,107 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective predicates on both fact
+    and dimension sides, grouped revenue, global top-10.  The segment
+    filter prunes customer BEFORE the join (broadcast), and the date
+    predicates push to the parquet scans — the plan every BI query
+    wants at 100 TB."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_volume",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (fact + 5 dims) with the classic
+    'customer and supplier in the same nation' equality folded into the
+    supplier join, region filter driving dimension pruning.  All four
+    dimension tables broadcast; lineitem/orders shuffle once on
+    orderkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
     "customer_scd2_batch",
     oracle="""
 SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
