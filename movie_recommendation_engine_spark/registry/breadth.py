@@ -380,6 +380,55 @@ def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 2) AS totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery driving a
+    semi join (the large-order keys), then fact re-join + group.  The
+    semi join ships only orderkeys — never the aggregated payload —
+    and the big-order key set is small enough for AQE to broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
     "customer_scd2_batch",
     oracle="""
 SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,

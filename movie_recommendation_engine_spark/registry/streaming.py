@@ -299,6 +299,30 @@ def q_events_sessionized_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_nation_rollup",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       n.n_name,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_events_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment + hourly rollup (batch twin of
+    the streaming operator; the streaming-mode test drives the same
+    code through readStream).  Stream-static joins hold no join state —
+    the dimension broadcasts fresh per micro-batch."""
+    from ..streaming.events import enriched_nation_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    nat = _t(spark, sf_dir, "nation")
+    return enriched_nation_rollup(ev, nat).orderBy("window_start", "n_name")
+
+
+@register(
     "events_value_outliers",
     oracle="""
 WITH stats AS (

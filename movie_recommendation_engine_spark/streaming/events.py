@@ -104,6 +104,37 @@ def sessionize(
     )
 
 
+def enriched_nation_rollup(
+    events: DataFrame,
+    nation: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Stream-static broadcast enrichment + windowed rollup.
+
+    Each event routes to a nation through a deterministic key
+    (user_id % 25 — the demo routing table; swap in a real user->dim
+    mapping) and joins the STATIC dimension.  Stream-static joins keep
+    NO join state: the static side is broadcast fresh into every
+    micro-batch, so dimension updates between batches are picked up and
+    the state store only holds the windowed aggregate.  Identical code
+    serves batch mode (withWatermark no-ops)."""
+    df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    dim = nation.select(F.col("n_nationkey").cast("long").alias("__nk"), "n_name")
+    return (
+        df.withColumn("__nk", F.col("user_id") % 25)
+        .join(F.broadcast(dim), "__nk")
+        .groupBy(F.window("ts", window).alias("w"), "n_name")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_name",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on event_id: state is bounded by the
     watermark horizon (duplicates arriving later than the watermark are

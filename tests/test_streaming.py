@@ -251,3 +251,24 @@ def test_dynamic_session_stream_matches_batch(spark, events_dir):
     batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
     want = sessionize_dynamic(batch, {"click": "5 minutes"}, "30 minutes")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stream-static broadcast join: streaming result (complete mode)
+    must equal the batch twin on the same files."""
+    from movie_recommendation_engine_spark.streaming.events import (
+        enriched_nation_rollup,
+        read_events_stream,
+    )
+
+    nation = spark.createDataFrame(
+        [(i, f"NATION_{i}", i % 5) for i in range(25)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark, enriched_nation_rollup(stream, nation), "t_enrich", "complete"
+    )
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = enriched_nation_rollup(batch, nation)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -55,7 +55,14 @@ def main() -> int:
     import __spark_entry__ as e
     from movie_recommendation_engine_spark.session import get_spark
 
-    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    # SPARK_GRAFT_CHECK_CPUS lets a robustness sweep re-run the gate at a
+    # different parallelism: partition-count changes summation order and
+    # AQE decisions, which is exactly what shakes out latent
+    # order-sensitivity before the external driver hits it
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CHECK_CPUS", "8"))
+    spark = get_spark("oracle-check", master=f"local[{cpus}]", shuffle_partitions=cpus)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
