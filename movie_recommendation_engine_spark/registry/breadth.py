@@ -1509,3 +1509,223 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "tpch_q4_priority_check",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (ref: the EXISTS-correlated priority count): a
+    non-equi correlated EXISTS becomes a left-semi join whose condition
+    carries both the key equality and the date comparison — Spark ships
+    only (orderkey, shipdate) to the semi side, dedups by key during
+    the join, and never materializes the subquery.  The date window
+    pushes to the orders scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q10_returned_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(c.c_acctbal, 2) AS acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers who returned
+    goods in a quarter.  Both selective predicates (date window, return
+    flag) push to the two fact scans before the orderkey join; customer
+    and nation broadcast; one shuffle total on orderkey, then a grouped
+    top-20."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+WITH j AS (
+  SELECT p.p_type, l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-02-01'),
+s AS (
+  SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2) AS promo_rev,
+         round(sum(rev), 2) AS total_rev
+  FROM j)
+SELECT promo_rev, total_rev,
+       round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+FROM s
+""",
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one month — a
+    conditional aggregate ratio.  Both sums come out of ONE pass (no
+    second scan for the denominator); each sum is rounded to cents
+    before the division so the ratio is bit-stable across engines and
+    partition orders."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ).alias("promo_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+        .select(
+            "promo_rev",
+            "total_rev",
+            F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers stock each surviving
+    (brand, type, size) combination, with NOT-IN / inequality dimension
+    filters.  The part filters cut the broadcast side BEFORE the join,
+    so the fact scan only keeps matching partkeys; count(DISTINCT)
+    shuffles the already-reduced (group, suppkey) pairs once."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q22_idle_balances",
+    oracle="""
+WITH t AS (
+  SELECT round(avg(c_acctbal), 2) AS thr FROM customer WHERE c_acctbal > 0.0)
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, t
+WHERE c.c_acctbal > t.thr
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers who never placed an URGENT order
+    (every testdata customer has SOME order, so the classic
+    no-orders-at-all predicate would be vacuous here) — a scalar
+    aggregate subquery (average positive balance, rounded to cents so
+    the threshold is identical across engines) re-entering as a filter,
+    then an anti join against orders, grouped by segment.  The anti
+    join ships only custkeys; the scalar re-enters via a broadcast
+    1-row cross join, not a collect."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("thr"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
