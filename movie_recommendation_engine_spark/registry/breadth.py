@@ -1401,11 +1401,14 @@ def q_events_trailing_30m_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 30-minute moving average per user — a time-RANGE window
     frame over exact microsecond epochs (unix_micros == DuckDB
     epoch_us, verified by the dynamic-session oracle), so frame
-    membership is bit-identical across engines."""
+    membership is bit-identical across engines.  ``ts`` lands as
+    TIMESTAMP_NTZ from µs parquet; the cast to TIMESTAMP is wall-time-
+    preserving because the session timezone is pinned to UTC
+    (session.py), which is exactly DuckDB's naive-epoch semantics."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    us = F.unix_micros("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(us)

@@ -1,10 +1,12 @@
 """Remaining TPC-H decision-support shapes over the driver star schema
 (SURVEY §2 breadth; Q1/Q3/Q4/Q5/Q10/Q14/Q16/Q17/Q18/Q22 live in
 breadth.py / relational.py).  The testdata has no partsupp table and no
-l_shipmode/commitdate columns, so Q2/Q11/Q20 are out of reach and
-Q9/Q12/Q21 are shape-preserving adaptations (documented per query) —
-the plan skeleton (join graph, subquery kind, aggregate form) is the
-TPC-H one even where a predicate had to move to an existing column.
+l_shipmode/commitdate columns, so Q2/Q9/Q11/Q12/Q20/Q21 are
+shape-preserving adaptations (documented per query) — the plan skeleton
+(join graph, subquery kind, aggregate form) is the TPC-H one even where
+a predicate or source relation had to move to an existing column
+(partsupp is derived from lineitem as the distinct part↔supplier
+bridge with min unit price standing in for ps_supplycost).
 
 Money sums follow the registry convention: per-row cast to DECIMAL,
 exact (order-free) sum, round to cents, cast back to double — identical
@@ -404,4 +406,217 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — a pure scan-side query.  All
+    three predicates (shipdate range, discount band, quantity cap) push
+    down into the parquet scan (PushedFilters), the projection prunes to
+    two columns, and the single grand aggregate is partial+final with no
+    groupBy shuffle at all: at 100 TB this is the I/O-bound best case
+    and any plan with a wide exchange here is wrong."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,4)")
+    return li.agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+
+
+def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in: the distinct (part, supplier) pairs observed in
+    lineitem, with min(l_extendedprice / l_quantity) as ps_supplycost.
+    min (not avg) keeps the double bit-identical across engines and
+    partitionings — no summation-order sensitivity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+
+
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS ({_PS_SQL})
+SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_type,
+       round(ps.ps_supplycost, 6) AS supplycost
+FROM part p
+JOIN ps ON ps.ps_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT min(ps2.ps_supplycost) FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+""",
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier per part within a region —
+    a correlated scalar-min subquery whose decorrelated Spark plan is a
+    min-window over the region-scoped (part, supplier, cost) set, then
+    an equality filter against the window min (ties keep every minimal
+    supplier, exactly like the SQL).  The oracle runs the literal
+    correlated form to prove the decorrelation equivalent.  All four
+    dimension joins broadcast; the only wide exchange is the pseudo-
+    partsupp groupBy on (partkey, suppkey), and the window repartitions
+    by partkey — both keys are high-cardinality and unskewed."""
+    from pyspark.sql import Window
+
+    ps = _pseudo_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    regional = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(38,4))) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY 1)
+SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
+FROM val
+WHERE v * 1000 > (SELECT sum(v) FROM val)
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value (here: shipped
+    value, price*qty, for suppliers of three nations) exceeds a fraction
+    of the nation-group total — a grouped aggregate filtered against a
+    global-scalar subquery over the SAME aggregate.  The per-part frame
+    is localCheckpointed so the grand total reuses it instead of
+    re-shuffling lineitem; the scalar re-enters via a 1-row broadcast
+    crossJoin (no driver collect).  The v*1000 > total comparison stays
+    in exact DECIMAL on both engines — no float threshold wobble."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,4)")).alias(
+                "v"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = val.agg(F.sum("v").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 1000 > F.col("total"))
+        .select("l_partkey", F.round("v", 2).cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q20_excess_shippers",
+    oracle="""
+WITH sel AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small %'),
+agg AS (
+  SELECT l_suppkey,
+         sum(CASE WHEN year(l_shipdate) = 1997
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS q97,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qtot
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM sel)
+  GROUP BY 1)
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM agg WHERE q97 * 6 > qtot)
+ORDER BY s.s_name
+""",
+)
+def q_tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who concentrated their shipments of a
+    name-selected part family into one year — a nested IN-subquery
+    chain (part-name filter → per-supplier aggregate threshold →
+    supplier semi-join), Q20's skeleton with 'availqty > 0.5 * shipped'
+    transposed onto shipped-quantity year-shares (no partsupp table;
+    the threshold 1/6 sits above the uniform 1/7 year share, so it
+    selects genuinely concentrated suppliers, not everyone).  Both IN
+    subqueries become left-semi joins: the part filter semi-joins the
+    scan (broadcast, pre-aggregation), and the qualifying-supplier set
+    semi-joins the 100-row supplier dim.  The q97*6 > qtot test is
+    exact DECIMAL arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small %")).select("p_partkey")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    agg = (
+        li.join(F.broadcast(sel), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.year("l_shipdate") == 1997, qdec).otherwise(zero)).alias("q97"),
+            F.sum(qdec).alias("qtot"),
+        )
+    )
+    qualifying = agg.filter(F.col("q97") * 6 > F.col("qtot")).select("l_suppkey")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
     )

@@ -63,13 +63,15 @@ def read_json(
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as a long (legacy conf) and
-    convert to a microsecond timestamp.  The ns->µs step MUST be integer
-    division (``ts DIV 1000``): dividing the int64 nanosecond value as a
-    double loses precision past the 53-bit mantissa (ulp ≈ 256 ns at
-    2024 epochs), landing ~12% of rows on the wrong microsecond vs
-    DuckDB's exact integer truncation.
+    ``events.ts`` has been written two ways across driver testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects — read it as a long via the legacy conf and convert)
+    and plain TIMESTAMP(MICROS) (reads natively).  Handle both by
+    checking the landed dtype.  When converting, the ns->µs step MUST be
+    integer division (``ts DIV 1000``): dividing the int64 nanosecond
+    value as a double loses precision past the 53-bit mantissa (ulp ≈
+    256 ns at 2024 epochs), landing ~12% of rows on the wrong
+    microsecond vs DuckDB's exact integer truncation.
     """
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown testdata table {table!r}; know {TESTDATA_TABLES}")
@@ -78,9 +80,9 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(ts DIV 1000)")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
