@@ -272,3 +272,102 @@ def chunk_tokens(
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+# --- Repetition / novelty signals --------------------------------------
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """ORDERED, non-distinct word n-grams (cf. hashing.word_shingles,
+    which dedups for set-similarity) — repetition measurement needs the
+    multiset.  Same zip_with-chain construction (lambda-free slice
+    arguments are evaluated once per row; a transform-over-sequence
+    spelling re-runs the tokenizer per element).  Fewer than n words
+    collapse to one whole-text gram."""
+    ws = words(col)
+    size = F.size(ws)
+    chain = ws
+    for k in range(1, n):
+        chain = F.zip_with(
+            chain, F.slice(ws, k + 1, size), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(size >= n, F.filter(chain, lambda x: x.isNotNull())).otherwise(
+        F.array(F.concat_ws(" ", ws))
+    )
+
+
+def repetition_signals(df, id_col: str, text_col: str):
+    """Gopher-style within-document repetition features — the standard
+    quality gate that catches boilerplate, keyword stuffing, and
+    generation loops in LLM training corpora:
+
+    - ``dup_word_frac``: 1 - distinct/total tokens;
+    - ``top_bigram_frac``: share of bigram slots taken by the single
+      most frequent bigram;
+    - ``max_token_run``: longest run of consecutive identical tokens
+      (a fold over the token array with a (prev, run, best) struct
+      accumulator — no shuffle, no window).
+
+    Everything is per-row array arithmetic over the scan: zero
+    exchanges, embarrassingly parallel at any scale.  The arrays are
+    materialized into columns FIRST so the counting lambdas reference a
+    per-row value, not an expression tree re-evaluated per element.
+    Returns (id_col, n_tokens, dup_word_frac, top_bigram_frac,
+    max_token_run).
+    """
+    base = df.select(
+        F.col(id_col),
+        words(text_col).alias("toks"),
+        word_ngrams(text_col, 2).alias("bg"),
+    )
+    toks, bg = F.col("toks"), F.col("bg")
+    top_bg = F.array_max(
+        F.transform(F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x)))
+    )
+    init = F.struct(
+        F.lit("\x00").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run2.alias("run"), F.greatest(acc["best"], run2).alias("best")
+        )
+
+    return base.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(top_bg / F.size(bg), 6).alias("top_bigram_frac"),
+        F.aggregate(toks, init, step, lambda acc: acc["best"]).alias("max_token_run"),
+    )
+
+
+def shingle_novelty(df, id_col: str, text_col: str, n: int = 3):
+    """Cross-document novelty: for each doc, how many of its distinct
+    word n-gram shingles first appeared in an EARLIER document (smaller
+    id) — the scalable approximation of exact-substring dedup used to
+    attribute duplicated text to its first occurrence.
+
+    Physically: one explode of distinct shingles, a min(id) aggregate
+    per shingle (map-side combinable), and a join back on the shingle —
+    both exchanges key on the shingle hash, whose fan-out is the token
+    stream itself (linear, unskewed).  Nothing ever ships document
+    bodies.  Returns (id_col, n_shingles, n_seen_before, novelty_frac).
+    """
+    from ..functions.hashing import word_shingles
+
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n=n)).alias("g")
+    ).localCheckpoint(eager=False)
+    first = ex.groupBy("g").agg(F.min(id_col).alias("first_doc"))
+    seen = F.sum(F.when(F.col("first_doc") < F.col(id_col), 1).otherwise(0))
+    return (
+        ex.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            seen.cast("long").alias("n_seen_before"),
+            F.round(1.0 - seen / F.count("*"), 6).alias("novelty_frac"),
+        )
+    )

@@ -351,3 +351,71 @@ def q_token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.groupBy("term").agg(F.count("*").alias("exact_n"))
     est = cms_estimate(cms_build(toks, "term"), exact.select("term"), "term")
     return exact.join(est, "term").select("term", "exact_n", "cms_n").orderBy("term")
+
+
+@register(
+    "doc_repetition_signals",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {WORDS} AS w FROM documents),
+bgs AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 2
+              THEN [array_to_string(w[i:i+1], ' ')
+                    FOR i IN generate_series(1, len(w) - 1)]
+              ELSE [array_to_string(w, ' ')] END AS b
+  FROM base),
+flat AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM base),
+isl AS (SELECT doc_id, tok,
+               pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS g
+        FROM flat),
+runs AS (SELECT doc_id, count(*) AS r FROM isl GROUP BY doc_id, tok, g),
+maxrun AS (SELECT doc_id, CAST(max(r) AS INT) AS max_token_run FROM runs GROUP BY doc_id)
+SELECT b.doc_id,
+       len(b.w) AS n_tokens,
+       round(1.0 - len(list_distinct(b.w)) * 1.0 / len(b.w), 6) AS dup_word_frac,
+       round(list_max(list_transform(list_distinct(b.b),
+                                     x -> len(list_filter(b.b, y -> y = x))))
+             * 1.0 / len(b.b), 6) AS top_bigram_frac,
+       m.max_token_run
+FROM bgs b JOIN maxrun m USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: dup-word fraction, top-
+    bigram share, longest identical-token run — all per-row array
+    arithmetic with zero shuffles (the oracle computes max_token_run
+    with a gaps-and-islands window instead, proving the array fold
+    equivalent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.repetition_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "doc_shingle_novelty",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {WORDS} AS w FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(w) >= 3
+                   THEN [array_to_string(w[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(w) - 2)]
+                   ELSE [array_to_string(w, ' ')] END) AS s
+       FROM base),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+first AS (SELECT g, min(doc_id) AS fd FROM ex GROUP BY g)
+SELECT e.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.fd < e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
+       round(1.0 - sum(CASE WHEN f.fd < e.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS novelty_frac
+FROM ex e JOIN first f USING (g)
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+""",
+)
+def q_doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc trigram novelty (first-occurrence attribution — the
+    scalable stand-in for exact-substring dedup): min-id per shingle,
+    join back, per-doc seen-before share."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.shingle_novelty(docs, "doc_id", "text", n=3).orderBy("doc_id")
