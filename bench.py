@@ -68,7 +68,9 @@ def main() -> None:
         print(f"# bench ALS warmup failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    import gc
+
+    for i, (name, fn) in enumerate(QUERIES.items()):
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -77,6 +79,16 @@ def main() -> None:
         except Exception as ex:  # a broken query must not hide the others
             timings[name] = -1.0
             print(f"# bench error {name}: {ex}", file=sys.stderr)
+        # release this query's JVM state before the next measurement:
+        # localCheckpoint RDDs are freed by the ContextCleaner only after
+        # their py4j refs are collected — without this, checkpointed
+        # blocks pile up across 100+ queries and mid-run queries pay GC/
+        # memory pressure that standalone runs don't (measured 14.2 s vs
+        # 2.5 s on part_cooccurrence_top20)
+        del df
+        gc.collect()
+        if (i + 1) % 20 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

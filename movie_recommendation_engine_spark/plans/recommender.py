@@ -65,6 +65,10 @@ def als_rank1_factors(
     # (36,12) — every step exact.  Bounds: |rating|, |factor| < 1e6 and
     # < 1e10 ratings per key; both hold by orders of magnitude for any
     # realistic ratings matrix.
+    # train feeds every half-sweep plus the caller's prediction join —
+    # truncate its (possibly expensive: split hash, casts) lineage once
+    # instead of recomputing it 2*sweeps times
+    train = train.localCheckpoint(eager=False)
     rd = F.col(rating_col).cast("decimal(12,6)")
     fd = F.col("f").cast("decimal(12,6)")
     lam = F.lit(reg_param).cast("decimal(7,6)")

@@ -190,3 +190,21 @@ def test_bloom_prefilter_sits_on_probe_scan(spark):
 def test_funnel_stages_stay_equi_joins(spark):
     plan = _plan(QUERIES["events_funnel"](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_pushes_all_predicates_no_wide_exchange(spark):
+    """TPC-H Q6 is the pushdown best case: every predicate reaches the
+    parquet scan and the grand aggregate needs only a single-partition
+    exchange (partial+final), never a hash-partitioned one."""
+    from movie_recommendation_engine_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["tpch_q6_forecast_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    # the scan node elides long filter lists ("..."), so assert the
+    # leading entries plus the full ReadSchema pruning
+    assert "IsNotNull(l_discount)" in pushed and "GreaterThanOrEqual(l_shipda" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert set(
+        c.split(":")[0] for c in read_schema.split("<")[1].rstrip(">").split(",")
+    ) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    assert "hashpartitioning" not in plan

@@ -283,3 +283,35 @@ def test_star_components_equal_union_find(spark):
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         want = {r.id: r.comp for r in _driver_union_find(spark, e).collect()}
         assert star == want, rows
+
+
+def test_repetition_signals_hand_computed(spark):
+    rows = [
+        (1, "a a a b"),          # max run 3, dup frac 1 - 2/4
+        (2, "x y x y x"),        # no adjacent repeats; top bigram 'x y' 2/4
+        (3, "unique words only"),
+        (4, "w"),                # single token: bigram collapses to whole text
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = {x.doc_id: x for x in X.repetition_signals(df, "doc_id", "text").collect()}
+    assert (r[1].n_tokens, r[1].max_token_run) == (4, 3)
+    assert r[1].dup_word_frac == 0.5
+    assert r[2].max_token_run == 1
+    assert r[2].top_bigram_frac == 0.5  # 'x y' twice of 4 bigrams
+    assert r[3].dup_word_frac == 0.0 and r[3].max_token_run == 1
+    assert (r[4].n_tokens, r[4].top_bigram_frac) == (1, 1.0)
+
+
+def test_shingle_novelty_attributes_to_first_doc(spark):
+    rows = [
+        (1, "p q r s t"),
+        (2, "p q r s t"),          # exact copy: every shingle seen in 1
+        (3, "p q r completely new tail here"),  # shares the 'p q r' trigram
+        (4, "totally fresh content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = {x.doc_id: x for x in X.shingle_novelty(df, "doc_id", "text", n=3).collect()}
+    assert r[1].n_seen_before == 0 and r[1].novelty_frac == 1.0
+    assert r[2].n_seen_before == r[2].n_shingles and r[2].novelty_frac == 0.0
+    assert r[3].n_seen_before == 1  # only 'p q r'
+    assert r[4].novelty_frac == 1.0
