@@ -242,3 +242,72 @@ def dedup_canonical(
         .withColumn("is_canonical", (F.col(id_col) == F.col("component")))
     )
     return out
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Distributed PageRank with ENGINEERED determinism: ranks live in
+    integer MICRO-UNITS (1e6 = rank 1.0) and every step is integer
+    arithmetic — contribution = rank DIV out-degree, damping =
+    (85 * sum) DIV 100 — so the result is bit-identical across engines,
+    partitionings, and runs, and an ITERATIVE graph algorithm becomes
+    fully value-hash-checkable against an unrolled-CTE SQL oracle.
+    (A first cut rounded doubles to 6 dp instead; ~0.5% of vertices
+    landed exactly on a .5 boundary where Java's BigDecimal HALF_UP and
+    DuckDB's scaled-multiply rounding disagree — integer floor division
+    has no such boundary.)
+
+    Semantics are GraphX-style N-SCALED ranks (mean 1.0, reset mass
+    0.15 per vertex, no 1/N normalization):
+        pr'_i = 0.15 + 0.85 * sum_{j->i} pr_j / outdeg_j
+    with each op floored at 1e-6 resolution; divide by N for the
+    probability-distribution form.  Dangling vertices leak their mass
+    (identically on both sides); vertices without in-edges keep the
+    reset floor via the left join.
+
+    Physically each iteration is the canonical scale shape: one join of
+    the rank table with the (edge, out-degree) list on src — shuffle
+    keyed by vertex — and one grouped integer sum keyed by dst, with
+    localCheckpoint truncating lineage per iteration (without it the
+    plan nests ``iterations`` deep).  ``damping`` must be a multiple of
+    0.01 (it is applied as an exact integer percentage).
+
+    ``nodes``: one row per vertex (id_col); ``edges``: directed (src,
+    dst) — pass both directions for an undirected graph.  Returns
+    (id_col, pagerank double = micro-rank / 1e6).
+    """
+    pct = int(round(damping * 100))
+    if abs(pct - damping * 100) > 1e-9:
+        raise ValueError("damping must be a multiple of 0.01")
+    reset = 1_000_000 - pct * 10_000  # (1-d) in micro-units, exact
+    pr = nodes.select(F.col(id_col), F.lit(1_000_000).cast("long").alias("pru"))
+    deg = edges.groupBy(src).agg(F.count("*").alias("__outdeg"))
+    e = edges.join(deg, src).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.select(F.col(id_col).alias("__src"), "pru"), e[src] == F.col("__src"))
+            .select(F.col(dst).alias("__dst"), F.expr("pru DIV __outdeg").alias("__c"))
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        pr = (
+            pr.join(contrib, pr[id_col] == F.col("__dst"), "left")
+            .select(
+                F.col(id_col),
+                (
+                    F.lit(reset).cast("long")
+                    + F.expr(f"({pct} * coalesce(__s, 0L)) DIV 100")
+                ).alias("pru"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        F.col(id_col), (F.col("pru").cast("double") / 1_000_000).alias("pagerank")
+    )

@@ -1732,3 +1732,71 @@ def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled integer micro-unit PageRank iterations as DuckDB CTEs —
+    rank DIV outdeg and (pct*sum) DIV 100 are floor divisions on
+    BIGINTs, bit-identical to the Spark side with no float rounding
+    anywhere (see operators.graph.pagerank)."""
+    pct = int(round(damping * 100))
+    reset = 1_000_000 - pct * 10_000
+    parts = [
+        """pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+deg AS (SELECT u, count(*) AS outdeg FROM pairs GROUP BY 1),
+pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pru FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+c{t} AS (
+  SELECT p.v AS id, CAST(sum(pr.pru // d.outdeg) AS BIGINT) AS s
+  FROM pairs p JOIN pr{t - 1} pr ON pr.id = p.u JOIN deg d ON d.u = p.u
+  GROUP BY 1),
+pr{t} AS (
+  SELECT n.id, CAST({reset} + ({pct} * coalesce(c.s, 0)) // 100 AS BIGINT) AS pru
+  FROM nodes n LEFT JOIN c{t} c ON c.id = n.id)""")
+    return ",".join(parts)
+
+
+_PR_ITERS = 3
+
+
+@register(
+    "part_pagerank",
+    oracle=f"""
+WITH {_pagerank_sql(_PR_ITERS)}
+SELECT id AS l_partkey, CAST(pru AS DOUBLE) / 1000000 AS pagerank
+FROM pr{_PR_ITERS}
+ORDER BY l_partkey
+""",
+)
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts linked when they
+    appear in the same order, both directions) — the iterative-algorithm
+    capability under the FULL value-hash gate: operators.graph.pagerank
+    runs GraphX-style N-scaled ranks in integer micro-units, so three
+    distributed sweeps agree with the oracle's unrolled CTEs on every
+    vertex, bit for bit."""
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    return (
+        pagerank(nodes, pairs, "id", "u", "v", iterations=_PR_ITERS)
+        .select(F.col("id").alias("l_partkey"), "pagerank")
+        .orderBy("l_partkey")
+    )

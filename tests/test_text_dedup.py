@@ -315,3 +315,26 @@ def test_shingle_novelty_attributes_to_first_doc(spark):
     assert r[2].n_seen_before == r[2].n_shingles and r[2].novelty_frac == 0.0
     assert r[3].n_seen_before == 1  # only 'p q r'
     assert r[4].novelty_frac == 1.0
+
+
+def test_pagerank_micro_unit_hand_computed(spark):
+    from movie_recommendation_engine_spark.operators.graph import pagerank
+
+    # directed triangle + dangling sink d: a->b, b->a, a->c, c->a, b->c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c")], "u string, v string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "id string")
+    r = {
+        x.id: x.pagerank
+        for x in pagerank(nodes, edges, "id", "u", "v", iterations=1).collect()
+    }
+    # micro-units: everyone starts at 1_000_000; outdeg a=2, b=2, c=1
+    # a <- b/2 + c/1 = 1_500_000 -> 150_000 + 85*1_500_000//100
+    assert r["a"] == (150_000 + 85 * 1_500_000 // 100) / 1e6
+    # b <- a/2 = 500_000
+    assert r["b"] == (150_000 + 85 * 500_000 // 100) / 1e6
+    # c <- a/2 + b/2 = 1_000_000
+    assert r["c"] == (150_000 + 85 * 1_000_000 // 100) / 1e6
+    # d has no in-edges: reset floor only
+    assert r["d"] == 0.15
