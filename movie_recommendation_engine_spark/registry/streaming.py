@@ -362,3 +362,36 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_ohlc_15m",
+    oracle="""
+WITH keyed AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS b, event_type, value,
+         printf('%016d-%010d', epoch_us(ts), event_id) AS ord
+  FROM events)
+SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
+       round(arg_min(value, ord), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, ord), 6) AS close,
+       count(*) AS n_events
+FROM keyed
+GROUP BY b, event_type
+ORDER BY bucket_start, event_type
+""",
+)
+def q_events_ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the classic time-series resample (open/high/
+    low/close per 15-minute bucket per series), via streaming.events.
+    ohlc_buckets: one single-shuffle aggregate whose open/close are
+    min_by/max_by over a zero-padded (epoch_us, event_id) string key
+    (DuckDB's arg_min/arg_max take only scalar keys, so both engines
+    order by the identical padded string, deterministic under ts ties).
+    The same plan runs as a watermarked streaming aggregation —
+    tests/test_streaming.py proves stream == batch."""
+    from ..streaming.events import ohlc_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_buckets(ev, "15 minutes").orderBy("bucket_start", "event_type")

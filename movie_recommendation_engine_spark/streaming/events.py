@@ -295,3 +295,43 @@ def sessionize_dynamic(
             "sum_value",
         )
     )
+
+
+def ohlc_buckets(
+    events: DataFrame,
+    window: str = "15 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """OHLC downsampling per (tumbling bucket, event_type): open/close
+    via min_by/max_by over a zero-padded (epoch_us, event_id) string key
+    — deterministic under timestamp ties, a single aggregate with no
+    window-function pass, and the identical scalar key an arg_min-style
+    SQL oracle can order by.  Batch and streaming share the plan; in
+    streaming the watermark closes buckets and bounds state to
+    #open-buckets x #types."""
+    df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    ordk = F.format_string(
+        "%016d-%010d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    return (
+        df.select(
+            F.window("ts", window).alias("w"), "event_type", "value", ordk.alias("ord")
+        )
+        .groupBy("w", "event_type")
+        .agg(
+            F.round(F.min_by("value", F.col("ord")), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", F.col("ord")), 6).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

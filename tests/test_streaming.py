@@ -272,3 +272,13 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
     batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
     want = enriched_nation_rollup(batch, nation)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ohlc_stream_matches_batch(spark, events_dir):
+    from movie_recommendation_engine_spark.streaming.events import ohlc_buckets
+
+    stream = read_events_stream(spark, events_dir)
+    batch = spark.read.parquet(events_dir)
+    got = _run_stream(spark, ohlc_buckets(stream, "15 minutes"), "t_ohlc", "complete")
+    want = ohlc_buckets(batch, "15 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
