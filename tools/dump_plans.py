@@ -25,6 +25,10 @@ SHOWCASE = [
     ("bloom_semi_join_revenue", "bloom bitmap literal filters the probe scan pre-shuffle"),
     ("events_click_attribution", "interval join: hash equi-join on key, time range residual"),
     ("dq_lineitem_audit", "row-level quality rules fused into one scan"),
+    ("tpch_q6_forecast_revenue", "pushdown best case: all predicates at the scan, no wide exchange"),
+    ("tpch_q2_min_cost_supplier", "correlated scalar-min decorrelated to a partkey window"),
+    ("part_pagerank", "iterative graph sweeps: per-iteration join+sum, truncated lineage"),
+    ("events_ohlc_15m", "OHLC resample as ONE aggregate (min_by/max_by, no window pass)"),
 ]
 
 
