@@ -183,3 +183,55 @@ def test_balance_classes_invariants(spark_global, labels):
     assert set(got) == set(counts) and all(v == k for v in got.values())
     # selection is a subset of the input
     assert {(r.id, r.label) for r in out} <= set(rows)
+
+
+words_strategy = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=st.lists(words_strategy, min_size=1, max_size=6))
+def test_repetition_signal_bounds_any_corpus(spark_global, docs):
+    from movie_recommendation_engine_spark.operators.text import repetition_signals
+
+    spark = spark_global
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for r in repetition_signals(df, "doc_id", "text").collect():
+        ws = docs[r.doc_id]
+        assert r.n_tokens == len(ws)
+        assert 0.0 <= r.dup_word_frac < 1.0
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert 1 <= r.max_token_run <= len(ws)
+        # longest run computed independently
+        best = run = 1
+        for a, b in zip(ws, ws[1:]):
+            run = run + 1 if a == b else 1
+            best = max(best, run)
+        assert r.max_token_run == best
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_pagerank_mass_and_floor_any_graph(spark_global, edges):
+    from movie_recommendation_engine_spark.operators.graph import pagerank
+
+    spark = spark_global
+    node_ids = sorted({v for e in edges for v in e})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id int")
+    e = spark.createDataFrame(edges, "u int, v int")
+    out = pagerank(nodes, e, "id", "u", "v", iterations=2).collect()
+    assert len(out) == len(node_ids)
+    n = len(node_ids)
+    for r in out:
+        # reset floor and (leaky) mass conservation: total <= N, each >= 0.15
+        assert r.pagerank >= 0.15
+    assert sum(r.pagerank for r in out) <= n + 1e-9
