@@ -395,3 +395,30 @@ def q_events_ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return ohlc_buckets(ev, "15 minutes").orderBy("bucket_start", "event_type")
+
+
+@register(
+    "events_abandoned_views",
+    oracle="""
+SELECT v.event_id, v.user_id, strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM events v
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase'
+                    AND p.user_id = v.user_id
+                    AND p.ts > v.ts
+                    AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+ORDER BY v.event_id
+""",
+)
+def q_events_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment: views never followed by a same-user purchase
+    within 30 minutes — the temporal NOT EXISTS, run as a left-outer
+    interval join + IS NULL filter (streaming/joins.unconverted_events)
+    so the identical plan is legal as a watermarked stream-stream join
+    (anti joins are not; absence becomes emittable once the purchase
+    watermark passes view_ts + horizon)."""
+    from ..streaming.joins import unconverted_events
+
+    ev = _t(spark, sf_dir, "events")
+    return unconverted_events(ev, "view", "purchase", "30 minutes").orderBy("event_id")

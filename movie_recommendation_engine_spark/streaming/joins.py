@@ -103,3 +103,50 @@ def click_attribution_stats(
             F.countDistinct("click_id").alias("n_clicks"),
         )
     )
+
+
+def unconverted_events(
+    events: DataFrame,
+    trigger: str = "view",
+    convert: str = "purchase",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Temporal NOT EXISTS: trigger events with NO converting event for
+    the same user within ``horizon`` after them (cart abandonment, un-
+    acked alerts, unanswered messages).
+
+    Spelled as a left-OUTER interval join + IS NULL filter rather than a
+    left-anti join: stream-stream anti joins are unsupported, but outer
+    joins with a watermark and a time-range condition are — so the same
+    plan runs in both modes (in streaming, a non-match emits only after
+    the right watermark passes trigger_ts + horizon, i.e. once absence
+    is PROVABLE; an anti-join rewrite would be batch-only).  The outer
+    join emits one row per matching convert event, so non-matches are
+    exactly the rows whose convert side is null — no dedup needed.
+    State is bounded by horizon x per-user trigger rate.
+    """
+    trig = events.filter(F.col("event_type") == trigger).select(
+        "event_id", "user_id", F.col("ts").alias("trig_ts")
+    )
+    conv = events.filter(F.col("event_type") == convert).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("conv_ts")
+    )
+    if trig.isStreaming:
+        trig = trig.withWatermark("trig_ts", watermark)
+    if conv.isStreaming:
+        conv = conv.withWatermark("conv_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("conv_ts") > F.col("trig_ts"))
+        & (F.col("conv_ts") <= F.col("trig_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return (
+        trig.join(conv, cond, "left_outer")
+        .filter(F.col("conv_ts").isNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("trig_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        )
+    )

@@ -282,3 +282,27 @@ def test_ohlc_stream_matches_batch(spark, events_dir):
     got = _run_stream(spark, ohlc_buckets(stream, "15 minutes"), "t_ohlc", "complete")
     want = ohlc_buckets(batch, "15 minutes")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_unconverted_boundary_semantics(spark):
+    from movie_recommendation_engine_spark.streaming.joins import unconverted_events
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, None),      # converted at +30:00 boundary
+        (2, "2024-01-01 10:00:00", 2, "view", 1.0, None),      # converted at +30:01 -> abandoned
+        (3, "2024-01-01 10:00:00", 3, "view", 1.0, None),      # purchase BEFORE the view -> abandoned
+        (4, "2024-01-01 10:00:00", 4, "view", 1.0, None),      # no purchase at all -> abandoned
+        (5, "2024-01-01 10:00:00", 5, "view", 1.0, None),      # two purchases in window -> one row, converted
+        (10, "2024-01-01 10:30:00", 1, "purchase", 1.0, None),
+        (11, "2024-01-01 10:30:01", 2, "purchase", 1.0, None),
+        (12, "2024-01-01 09:59:59", 3, "purchase", 1.0, None),
+        (13, "2024-01-01 10:10:00", 5, "purchase", 1.0, None),
+        (14, "2024-01-01 10:20:00", 5, "purchase", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, p) for i, ts, u, t, v, p in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(r.event_id for r in unconverted_events(df, "view", "purchase", "30 minutes").collect())
+    assert got == [2, 3, 4]
