@@ -1800,3 +1800,40 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("l_partkey"), "pagerank")
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "price_histogram_equidepth",
+    oracle="""
+WITH t AS (
+  SELECT l_extendedprice AS p,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+  FROM lineitem)
+SELECT decile, count(*) AS n,
+       round(min(p), 6) AS lo, round(max(p), 6) AS hi
+FROM t GROUP BY decile ORDER BY decile
+""",
+)
+def q_price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the optimizer-statistics / data-profiling
+    companion to the fixed-width one): ntile deciles over a TOTAL order
+    — (price, orderkey, linenumber) is unique, so tile boundaries are
+    deterministic, not tie-broken by partition luck.  A global ntile is
+    a single range-partitioned sort at scale; for 100 TB prefer the
+    percentile-floor pattern (approx quantile cutpoints + broadcast
+    binning) — this query pins the exact semantics the sketch
+    approximates."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select(F.col("l_extendedprice").alias("p"), F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("p"), 6).alias("lo"),
+            F.round(F.max("p"), 6).alias("hi"),
+        )
+        .orderBy("decile")
+    )
