@@ -1,0 +1,73 @@
+"""Sanctioned Arrow grouped-map operators (``applyInPandas``).
+
+This completes the engine's Arrow API surface under the value-hash
+gate: ``mapInPandas`` is gated via the multimodal queries,
+``applyInPandasWithState`` via the streaming stateful op, and the
+grouped-map path here.  The rule for anything Python-side stays the
+same as everywhere else in the repo: Arrow batches only (never
+row-at-a-time UDFs), and semantics that are ORDER-INDEPENDENT so the
+result hashes identically against a SQL oracle — which is why the
+showcase statistic is the median (a pure function of the value multiset;
+a pandas ``mean`` would carry summation-order ulp noise vs SQL's sum).
+
+Scale note: ``applyInPandas`` shuffles each group to one task and
+materializes it as a single pandas frame — use it when per-group logic
+genuinely needs the whole group in memory (quantiles, model-per-group,
+sequence alignment) and group sizes are bounded.  For unbounded groups
+prefer the JVM-side window/aggregate forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def grouped_value_stats_arrow(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group (n, median, min, max) computed in an Arrow grouped-map.
+
+    Median for an even group size is the mean of the two middle values —
+    one double addition and halving of identical operands in numpy and
+    any SQL engine (DuckDB ``median``/``quantile_cont(0.5)``), so the
+    result is bit-identical cross-engine; min/max/count are trivially
+    order-independent.  Output: (group_col, n, median_value, min_value,
+    max_value).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} long, n long, median_value double, "
+        "min_value double, max_value double"
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].to_numpy()
+        v.sort()
+        n = len(v)
+        mid = n // 2
+        median = float(v[mid]) if n % 2 else (float(v[mid - 1]) + float(v[mid])) / 2.0
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n": [n],
+                "median_value": [median],
+                "min_value": [float(v[0])],
+                "max_value": [float(v[-1])],
+            }
+        )
+
+    return (
+        df.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(stats, schema=out_schema)
+        .select(
+            group_col,
+            "n",
+            F.round("median_value", 6).alias("median_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+    )

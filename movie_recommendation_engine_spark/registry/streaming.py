@@ -422,3 +422,27 @@ def q_events_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return unconverted_events(ev, "view", "purchase", "30 minutes").orderBy("event_id")
+
+
+@register(
+    "user_value_median_arrow",
+    oracle="""
+SELECT user_id, count(*) AS n,
+       round(median(value), 6) AS median_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_user_value_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact median via the Arrow grouped-map path
+    (operators/arrowops.py::grouped_value_stats_arrow) — applyInPandas
+    under the FULL value hash: the median is a pure function of the
+    value multiset, so the pandas computation agrees with DuckDB's
+    median() bit-for-bit (a mean would not — summation order)."""
+    from ..operators.arrowops import grouped_value_stats_arrow
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_value_stats_arrow(ev, "user_id", "value").orderBy("user_id")
