@@ -288,6 +288,10 @@ def pagerank(
         raise ValueError("damping must be a multiple of 0.01")
     reset = 1_000_000 - pct * 10_000  # (1-d) in micro-units, exact
     pr = nodes.select(F.col(id_col), F.lit(1_000_000).cast("long").alias("pru"))
+    # the edge list feeds BOTH the degree aggregate and the contribution
+    # join — truncate its (possibly expensive: pair-generation self-join
+    # + distinct) lineage once instead of computing it twice
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy(src).agg(F.count("*").alias("__outdeg"))
     e = edges.join(deg, src).localCheckpoint(eager=False)
     for _ in range(iterations):
