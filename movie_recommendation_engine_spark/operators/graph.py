@@ -315,3 +315,58 @@ def pagerank(
     return pr.select(
         F.col(id_col), (F.col("pru").cast("double") / 1_000_000).alias("pagerank")
     )
+
+
+def pagerank_weighted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank, same integer micro-unit engineering as
+    ``pagerank``: a vertex splits its rank across out-edges in
+    proportion to integer edge weights — contribution along (j -> i) is
+    ``(pru_j * w_ji) DIV W_j`` with ``W_j`` the vertex's total outgoing
+    weight.  All-integer, bit-identical cross-engine; overflow-safe for
+    pru * w < 2^63 (micro-rank ~1e6 x weights up to ~1e12).  Weights
+    must be positive integers (scale fractional weights up-front).
+
+    Same per-iteration physical shape as the unweighted form (vertex-
+    keyed join + grouped integer sum, truncated lineage).
+    """
+    pct = int(round(damping * 100))
+    if abs(pct - damping * 100) > 1e-9:
+        raise ValueError("damping must be a multiple of 0.01")
+    reset = 1_000_000 - pct * 10_000
+    pr = nodes.select(F.col(id_col), F.lit(1_000_000).cast("long").alias("pru"))
+    edges = edges.localCheckpoint(eager=False)
+    wtot = edges.groupBy(src).agg(F.sum(weight).cast("long").alias("__wtot"))
+    e = edges.join(wtot, src).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.select(F.col(id_col).alias("__src"), "pru"), e[src] == F.col("__src"))
+            .select(
+                F.col(dst).alias("__dst"),
+                F.expr(f"(pru * {weight}) DIV __wtot").alias("__c"),
+            )
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        pr = (
+            pr.join(contrib, pr[id_col] == F.col("__dst"), "left")
+            .select(
+                F.col(id_col),
+                (
+                    F.lit(reset).cast("long")
+                    + F.expr(f"({pct} * coalesce(__s, 0L)) DIV 100")
+                ).alias("pru"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        F.col(id_col), (F.col("pru").cast("double") / 1_000_000).alias("pagerank")
+    )

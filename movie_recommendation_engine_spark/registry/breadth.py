@@ -1837,3 +1837,66 @@ def q_price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED integer micro-unit PageRank CTEs: contribution
+    along an edge is (pru * w) // wtot — see graph.pagerank_weighted."""
+    pct = int(round(damping * 100))
+    reset = 1_000_000 - pct * 10_000
+    parts = [
+        """pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+wt AS (SELECT u, CAST(sum(w) AS BIGINT) AS wtot FROM pairs GROUP BY 1),
+pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pru FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+c{t} AS (
+  SELECT p.v AS id, CAST(sum((pr.pru * p.w) // wt.wtot) AS BIGINT) AS s
+  FROM pairs p JOIN pr{t - 1} pr ON pr.id = p.u JOIN wt ON wt.u = p.u
+  GROUP BY 1),
+pr{t} AS (
+  SELECT n.id, CAST({reset} + ({pct} * coalesce(c.s, 0)) // 100 AS BIGINT) AS pru
+  FROM nodes n LEFT JOIN c{t} c ON c.id = n.id)""")
+    return ",".join(parts)
+
+
+@register(
+    "part_pagerank_weighted",
+    oracle=f"""
+WITH {_pagerank_weighted_sql(_PR_ITERS)}
+SELECT id AS l_partkey, CAST(pru AS DOUBLE) / 1000000 AS pagerank
+FROM pr{_PR_ITERS}
+ORDER BY l_partkey
+""",
+)
+def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph: edge weight =
+    number of distinct orders the pair shares, so frequently co-bought
+    parts pull proportionally more rank — rank splits by integer
+    (pru * w) DIV wtot, keeping every vertex bit-identical to the
+    oracle's unrolled CTEs."""
+    from ..operators.graph import pagerank_weighted
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.countDistinct("a.l_orderkey").cast("long").alias("w"))
+    )
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    return (
+        pagerank_weighted(nodes, pairs, "id", "u", "v", "w", iterations=_PR_ITERS)
+        .select(F.col("id").alias("l_partkey"), "pagerank")
+        .orderBy("l_partkey")
+    )
