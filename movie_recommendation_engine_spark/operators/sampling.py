@@ -191,3 +191,49 @@ def balance_classes(
         )
         out = with_scalars(ranked, minority).filter(F.col("__rn") <= F.col("__k"))
     return out.drop("__rn", "__k")
+
+
+def mixture_sample(
+    df: DataFrame,
+    class_col: str,
+    key_cols: list[str],
+    weights: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample to a TARGET CLASS MIXTURE — the corpus-mixing pass of LLM
+    data pipelines ("40% web, 30% code, ..." re-weighted from whatever
+    the crawl delivered), generalizing ``balance_classes`` (the all-
+    weights-equal special case).
+
+    Proportions are integer WEIGHTS, not floats, so the allocation is
+    exact in any engine: with m = min_c floor(n_c / w_c), each class
+    keeps k_c = w_c * m rows — the largest sample achieving the exact
+    w ratio without oversampling any class.  Within a class the k_c
+    lowest-content-hash rows survive (uniform, partitioning-independent,
+    reproducible across cluster sizes).  Classes not in ``weights`` are
+    dropped.  One shuffle on the class column; class counts and m ride
+    in via a broadcast one-row aggregate, never a driver collect.
+    """
+    from .relational import with_scalars
+
+    keep = df.filter(
+        F.col(class_col).isin(*weights.keys())
+    )
+    wmap = F.create_map(
+        *[x for k, w in sorted(weights.items()) for x in (F.lit(k), F.lit(int(w)))]
+    )
+    h = uniform_hash(*key_cols, salt=salt)
+    ranked = keep.withColumn("__w", wmap[F.col(class_col)]).withColumn(
+        "__rn", F.row_number().over(Window.partitionBy(class_col).orderBy(h, *key_cols))
+    )
+    m = (
+        keep.groupBy(class_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__w", wmap[F.col(class_col)])
+        .agg(F.min(F.expr("__n DIV __w")).alias("__m"))
+    )
+    return (
+        with_scalars(ranked, m)
+        .filter(F.col("__rn") <= F.col("__w") * F.col("__m"))
+        .drop("__rn", "__w", "__m")
+    )

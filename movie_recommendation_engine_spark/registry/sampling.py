@@ -153,3 +153,49 @@ def q_balanced_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_H_MIX = duck_hash_sql("mix", "doc_id")
+_MIX_WEIGHTS = {"en": 4, "zh": 2, "es": 1, "fr": 1, "de": 1}
+_MIX_W_SQL = ", ".join(f"('{k}', {w})" for k, w in sorted(_MIX_WEIGHTS.items()))
+
+
+@register(
+    "doc_mixture_sample",
+    oracle=f"""
+WITH wts AS (SELECT * FROM (VALUES {_MIX_W_SQL}) w(lang, w)),
+m AS (SELECT min(n // w) AS m FROM (
+        SELECT lang, count(*) AS n FROM documents GROUP BY 1) n JOIN wts USING (lang)),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_H_MIX}, doc_id) AS rn
+  FROM documents WHERE lang IN (SELECT lang FROM wts))
+SELECT r.lang, count(*) AS n_kept, CAST(sum(r.doc_id) AS BIGINT) AS id_sum,
+       min(r.doc_id) AS id_min, max(r.doc_id) AS id_max
+FROM ranked r JOIN wts USING (lang), m
+WHERE rn <= w * m
+GROUP BY r.lang
+ORDER BY r.lang
+""",
+)
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture corpus sampling (en:zh:es:fr:de = 4:2:1:1:1) —
+    the data-mixing pass of LLM pipelines, exact by construction:
+    integer weights allocate k_c = w_c * min_c(n_c DIV w_c) rows per
+    class, and within a class the lowest-content-hash rows survive, so
+    selection is reproducible on any partitioning.  The id fingerprint
+    pins WHICH rows were kept."""
+    from ..operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = mixture_sample(docs, "lang", ["doc_id"], _MIX_WEIGHTS)
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.min("doc_id").alias("id_min"),
+            F.max("doc_id").alias("id_max"),
+        )
+        .orderBy("lang")
+    )

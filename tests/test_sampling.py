@@ -115,3 +115,19 @@ def test_sampling_results_invariant_to_shuffle_partitions(spark):
             assert a == b, f"{n} changed under different parallelism"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_mixture_sample_exact_ratios_and_determinism(spark):
+    from movie_recommendation_engine_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)] + [(i, "c") for i in range(90, 100)]
+    df = spark.createDataFrame(rows, "id int, cls string")
+    # n: a=60, b=30, c=10; weights 3:2:1 -> m = min(60//3, 30//2, 10//1) = 10
+    out = mixture_sample(df, "cls", ["id"], {"a": 3, "b": 2, "c": 1})
+    counts = {r.cls: r.n for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 30, "b": 20, "c": 10}
+    # deterministic across partitionings
+    again = mixture_sample(df.repartition(7), "cls", ["id"], {"a": 3, "b": 2, "c": 1})
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+    # unknown classes dropped
+    assert out.filter(~F.col("cls").isin("a", "b", "c")).count() == 0
