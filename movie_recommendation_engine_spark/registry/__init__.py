@@ -45,6 +45,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_testdata(spark, sf_dir, name)
 
 
+def duck_det_round6(expr: str) -> str:
+    """DuckDB mirror of functions.rounding.det_round(col, 6): floor-based
+    rounding in pure double ops, tie-stable cross-engine (engine round()
+    diverges on binary-exact integer ratios like odd/128)."""
+    return f"(floor(({expr}) * 1000000 + 0.5) / 1000000)"
+
+
 def duck_hash_sql(salt: str, *cols: str) -> str:
     """DuckDB expression bit-identical to functions.hashing.uniform_hash."""
     parts = ", ".join(cols)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import det_round
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -66,11 +67,11 @@ shared AS (
   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
-       round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+       (floor((c * 1.0 / (sa.sz + sb.sz - c)) * 1000000 + 0.5) / 1000000) AS jaccard
 FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.5
+WHERE (floor((c * 1.0 / (sa.sz + sb.sz - c)) * 1000000 + 0.5) / 1000000) >= 0.5
 ORDER BY id_a, id_b
 """,
 )
@@ -114,13 +115,13 @@ cand AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
 pairs AS (
   SELECT id_a, id_b,
-         round(len(list_intersect(sa.s, sb.s)) * 1.0 /
-               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+         (floor((len(list_intersect(sa.s, sb.s)) * 1.0 /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) * 1000000 + 0.5) / 1000000) AS jaccard
   FROM cand
   JOIN sh sa ON sa.doc_id = id_a
   JOIN sh sb ON sb.doc_id = id_b
-  WHERE round(len(list_intersect(sa.s, sb.s)) * 1.0 /
-              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) >= 0.5)
+  WHERE (floor((len(list_intersect(sa.s, sb.s)) * 1.0 /
+              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) * 1000000 + 0.5) / 1000000) >= 0.5)
 """
 
 
@@ -224,7 +225,7 @@ contaminated AS (
 n_eval AS (SELECT count(*) AS n FROM base WHERE NOT in_train)
 SELECT (SELECT n FROM n_eval) AS n_eval,
        count(*) AS n_contaminated,
-       round(count(*) * 1.0 / (SELECT n FROM n_eval), 6) AS contamination_rate,
+       (floor((count(*) * 1.0 / (SELECT n FROM n_eval)) * 1000000 + 0.5) / 1000000) AS contamination_rate,
        CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
        coalesce(min(doc_id), -1) AS id_min,
        coalesce(max(doc_id), -1) AS id_max
@@ -259,7 +260,7 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_eval",
         "n_contaminated",
-        F.round(F.col("n_contaminated") / F.col("n_eval"), 6).alias(
+        det_round(F.col("n_contaminated") / F.col("n_eval")).alias(
             "contamination_rate"
         ),
         "id_sum",

@@ -29,7 +29,7 @@ dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
 nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT t.doc_id, t.term,
-         round(t.n * 1.0 / dl.doc_len, 6) AS tf,
+         (floor((t.n * 1.0 / dl.doc_len) * 1000000 + 0.5) / 1000000) AS tf,
          round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf,
          round((t.n * 1.0 / dl.doc_len)
                * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tf_idf
@@ -372,10 +372,11 @@ runs AS (SELECT doc_id, count(*) AS r FROM isl GROUP BY doc_id, tok, g),
 maxrun AS (SELECT doc_id, CAST(max(r) AS INT) AS max_token_run FROM runs GROUP BY doc_id)
 SELECT b.doc_id,
        len(b.w) AS n_tokens,
-       round(1.0 - len(list_distinct(b.w)) * 1.0 / len(b.w), 6) AS dup_word_frac,
-       round(list_max(list_transform(list_distinct(b.b),
-                                     x -> len(list_filter(b.b, y -> y = x))))
-             * 1.0 / len(b.b), 6) AS top_bigram_frac,
+       (floor((1.0 - len(list_distinct(b.w)) * 1.0 / len(b.w)) * 1000000 + 0.5) / 1000000)
+         AS dup_word_frac,
+       (floor((list_max(list_transform(list_distinct(b.b),
+                                       x -> len(list_filter(b.b, y -> y = x))))
+               * 1.0 / len(b.b)) * 1000000 + 0.5) / 1000000) AS top_bigram_frac,
        m.max_token_run
 FROM bgs b JOIN maxrun m USING (doc_id)
 ORDER BY doc_id
@@ -406,8 +407,8 @@ first AS (SELECT g, min(doc_id) AS fd FROM ex GROUP BY g)
 SELECT e.doc_id,
        count(*) AS n_shingles,
        CAST(sum(CASE WHEN f.fd < e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
-       round(1.0 - sum(CASE WHEN f.fd < e.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-         AS novelty_frac
+       (floor((1.0 - sum(CASE WHEN f.fd < e.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*))
+               * 1000000 + 0.5) / 1000000) AS novelty_frac
 FROM ex e JOIN first f USING (g)
 GROUP BY e.doc_id
 ORDER BY e.doc_id

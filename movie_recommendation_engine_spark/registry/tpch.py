@@ -461,7 +461,7 @@ _PS_SQL = """
     oracle=f"""
 WITH ps AS ({_PS_SQL})
 SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_type,
-       round(ps.ps_supplycost, 6) AS supplycost
+       floor(ps.ps_supplycost * 1000000 + 0.5) / 1000000 AS supplycost
 FROM part p
 JOIN ps ON ps.ps_partkey = p.p_partkey
 JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
@@ -486,7 +486,14 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated form to prove the decorrelation equivalent.  All four
     dimension joins broadcast; the only wide exchange is the pseudo-
     partsupp groupBy on (partkey, suppkey), and the window repartitions
-    by partkey — both keys are high-cardinality and unskewed."""
+    by partkey — both keys are high-cardinality and unskewed.
+
+    The output cost is rounded as floor(x*1e6 + 0.5)/1e6 — double ops
+    only, bit-identical cross-engine — NOT engine round(x, 6):
+    price/quantity quotients are often binary-exact with decimal
+    expansions ending in 5 at the 7th place (quantity = 2^k), exactly
+    where Java's BigDecimal HALF_UP and DuckDB's scaled-multiply
+    rounding disagree (caught at sf0.1)."""
     from pyspark.sql import Window
 
     ps = _pseudo_partsupp(spark, sf_dir)
@@ -510,7 +517,7 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             "p_partkey",
             "p_type",
-            F.round("ps_supplycost", 6).alias("supplycost"),
+            (F.floor(F.col("ps_supplycost") * 1000000 + 0.5) / 1000000).alias("supplycost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
     )
@@ -529,7 +536,7 @@ WITH val AS (
   GROUP BY 1)
 SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
 FROM val
-WHERE v * 1000 > (SELECT sum(v) FROM val)
+WHERE v * (SELECT count(*) FROM val) > 3 * (SELECT sum(v) FROM val)
 ORDER BY part_value DESC, l_partkey
 """,
 )
@@ -540,8 +547,11 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-scalar subquery over the SAME aggregate.  The per-part frame
     is localCheckpointed so the grand total reuses it instead of
     re-shuffling lineitem; the scalar re-enters via a 1-row broadcast
-    crossJoin (no driver collect).  The v*1000 > total comparison stays
-    in exact DECIMAL on both engines — no float threshold wobble."""
+    crossJoin (no driver collect).  The threshold is SCALE-FREE — keep
+    parts above 3x the average part value (v * n_parts > 3 * total) —
+    because a fixed share like TPC-H's 0.0001/SF empties out as the
+    part count grows (caught at sf0.1); the comparison stays in exact
+    DECIMAL/BIGINT on both engines — no float threshold wobble."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(
@@ -558,10 +568,10 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    total = val.agg(F.sum("v").alias("total"))
+    total = val.agg(F.sum("v").alias("total"), F.count("*").alias("n_parts"))
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("v") * 1000 > F.col("total"))
+        .filter(F.col("v") * F.col("n_parts") > F.col("total") * 3)
         .select("l_partkey", F.round("v", 2).cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
