@@ -208,3 +208,23 @@ def test_q6_pushes_all_predicates_no_wide_exchange(spark):
         c.split(":")[0] for c in read_schema.split("<")[1].rstrip(">").split(",")
     ) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
     assert "hashpartitioning" not in plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    """OHLC must be one hash aggregate (min_by/max_by), not a window
+    pass: exactly one wide exchange, no Window node."""
+    from movie_recommendation_engine_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["events_ohlc_15m"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_abandonment_outer_join_is_equi_not_nested_loop(spark):
+    """The temporal NOT EXISTS must plan as an equi join on user_id with
+    the time range as residual — a nested-loop over events x events
+    would be quadratic."""
+    from movie_recommendation_engine_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["events_abandoned_views"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
