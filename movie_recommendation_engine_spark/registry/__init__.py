@@ -3,10 +3,16 @@
 schema (TESTDATA.md).
 
 Conventions that make the driver's order-insensitive value-hash robust:
-- every computed double is ``round(x, 6)`` on BOTH sides (float sums
-  accumulate in different orders across engines; 6 decimals absorbs the
-  ulp noise while keeping full semantic precision); money sums go
+- every computed double is rounded to 6 decimals on BOTH sides (float
+  sums accumulate in different orders across engines; 6 decimals absorbs
+  the ulp noise while keeping full semantic precision); money sums go
   through DECIMAL(38,2) first so the sum itself is exact;
+- INTEGER RATIOS (jaccard, token fractions, rates) round via
+  ``functions.rounding.det_round`` / ``duck_det_round6`` — floor-based,
+  bit-identical cross-engine — because engine round() diverges on the
+  half-ties that binary-exact ratios (odd/2^k) hit systematically;
+  iterative algorithms (pagerank, rank-1 ALS) avoid float rounding
+  entirely via integer micro-units or DECIMAL accumulation;
 - every aggregate/computed column is aliased identically on both sides;
 - arrays in outputs are sorted (sort_array / list_sort) so content is
   order-canonical;
