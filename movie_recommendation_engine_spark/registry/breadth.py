@@ -1900,3 +1900,80 @@ def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("l_partkey"), "pagerank")
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "events_seq_pattern",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+chain AS (
+  SELECT p.event_id, p.user_id, p.p_ts,
+         (SELECT max(c.ts) FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts <= p.p_ts) AS c_ts
+  FROM p),
+chain2 AS (
+  SELECT event_id, user_id, p_ts, c_ts,
+         (SELECT max(v.ts) FROM events v
+          WHERE v.event_type = 'view' AND v.user_id = chain.user_id
+            AND v.ts <= chain.c_ts) AS v_ts
+  FROM chain WHERE c_ts IS NOT NULL)
+SELECT event_id, user_id,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM chain2
+WHERE v_ts IS NOT NULL AND v_ts >= p_ts - INTERVAL 24 HOUR
+ORDER BY event_id
+""",
+)
+def q_events_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: purchases completing a
+    view -> click -> purchase pattern within 24 hours, per user.
+
+    Greedy-latest chaining is EXACT here, not a heuristic: for a fixed
+    terminal event, taking the latest click at-or-before it, then the
+    latest view at-or-before that click, maximizes the view timestamp
+    over all valid chains (any earlier click only pushes the reachable
+    view earlier) — so the pattern completes for SOME chain iff it
+    completes for the greedy one.  That turns sequence matching into
+    two chained as-of joins (union-merge, one shuffle each, no
+    quadratic self-join), while the oracle replays the same semantics
+    as correlated max() subqueries."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("c_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("v_ts")
+    )
+    s1 = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], right_cols=["c_ts"], suffix=""
+    ).filter(F.col("c_ts").isNotNull())
+    s2 = asof_join(
+        s1.select("event_id", "user_id", F.col("ts").alias("p_ts"), F.col("c_ts").alias("ts")),
+        views,
+        on="ts",
+        by=["user_id"],
+        right_cols=["v_ts"],
+        suffix="",
+    )
+    return (
+        s2.filter(
+            F.col("v_ts").isNotNull()
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 hours"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        )
+        .orderBy("event_id")
+    )
