@@ -235,3 +235,38 @@ def test_pagerank_mass_and_floor_any_graph(spark_global, edges):
         # reset floor and (leaky) mass conservation: total <= N, each >= 0.15
         assert r.pagerank >= 0.15
     assert sum(r.pagerank for r in out) <= n + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    nums=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 10_000)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_det_round_matches_decimal_half_up_off_ties(spark_global, nums):
+    """det_round must agree with exact decimal HALF_UP whenever the true
+    ratio is NOT a representation-boundary case — and be internally
+    deterministic always (its whole reason to exist)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from movie_recommendation_engine_spark.functions.rounding import det_round
+
+    spark = spark_global
+    df = spark.createDataFrame(nums, "a long, b long")
+    got = {
+        (r.a, r.b): r.r
+        for r in df.select("a", "b", det_round(F.col("a") / F.col("b")).alias("r")).collect()
+    }
+    for a, b in nums:
+        want = float(
+            (Decimal(a) / Decimal(b)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        # binary double of a/b can sit just below an exact-decimal tie;
+        # allow the one-ulp-at-scale-6 divergence ONLY at .5 boundaries
+        exact = (Decimal(a) / Decimal(b)).scaleb(6) % 1 == Decimal("0.5")
+        if not exact:
+            assert got[(a, b)] == want, (a, b)
+        else:
+            assert abs(got[(a, b)] - want) <= 1e-6
