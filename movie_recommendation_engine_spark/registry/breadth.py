@@ -1977,3 +1977,78 @@ def q_events_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "nation_price_regression",
+    oracle="""
+WITH sums AS (
+  SELECT n.n_name AS nation,
+         count(*) AS n,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1)
+SELECT nation, n,
+       (floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000 + 0.5) / 1000000)
+         AS slope,
+       (floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 1000000 + 0.5)
+         / 1000000) AS intercept,
+       (floor((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000 + 0.5) / 1000000)
+         AS r2
+FROM sums
+ORDER BY nation
+""",
+)
+def q_nation_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-per-group: closed-form OLS of extended price on quantity,
+    per supplier nation — slope, intercept, r².  Grouped regression is
+    ONE aggregate producing exact-DECIMAL moment sums (n, Σx, Σy, Σxy,
+    Σx², Σy² — order-independent), each converted to double ONCE, with
+    the normal-equation arithmetic then running on identical doubles in
+    both engines (det_round on the outputs).  No per-group model
+    fitting loop, no Python: the moments pattern is how you fit millions
+    of tiny models at 100 TB — map-side-combined sums, never a
+    per-group data materialization."""
+    from ..functions.rounding import det_round
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "nation",
+        "n",
+        det_round(slope).alias("slope"),
+        det_round((sy - slope * sx) / n).alias("intercept"),
+        det_round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    ).orderBy("nation")
