@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.rounding import det_round
+
 
 def rmse(predictions: DataFrame, label_col: str = "rating", pred_col: str = "prediction") -> DataFrame:
     """One-row DataFrame with the root-mean-squared error."""
@@ -149,13 +151,13 @@ def per_user_ranking_metrics(
 def summarize_ranking(per_user: DataFrame, round_to: int = 6) -> DataFrame:
     """Grand averages: MAP@K, mean precision/recall, hit-rate, ref-mAP."""
     return per_user.agg(
-        F.round(F.avg("ap"), round_to).alias("map_at_k"),
-        F.round(F.avg("precision"), round_to).alias("mean_precision"),
-        F.round(F.avg("recall"), round_to).alias("mean_recall"),
-        F.round(F.avg("hit"), round_to).alias("hit_rate"),
-        F.round(F.avg("ndcg"), round_to).alias("mean_ndcg"),
-        F.round(F.avg("rr"), round_to).alias("mrr"),
-        F.round(F.avg("ref_ap"), round_to).alias("ref_map"),
+        det_round(F.avg("ap"), round_to).alias("map_at_k"),
+        det_round(F.avg("precision"), round_to).alias("mean_precision"),
+        det_round(F.avg("recall"), round_to).alias("mean_recall"),
+        det_round(F.avg("hit"), round_to).alias("hit_rate"),
+        det_round(F.avg("ndcg"), round_to).alias("mean_ndcg"),
+        det_round(F.avg("rr"), round_to).alias("mrr"),
+        det_round(F.avg("ref_ap"), round_to).alias("ref_map"),
         F.count("*").alias("n_users"),
     )
 
@@ -174,7 +176,7 @@ def global_hit_ratio(
     array; it enters via broadcast crossJoin, never a driver collect."""
     joined = interactions.crossJoin(F.broadcast(recs_list))
     return joined.agg(
-        F.round(
+        det_round(
             F.avg(F.array_contains(F.col(recs_col), F.col(item_col)).cast("double")), round_to
         ).alias("hit_ratio"),
         F.count("*").alias("n_rows"),

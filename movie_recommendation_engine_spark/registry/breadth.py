@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import read_csv, read_json, read_orc
 from ..sources.writers import write_csv, write_json, write_orc
+from ..functions.rounding import det_round
 from . import _t, duck_hash_sql, register
 
 
@@ -747,7 +748,7 @@ def q_upsert_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        array_to_string([round(q, 6) for q in quantile_cont(l_quantity, [0.25, 0.5, 0.75])], ',')
          AS quartiles,
-       round(avg(l_quantity), 6) AS mean_qty
+       (floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000) AS mean_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -765,7 +766,7 @@ def q_grouped_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("q"),
-            F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+            det_round(F.avg("l_quantity")).alias("mean_qty"),
         )
         .select(
             "l_returnflag",
@@ -877,9 +878,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       (floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000) AS avg_qty,
+       (floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000) AS avg_price,
+       (floor((avg(l_discount)) * 1000000 + 0.5) / 1000000) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -902,9 +903,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            det_round(F.avg("l_quantity")).alias("avg_qty"),
+            det_round(F.avg("l_extendedprice")).alias("avg_price"),
+            det_round(F.avg("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1037,7 +1038,7 @@ WITH w AS (
   SELECT l_returnflag,
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_price,
-         round(avg(l_discount), 6) AS avg_disc
+         (floor((avg(l_discount)) * 1000000 + 0.5) / 1000000) AS avg_disc
   FROM lineitem GROUP BY 1)
 SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS value FROM w
 UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
@@ -1053,7 +1054,7 @@ def q_lineitem_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        det_round(F.avg("l_discount")).alias("avg_disc"),
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
@@ -1390,7 +1391,7 @@ def q_recency_weighted_customer_value(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
 SELECT event_id, user_id,
        count(*) OVER w AS n_in_window,
-       round(avg(value) OVER w, 6) AS trailing_avg
+       (floor((avg(value) OVER w) * 1000000 + 0.5) / 1000000) AS trailing_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
@@ -1419,7 +1420,7 @@ def q_events_trailing_30m_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.count("*").over(w).alias("n_in_window"),
-            F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+            det_round(F.avg("value").over(w)).alias("trailing_avg"),
             us.alias("__us"),
         )
         .orderBy("user_id", "__us", "event_id")
@@ -1478,8 +1479,8 @@ c AS (
          least(greatest(l.l_extendedprice, b.p01), b.p99) AS clipped
   FROM lineitem l JOIN b ON b.rf = l.l_returnflag)
 SELECT l_returnflag,
-       round(avg(raw), 6) AS avg_raw,
-       round(avg(clipped), 6) AS avg_winsorized,
+       (floor((avg(raw)) * 1000000 + 0.5) / 1000000) AS avg_raw,
+       (floor((avg(clipped)) * 1000000 + 0.5) / 1000000) AS avg_winsorized,
        CAST(sum(CASE WHEN clipped <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
 FROM c
 GROUP BY l_returnflag
@@ -1504,8 +1505,8 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.col("l_extendedprice").alias("raw"), clipped.alias("clipped"))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.avg("raw"), 6).alias("avg_raw"),
-            F.round(F.avg("clipped"), 6).alias("avg_winsorized"),
+            det_round(F.avg("raw")).alias("avg_raw"),
+            det_round(F.avg("clipped")).alias("avg_winsorized"),
             F.sum(F.when(F.col("clipped") != F.col("raw"), 1).otherwise(0)).alias(
                 "n_clipped"
             ),
@@ -1690,7 +1691,7 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_idle_balances",
     oracle="""
 WITH t AS (
-  SELECT round(avg(c_acctbal), 2) AS thr FROM customer WHERE c_acctbal > 0.0)
+  SELECT (floor((avg(c_acctbal)) * 100 + 0.5) / 100) AS thr FROM customer WHERE c_acctbal > 0.0)
 SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
        round(sum(c.c_acctbal), 2) AS totacctbal
 FROM customer c, t
@@ -1719,7 +1720,7 @@ def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = (
         cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 2).alias("thr"))
+        .agg(det_round(F.avg("c_acctbal"), 2).alias("thr"))
     )
     return (
         cust.crossJoin(F.broadcast(thr))

@@ -141,17 +141,17 @@ per_user AS (
   FROM truth_n t LEFT JOIN hits h USING (l_orderkey)
   GROUP BY t.l_orderkey, t.n),
 summary AS (
-  SELECT round(avg(ap), 6) AS map_at_k,
-         round(avg(precision), 6) AS mean_precision,
-         round(avg(recall), 6) AS mean_recall,
-         round(avg(hit), 6) AS hit_rate,
-         round(avg(ndcg), 6) AS mean_ndcg,
-         round(avg(rr), 6) AS mrr,
-         round(avg(ref_ap), 6) AS ref_map,
+  SELECT (floor((avg(ap)) * 1000000 + 0.5) / 1000000) AS map_at_k,
+         (floor((avg(precision)) * 1000000 + 0.5) / 1000000) AS mean_precision,
+         (floor((avg(recall)) * 1000000 + 0.5) / 1000000) AS mean_recall,
+         (floor((avg(hit)) * 1000000 + 0.5) / 1000000) AS hit_rate,
+         (floor((avg(ndcg)) * 1000000 + 0.5) / 1000000) AS mean_ndcg,
+         (floor((avg(rr)) * 1000000 + 0.5) / 1000000) AS mrr,
+         (floor((avg(ref_ap)) * 1000000 + 0.5) / 1000000) AS ref_map,
          count(*) AS n_users
   FROM per_user),
 hitrow AS (
-  SELECT round(avg(CASE WHEN list_contains(items, l_partkey) THEN 1.0 ELSE 0.0 END), 6)
+  SELECT (floor((avg(CASE WHEN list_contains(items, l_partkey) THEN 1.0 ELSE 0.0 END)) * 1000000 + 0.5) / 1000000)
            AS hit_ratio,
          count(*) AS n_rows
   FROM val, recs)

@@ -17,6 +17,7 @@ from ..streaming.events import (
     tumbling_counts,
 )
 from ..streaming.joins import click_attribution_stats
+from ..functions.rounding import det_round
 from . import _t, register
 
 
@@ -47,7 +48,7 @@ WITH expanded AS (
   FROM events)
 SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value
+       (floor((avg(value)) * 1000000 + 0.5) / 1000000) AS avg_value
 FROM expanded
 GROUP BY 1 ORDER BY 1
 """,
@@ -148,7 +149,7 @@ def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       (floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 1000000 + 0.5) / 1000000) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events
 GROUP BY event_type ORDER BY event_type
@@ -163,7 +164,7 @@ def q_events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(k), 6).alias("avg_k"),
+            det_round(F.avg(k)).alias("avg_k"),
             F.max(k).alias("max_k"),
         )
         .orderBy("event_type")
@@ -233,7 +234,7 @@ SELECT isodow(ts) AS dow,
        hour(ts) AS hr,
        strftime(min(ts), '%Y-%m-%d') AS first_day,
        count(*) AS n,
-       round(avg(value), 6) AS avg_value
+       (floor((avg(value)) * 1000000 + 0.5) / 1000000) AS avg_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -252,7 +253,7 @@ def q_events_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            det_round(F.avg("value")).alias("avg_value"),
         )
         .orderBy("dow", "hr")
     )

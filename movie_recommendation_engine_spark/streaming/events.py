@@ -18,6 +18,8 @@ dedup columns and likewise bounded by the watermark horizon.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.rounding import det_round
 from pyspark.sql import types as T
 
 EVENTS_SCHEMA = T.StructType(
@@ -75,7 +77,7 @@ def sliding_value_stats(
     df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
     return (
         df.groupBy(F.window("ts", window, slide).alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count("*").alias("n_events"), det_round(F.avg("value")).alias("avg_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n_events",
