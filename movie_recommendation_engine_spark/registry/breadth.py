@@ -1620,7 +1620,7 @@ s AS (
          round(sum(rev), 2) AS total_rev
   FROM j)
 SELECT promo_rev, total_rev,
-       round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+       (floor((100.0 * promo_rev / total_rev) * 1000000 + 0.5) / 1000000) AS promo_pct
 FROM s
 """,
 )
@@ -1647,7 +1647,7 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "promo_rev",
             "total_rev",
-            F.round(100.0 * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            det_round(100.0 * F.col("promo_rev") / F.col("total_rev")).alias(
                 "promo_pct"
             ),
         )

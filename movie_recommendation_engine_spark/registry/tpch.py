@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import det_round
 from . import _t, register
 
 
@@ -101,9 +102,9 @@ WITH all_rev AS (
   JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
   WHERE r.r_name = 'ASIA')
 SELECT o_year,
-       round(CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
-                                 ELSE CAST(0 AS DECIMAL(38,4)) END), 2) AS DOUBLE)
-             / CAST(round(sum(rev), 2) AS DOUBLE), 6) AS mkt_share
+       (floor((CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(38,4)) END), 2) AS DOUBLE)
+               / CAST(round(sum(rev), 2) AS DOUBLE)) * 1000000 + 0.5) / 1000000) AS mkt_share
 FROM all_rev
 GROUP BY o_year
 ORDER BY o_year
@@ -144,7 +145,7 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 2).cast("double").alias("den"),
         )
         .select(
-            "o_year", F.round(F.col("num") / F.col("den"), 6).alias("mkt_share")
+            "o_year", det_round(F.col("num") / F.col("den")).alias("mkt_share")
         )
         .orderBy("o_year")
     )
