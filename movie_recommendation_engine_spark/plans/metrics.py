@@ -150,14 +150,23 @@ def per_user_ranking_metrics(
 
 def summarize_ranking(per_user: DataFrame, round_to: int = 6) -> DataFrame:
     """Grand averages: MAP@K, mean precision/recall, hit-rate, ref-mAP."""
+    # averages via exact DECIMAL(28,18) sums: a cross-partition double
+    # sum is summation-order-dependent (ulp noise that rounding only
+    # probabilistically absorbs); the decimal sum is exact and order-
+    # free, with ONE double division at the end on identical operands
+    def _avg(c):
+        return det_round(
+            F.sum(F.col(c).cast("decimal(28,18)")).cast("double") / F.count("*"), round_to
+        )
+
     return per_user.agg(
-        det_round(F.avg("ap"), round_to).alias("map_at_k"),
-        det_round(F.avg("precision"), round_to).alias("mean_precision"),
-        det_round(F.avg("recall"), round_to).alias("mean_recall"),
-        det_round(F.avg("hit"), round_to).alias("hit_rate"),
-        det_round(F.avg("ndcg"), round_to).alias("mean_ndcg"),
-        det_round(F.avg("rr"), round_to).alias("mrr"),
-        det_round(F.avg("ref_ap"), round_to).alias("ref_map"),
+        _avg("ap").alias("map_at_k"),
+        _avg("precision").alias("mean_precision"),
+        _avg("recall").alias("mean_recall"),
+        _avg("hit").alias("hit_rate"),
+        _avg("ndcg").alias("mean_ndcg"),
+        _avg("rr").alias("mrr"),
+        _avg("ref_ap").alias("ref_map"),
         F.count("*").alias("n_users"),
     )
 

@@ -141,13 +141,13 @@ per_user AS (
   FROM truth_n t LEFT JOIN hits h USING (l_orderkey)
   GROUP BY t.l_orderkey, t.n),
 summary AS (
-  SELECT (floor((avg(ap)) * 1000000 + 0.5) / 1000000) AS map_at_k,
-         (floor((avg(precision)) * 1000000 + 0.5) / 1000000) AS mean_precision,
-         (floor((avg(recall)) * 1000000 + 0.5) / 1000000) AS mean_recall,
-         (floor((avg(hit)) * 1000000 + 0.5) / 1000000) AS hit_rate,
-         (floor((avg(ndcg)) * 1000000 + 0.5) / 1000000) AS mean_ndcg,
-         (floor((avg(rr)) * 1000000 + 0.5) / 1000000) AS mrr,
-         (floor((avg(ref_ap)) * 1000000 + 0.5) / 1000000) AS ref_map,
+  SELECT (floor((CAST(sum(CAST(ap AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000) AS map_at_k,
+         (floor((CAST(sum(CAST(precision AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000) AS mean_precision,
+         (floor((CAST(sum(CAST(recall AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000) AS mean_recall,
+         (floor((CAST(sum(CAST(hit AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000) AS hit_rate,
+         (floor((CAST(sum(CAST(ndcg AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000) AS mean_ndcg,
+         (floor((CAST(sum(CAST(rr AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000) AS mrr,
+         (floor((CAST(sum(CAST(ref_ap AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000) AS ref_map,
          count(*) AS n_users
   FROM per_user),
 hitrow AS (
