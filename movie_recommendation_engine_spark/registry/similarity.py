@@ -287,7 +287,7 @@ per_query AS (
     ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
   GROUP BY e.query_id)
 SELECT count(*) AS n_queries,
-       (floor((avg(k_hit * 1.0 / k_exact)) * 1000000 + 0.5) / 1000000) AS recall_at_5,
+       (floor((CAST(sum(CAST(k_hit * 1.0 / k_exact AS DECIMAL(28,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000) AS recall_at_5,
        min(k_hit) AS worst_hits
 FROM per_query
 """,
@@ -318,6 +318,9 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_query.agg(
         F.count("*").alias("n_queries"),
-        det_round(F.avg(F.col("k_hit") / F.col("k_exact"))).alias("recall_at_5"),
+        det_round(
+            F.sum((F.col("k_hit") / F.col("k_exact")).cast("decimal(28,18)")).cast("double")
+            / F.count("*")
+        ).alias("recall_at_5"),
         F.min("k_hit").alias("worst_hits"),
     )
