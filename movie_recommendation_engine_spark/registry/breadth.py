@@ -1886,14 +1886,24 @@ def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # pack the pair into one long for the weight aggregate (same trick as
+    # ngram_jaccard_pairs: 8-byte vs 16-byte grouping key over the k^2
+    # join fan-out); partkeys are < 2^31
+    pk = F.col("a.l_partkey") * F.lit(4294967296).cast("long") + F.col("b.l_partkey")
     pairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.countDistinct("a.l_orderkey").cast("long").alias("w"))
+        .select(pk.alias("pk"), F.col("a.l_orderkey").alias("ok"))
+        .groupBy("pk")
+        .agg(F.countDistinct("ok").cast("long").alias("w"))
+        .select(
+            F.expr("pk DIV 4294967296").alias("u"),
+            (F.col("pk") % 4294967296).alias("v"),
+            "w",
+        )
     )
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     return (
