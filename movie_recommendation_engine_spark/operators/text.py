@@ -372,3 +372,56 @@ def shingle_novelty(df, id_col: str, text_col: str, n: int = 3):
             det_round(1.0 - seen / F.count("*")).alias("novelty_frac"),
         )
     )
+
+
+def corpus_filter_funnel(
+    df,
+    id_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    keep_langs: tuple[str, ...] = ("en", "fr", "es", "de"),
+    min_quality: float = 0.58,
+    max_dup_word_frac: float = 0.65,
+    max_run: int = 4,
+):
+    """Corpus-curation filter funnel with FIRST-FAILING-RULE attribution
+    — the standard "why did we drop X% of the crawl" accounting of LLM
+    data pipelines.  Rules in order: language allowlist, quality-score
+    floor, repetition gate (dup-word fraction / identical-token run).
+
+    Per-document verdicts reduce to one tiny aggregate: (reason,
+    n_docs, share, id_sum) — the id fingerprint pins WHICH docs took
+    each exit, not just how many.  Thresholds compare the same doubles
+    both engines compute (quality unrounded, repetition signals already
+    det_round-stable), so attribution is hash-exact.  One scan + one
+    shuffle-light join on the id; everything else is per-row.
+    """
+    rep = repetition_signals(df, id_col, text_col).select(
+        id_col, "dup_word_frac", "max_token_run"
+    )
+    base = df.select(
+        F.col(id_col), F.col(lang_col), quality_score(text_col).alias("__q")
+    )
+    reason = (
+        F.when(~F.col(lang_col).isin(*keep_langs), F.lit("lang"))
+        .when(F.col("__q") < min_quality, F.lit("quality"))
+        .when(
+            (F.col("dup_word_frac") > max_dup_word_frac)
+            | (F.col("max_token_run") >= max_run),
+            F.lit("repetition"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    verdicts = base.join(rep, id_col).select(F.col(id_col), reason.alias("reason"))
+    total = verdicts.agg(F.count("*").alias("__total"))
+    return (
+        verdicts.groupBy("reason")
+        .agg(F.count("*").alias("n_docs"), F.sum(id_col).cast("long").alias("id_sum"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "reason",
+            "n_docs",
+            det_round(F.col("n_docs") / F.col("__total")).alias("share"),
+            "id_sum",
+        )
+    )

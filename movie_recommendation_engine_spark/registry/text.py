@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import text as X
+from ..functions.rounding import det_round
 from . import _t, register
 
 # shared DuckDB fragments (keep in lockstep with operators.text)
@@ -114,16 +115,16 @@ WITH base AS (
 SELECT doc_id,
        len(w) AS ws_tokens,
        len(regexp_extract_all(norm, '{TOKEN_PAT}')) AS regex_tokens,
-       round(CASE WHEN len(norm) > 0
+       (floor((CASE WHEN len(norm) > 0
              THEN len(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) * 1.0 / len(norm)
-             ELSE 0 END, 6) AS punct_ratio,
-       round(CASE WHEN len(w) > 0
+             ELSE 0 END) * 1000000 + 0.5) / 1000000) AS punct_ratio,
+       (floor((CASE WHEN len(w) > 0
              THEN len(list_filter(w, x -> x IN ({STOP_IN}))) * 1.0 / len(w)
-             ELSE 0 END, 6) AS stop_ratio,
-       round(CASE WHEN len(w) > 0
+             ELSE 0 END) * 1000000 + 0.5) / 1000000) AS stop_ratio,
+       (floor((CASE WHEN len(w) > 0
              THEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
-             ELSE 0 END, 6) AS mean_tok_len,
-       round(greatest(0.0, least(1.0,
+             ELSE 0 END) * 1000000 + 0.5) / 1000000) AS mean_tok_len,
+       (floor((greatest(0.0, least(1.0,
              0.2 + 0.08 * (CASE WHEN len(w) > 0
                            THEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
                            ELSE 0 END)
@@ -132,7 +133,7 @@ SELECT doc_id,
                           ELSE 0 END)
                  - 1.5 * (CASE WHEN len(norm) > 0
                           THEN len(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) * 1.0 / len(norm)
-                          ELSE 0 END))), 6) AS quality
+                          ELSE 0 END)))) * 1000000 + 0.5) / 1000000) AS quality
 FROM base ORDER BY doc_id
 """,
 )
@@ -142,10 +143,10 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         X.ws_token_count("text").alias("ws_tokens"),
         X.regex_token_count("text").alias("regex_tokens"),
-        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(X.mean_token_length("text"), 6).alias("mean_tok_len"),
-        F.round(X.quality_score("text"), 6).alias("quality"),
+        det_round(X.punct_ratio("text")).alias("punct_ratio"),
+        det_round(X.stopword_ratio("text")).alias("stop_ratio"),
+        det_round(X.mean_token_length("text")).alias("mean_tok_len"),
+        det_round(X.quality_score("text")).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -420,3 +421,53 @@ def q_doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back, per-doc seen-before share."""
     docs = _t(spark, sf_dir, "documents")
     return X.shingle_novelty(docs, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+@register(
+    "doc_filter_funnel",
+    oracle=f"""
+WITH base AS (SELECT doc_id, lang, {NORM} AS norm, {WORDS} AS w FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         greatest(0.0, least(1.0,
+           0.2 + 0.08 * (CASE WHEN len(w) > 0
+                         THEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+                         ELSE 0 END)
+               + 0.8 * (CASE WHEN len(w) > 0
+                        THEN len(list_filter(w, x -> x IN ({STOP_IN}))) * 1.0 / len(w)
+                        ELSE 0 END)
+               - 1.5 * (CASE WHEN len(norm) > 0
+                        THEN len(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) * 1.0 / len(norm)
+                        ELSE 0 END))) AS q,
+         (floor((1.0 - len(list_distinct(w)) * 1.0 / len(w)) * 1000000 + 0.5) / 1000000)
+           AS dup_word_frac
+  FROM base),
+flat AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM base),
+isl AS (SELECT doc_id, tok,
+               pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS g
+        FROM flat),
+runs AS (SELECT doc_id, count(*) AS r FROM isl GROUP BY doc_id, tok, g),
+maxrun AS (SELECT doc_id, CAST(max(r) AS INT) AS max_token_run FROM runs GROUP BY doc_id),
+v AS (
+  SELECT q.doc_id,
+         CASE WHEN q.lang NOT IN ('en', 'fr', 'es', 'de') THEN 'lang'
+              WHEN q.q < 0.58 THEN 'quality'
+              WHEN q.dup_word_frac > 0.65 OR m.max_token_run >= 4 THEN 'repetition'
+              ELSE 'kept' END AS reason
+  FROM q JOIN maxrun m USING (doc_id))
+SELECT reason, count(*) AS n_docs,
+       (floor((count(*) * 1.0 / (SELECT count(*) FROM documents)) * 1000000 + 0.5)
+         / 1000000) AS share,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM v
+GROUP BY reason
+ORDER BY reason
+""",
+)
+def q_doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation accounting: every document attributed to its
+    FIRST failing filter (language allowlist -> quality floor ->
+    repetition gate) or 'kept' — operators.text.corpus_filter_funnel.
+    The id_sum fingerprint pins which docs took each exit."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.corpus_filter_funnel(docs, "doc_id", "text").orderBy("reason")
