@@ -267,3 +267,60 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_min",
         "id_max",
     )
+
+
+@register(
+    "dedup_pipeline_summary",
+    oracle=f"""
+WITH RECURSIVE {SHINGLES},
+{MINHASH_PAIRS},
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src),
+verdicts AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.component, d.doc_id) AS component,
+         (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT count(*) AS n_docs_in,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed,
+       (floor((sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) * 1.0 / count(*))
+              * 1000000 + 0.5) / 1000000) AS dup_rate,
+       CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM verdicts
+""",
+)
+def q_dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup PIPELINE as one number row — shingle ->
+    MinHash-LSH candidate pairs -> verified Jaccard>=0.5 edges ->
+    connected components -> canonical-only corpus — reporting docs in/
+    kept, cluster count, characters reclaimed, dup rate, and a kept-id
+    fingerprint.  This is the report a curation run ships; every
+    upstream stage is independently oracle-gated, this gates their
+    COMPOSITION (one wrong edge anywhere changes kept_id_sum)."""
+    from ..functions.rounding import det_round as _dr
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5
+    )
+    verdicts = dedup_canonical(docs, pairs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    keep = F.col("is_canonical")
+    return verdicts.agg(
+        F.count("*").alias("n_docs_in"),
+        F.sum(keep.cast("long")).alias("n_docs_kept"),
+        F.countDistinct("component").alias("n_groups"),
+        F.sum(F.when(~keep, F.col("n_chars")).otherwise(0)).cast("long").alias("chars_removed"),
+        _dr(F.sum((~keep).cast("long")) / F.count("*")).alias("dup_rate"),
+        F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).cast("long").alias("kept_id_sum"),
+    )
