@@ -53,8 +53,13 @@ def popularity_scores(
         if approx
         else F.expr(f"percentile(num_ratings, {count_quantile})")
     )
+    # exact-DECIMAL global mean: a cross-partition double avg is
+    # summation-order-dependent; the decimal sum is exact, with one
+    # double division on identical operands in any engine
     scalars = per_item.agg(
-        F.avg("avg_rating").alias("__global_mean"),
+        (
+            F.sum(F.col("avg_rating").cast("decimal(28,18)")).cast("double") / F.count("*")
+        ).alias("__global_mean"),
         pct.cast("double").alias("__count_floor"),
     )
     scored = (
@@ -69,8 +74,13 @@ def popularity_scores(
         .drop("__global_mean", "__count_floor")
     )
     if round_to is not None:
-        scored = scored.withColumn("score", F.round("score", round_to)).withColumn(
-            "avg_rating", F.round("avg_rating", round_to)
+        from ..functions.rounding import det_round
+
+        # det_round: score and avg_rating are rationals of integer counts
+        # and quantity sums — the binary-exact-tie class engine round()
+        # handles differently per engine
+        scored = scored.withColumn("score", det_round(F.col("score"), round_to)).withColumn(
+            "avg_rating", det_round(F.col("avg_rating"), round_to)
         )
     return scored
 

@@ -23,15 +23,15 @@ WITH per_item AS (
          count(l_orderkey) AS num_ratings
   FROM lineitem GROUP BY l_partkey
 ), scalars AS (
-  SELECT avg(avg_rating) AS gm,
+  SELECT CAST(sum(CAST(avg_rating AS DECIMAL(28,18))) AS DOUBLE) / count(*) AS gm,
          quantile_cont(num_ratings, 0.9) AS floor_
   FROM per_item
 )
 SELECT l_partkey,
-       round(avg_rating, 6) AS avg_rating,
+       (floor((avg_rating) * 1000000 + 0.5) / 1000000) AS avg_rating,
        num_ratings,
-       round( (num_ratings / (num_ratings + floor_)) * avg_rating
-            + (floor_ / (floor_ + num_ratings)) * gm, 6) AS score
+       (floor(((num_ratings / (num_ratings + floor_)) * avg_rating
+            + (floor_ / (floor_ + num_ratings)) * gm) * 1000000 + 0.5) / 1000000) AS score
 FROM per_item, scalars
 WHERE num_ratings >= floor_
 ORDER BY score DESC, l_partkey

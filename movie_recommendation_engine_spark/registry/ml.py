@@ -108,10 +108,10 @@ per_item AS (
   SELECT l_partkey, avg(l_quantity) AS avg_rating, count(l_orderkey) AS num_ratings
   FROM train GROUP BY l_partkey),
 scalars AS (
-  SELECT avg(avg_rating) AS gm, quantile_cont(num_ratings, 0.9) AS f FROM per_item),
+  SELECT CAST(sum(CAST(avg_rating AS DECIMAL(28,18))) AS DOUBLE) / count(*) AS gm, quantile_cont(num_ratings, 0.9) AS f FROM per_item),
 scored AS (
   SELECT l_partkey,
-         round((num_ratings/(num_ratings+f))*avg_rating + (f/(f+num_ratings))*gm, 6) AS score
+         (floor(((num_ratings/(num_ratings+f))*avg_rating + (f/(f+num_ratings))*gm) * 1000000 + 0.5) / 1000000) AS score
   FROM per_item, scalars WHERE num_ratings >= f
   ORDER BY score DESC, l_partkey LIMIT 100),
 recs AS (SELECT list(l_partkey ORDER BY score DESC, l_partkey) AS items FROM scored),
