@@ -143,8 +143,10 @@ def per_user_ranking_metrics(
         _ref_map(r, t).alias("ref_ap"),
     )
     if round_to is not None:
+        # per-user metrics are rationals of integer hit counts/ranks —
+        # tie-stable rounding (see functions.rounding)
         for c in ("ap", "precision", "recall", "ndcg", "rr", "ref_ap"):
-            out = out.withColumn(c, F.round(c, round_to))
+            out = out.withColumn(c, det_round(F.col(c), round_to))
     return out
 
 
