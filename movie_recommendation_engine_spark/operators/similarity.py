@@ -369,3 +369,76 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def centroid_classifier_eval(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classification accuracy per label — the standard
+    cheap read on embedding quality ("are classes linearly separated?").
+
+    Determinism is engineered like pagerank: vector components are
+    integer MICRO-UNITS (floor(val * 1e6) — float->double cast is exact,
+    multiply and floor are single IEEE ops), per-(label, dim) centroids
+    are integer sums DIV counts (Spark DIV and DuckDB // both truncate
+    toward zero — verified including negatives), and the per-(vector,
+    label) score sum(u * c) is an exact integer; only the final
+    norm division runs in double, on identical operands.  Prediction =
+    max score with label-ascending tie-break.
+
+    Physically: explode to (id, dim, u) once, broadcast the tiny
+    (labels x dims) centroid table, one grouped integer dot per
+    (vector, candidate label), a rank-1 window per vector.  Returns
+    (label, n, n_correct, accuracy).
+    """
+    from ..functions.rounding import det_round
+
+    ex = vecs.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(vec_col).alias("dim", "val"),
+    ).select(
+        id_col,
+        label_col,
+        "dim",
+        F.floor(F.col("val").cast("double") * 1_000_000).cast("long").alias("u"),
+    ).localCheckpoint(eager=False)
+    cents = (
+        ex.groupBy(F.col(label_col).alias("c_label"), "dim")
+        .agg(F.expr("sum(u) DIV count(*)").alias("c"))
+    )
+    nc = cents.groupBy("c_label").agg(F.sum(F.col("c") * F.col("c")).alias("nc"))
+    scores = (
+        ex.join(F.broadcast(cents), "dim")
+        .groupBy(id_col, label_col, "c_label")
+        .agg(F.sum(F.col("u") * F.col("c")).alias("dot"))
+        .join(F.broadcast(nc), "c_label")
+        .select(
+            id_col,
+            label_col,
+            "c_label",
+            (F.col("dot").cast("double") / F.sqrt(F.col("nc").cast("double"))).alias("s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("c_label").asc())
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, label_col, F.col("c_label").alias("pred"))
+    )
+    return (
+        pred.groupBy(label_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("pred") == F.col(label_col)).cast("long")).alias("n_correct"),
+        )
+        .select(
+            label_col,
+            "n",
+            "n_correct",
+            det_round(F.col("n_correct") / F.col("n")).alias("accuracy"),
+        )
+    )

@@ -324,3 +324,45 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_at_5"),
         F.min("k_hit").alias("worst_hits"),
     )
+
+
+@register(
+    "embedding_centroid_accuracy",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS u
+  FROM embeddings),
+cents AS (
+  SELECT label AS c_label, dim, CAST(CAST(sum(u) AS BIGINT) // count(*) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2),
+nc AS (SELECT c_label, CAST(sum(c * c) AS BIGINT) AS nc FROM cents GROUP BY 1),
+scores AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         CAST(CAST(sum(e.u * c.c) AS BIGINT) AS DOUBLE) / sqrt(CAST(n.nc AS DOUBLE)) AS s
+  FROM ex e JOIN cents c USING (dim) JOIN nc n ON n.c_label = c.c_label
+  GROUP BY e.vec_id, e.label, c.c_label, n.nc),
+pred AS (
+  SELECT vec_id, label, c_label AS pred
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, c_label ASC) AS rk
+        FROM scores) r
+  WHERE rk = 1)
+SELECT label, count(*) AS n,
+       CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       (floor((sum(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1.0 / count(*))
+              * 1000000 + 0.5) / 1000000) AS accuracy
+FROM pred
+GROUP BY label
+ORDER BY label
+""",
+)
+def q_embedding_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: nearest-centroid classification accuracy
+    per label, with integer micro-unit centroids and exact integer dot
+    products so the whole eval hash-matches the SQL oracle (see
+    operators.similarity.centroid_classifier_eval)."""
+    from ..operators.similarity import centroid_classifier_eval
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    return centroid_classifier_eval(vecs).orderBy("label")
