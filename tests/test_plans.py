@@ -228,3 +228,14 @@ def test_abandonment_outer_join_is_equi_not_nested_loop(spark):
 
     plan = _plan(QUERIES["events_abandoned_views"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_seq_pattern_is_windows_not_joins(spark):
+    """Sequence detection must plan as two union-merge as-of windows —
+    zero Join nodes, zero cartesians (the naive triple self-join is
+    quadratic)."""
+    from movie_recommendation_engine_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["events_seq_pattern"](spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
