@@ -261,13 +261,14 @@ def pagerank(
     fully value-hash-checkable against an unrolled-CTE SQL oracle.
     (A first cut rounded doubles to 6 dp instead; ~0.5% of vertices
     landed exactly on a .5 boundary where Java's BigDecimal HALF_UP and
-    DuckDB's scaled-multiply rounding disagree — integer floor division
-    has no such boundary.)
+    DuckDB's scaled-multiply rounding disagree — integer division has
+    no such boundary.  Spark DIV and DuckDB // both truncate toward
+    zero; every operand here is nonnegative, so truncation == floor.)
 
     Semantics are GraphX-style N-SCALED ranks (mean 1.0, reset mass
     0.15 per vertex, no 1/N normalization):
         pr'_i = 0.15 + 0.85 * sum_{j->i} pr_j / outdeg_j
-    with each op floored at 1e-6 resolution; divide by N for the
+    with each op truncated at 1e-6 resolution; divide by N for the
     probability-distribution form.  Dangling vertices leak their mass
     (identically on both sides); vertices without in-edges keep the
     reset floor via the left join.

@@ -64,7 +64,15 @@ def main() -> int:
     import os
 
     cpus = int(os.environ.get("SPARK_GRAFT_CHECK_CPUS", "8"))
-    spark = get_spark("oracle-check", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    if os.environ.get("SPARK_GRAFT_CHECK_VANILLA"):
+        # the driver's environment: a plain SparkSession, default confs
+        # (200 shuffle partitions, default tz, no engine tuning) — the
+        # strictest mirror of how queries() actually gets evaluated
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master(f"local[{cpus}]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check", master=f"local[{cpus}]", shuffle_partitions=cpus)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
