@@ -1,0 +1,146 @@
+"""CLI entry point — the reference's scripts as engine verbs, so a user
+who today runs ``spark-submit popularity_model.py`` / ``als.py`` /
+``python new_split_script.py`` switches to:
+
+    python -m movie_recommendation_engine_spark split \
+        --ratings ratings.csv --out splits/
+    python -m movie_recommendation_engine_spark popularity \
+        --ratings ratings.csv --k 100 --out top_movies/
+    python -m movie_recommendation_engine_spark als \
+        --ratings ratings.csv --rank 100 --max-iter 3 --reg 0.15 \
+        --k 100 --out recs/
+    python -m movie_recommendation_engine_spark evaluate \
+        --ratings ratings.csv --k 100
+
+Inputs may be CSV (header userId,movieId,rating,timestamp — the
+MovieLens layout, reference als.py:24) or parquet (``--format
+parquet``).  Outputs are parquet directories (``--format csv`` writes
+headered CSV like the reference's splitter).  Every verb is one lazy
+Spark plan; only `evaluate` prints scalars to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(f"mres-{app}")
+
+
+def _load(spark, args):
+    from .sources.readers import read_ratings_csv
+
+    if args.format == "parquet":
+        return spark.read.parquet(args.ratings)
+    return read_ratings_csv(spark, args.ratings, header=not args.no_header)
+
+
+def _write(df, path: str, fmt: str) -> None:
+    from .sources.writers import write_csv
+
+    if fmt == "csv":
+        write_csv(df, path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def _pipeline(spark, args):
+    from .plans.movielens import MovieLensPipeline
+
+    p = MovieLensPipeline(_load(spark, args))
+    p.split()
+    return p
+
+
+def cmd_split(args) -> int:
+    from .plans.splitter import split_and_write
+
+    spark = _spark("split")
+    split_and_write(_load(spark, args), args.out)
+    print(f"wrote split-partitioned ratings to {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_popularity(args) -> int:
+    spark = _spark("popularity")
+    p = _pipeline(spark, args)
+    _write(p.popularity_top_k(args.k), args.out, args.format_out)
+    print(f"wrote top-{args.k} popularity ranking to {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_als(args) -> int:
+    spark = _spark("als")
+    p = _pipeline(spark, args)
+    p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
+    recs = p.als.recommend_top_k(args.k)
+    _write(recs, args.out, args.format_out)
+    print(f"wrote top-{args.k} ALS recommendations to {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    spark = _spark("evaluate")
+    p = _pipeline(spark, args)
+    p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
+    out = p.evaluate(k=args.k)
+    row = {
+        "rmse": out["rmse"].collect()[0][0],
+        **out["ranking"].collect()[0].asDict(),
+        "popularity_hit_ratio": p.popularity_hit_ratio(args.k).collect()[0][0],
+    }
+    print(json.dumps(row))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="movie_recommendation_engine_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--ratings", required=True, help="ratings CSV or parquet path")
+        sp.add_argument("--format", choices=["csv", "parquet"], default="csv")
+        sp.add_argument("--no-header", action="store_true", help="headerless CSV (S2)")
+
+    sp = sub.add_parser("split", help="deterministic per-user 25/25/50 split")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_split)
+
+    sp = sub.add_parser("popularity", help="weighted-rating popularity top-k")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--k", type=int, default=100)
+    sp.add_argument("--format-out", choices=["csv", "parquet"], default="parquet")
+    sp.set_defaults(fn=cmd_popularity)
+
+    def als_args(sp):
+        sp.add_argument("--rank", type=int, default=100)
+        sp.add_argument("--max-iter", type=int, default=3)
+        sp.add_argument("--reg", type=float, default=0.15)
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--k", type=int, default=100)
+
+    sp = sub.add_parser("als", help="ALS fit + top-k recommendations")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--format-out", choices=["csv", "parquet"], default="parquet")
+    als_args(sp)
+    sp.set_defaults(fn=cmd_als)
+
+    sp = sub.add_parser("evaluate", help="split + ALS + RMSE/MAP@K + hit-ratio, one JSON line")
+    common(sp)
+    als_args(sp)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,49 @@
+"""The __main__ CLI — the reference's spark-submit scripts as engine
+verbs (split / popularity / als / evaluate)."""
+
+from __future__ import annotations
+
+import csv
+import json
+import random
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ratings_csv(tmp_path_factory):
+    random.seed(7)
+    p = tmp_path_factory.mktemp("cli") / "ratings.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["userId", "movieId", "rating", "timestamp"])
+        for u in range(1, 21):
+            for m in random.sample(range(1, 40), 15):
+                w.writerow([u, m, random.choice([1.0, 2.0, 3.0, 4.0, 5.0]), 1700000000])
+    return str(p)
+
+
+def test_cli_split_popularity_evaluate(spark, ratings_csv, tmp_path, capsys):
+    from movie_recommendation_engine_spark.__main__ import main
+
+    out = tmp_path / "splits"
+    assert main(["split", "--ratings", ratings_csv, "--out", str(out)]) == 0
+    back = spark.read.parquet(str(out))
+    assert set(r.split for r in back.select("split").distinct().collect()) == {
+        "train",
+        "validation",
+        "test",
+    }
+
+    top = tmp_path / "top"
+    assert main(["popularity", "--ratings", ratings_csv, "--k", "5", "--out", str(top)]) == 0
+    ranked = spark.read.parquet(str(top))
+    assert ranked.count() <= 5 and "score" in ranked.columns
+
+    assert (
+        main(["evaluate", "--ratings", ratings_csv, "--rank", "4", "--max-iter", "1", "--k", "5"])
+        == 0
+    )
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(row) >= {"rmse", "map_at_k", "hit_rate", "popularity_hit_ratio", "n_users"}
+    assert row["rmse"] > 0
