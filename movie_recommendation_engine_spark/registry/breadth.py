@@ -1885,7 +1885,12 @@ def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_weighted
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # dedupe (order, part) FIRST: after it, 'distinct orders per pair'
+    # is a plain count — the k^2 pair aggregate then runs without
+    # per-group distinct-set state (one cheap 600k-row distinct replaces
+    # distinct machinery on 10M+ pair groups)
+    dk = li.distinct().localCheckpoint(eager=False)
+    a, b = dk.alias("a"), dk.alias("b")
     # pack the pair into one long for the weight aggregate (same trick as
     # ngram_jaccard_pairs: 8-byte vs 16-byte grouping key over the k^2
     # join fan-out); partkeys are < 2^31
@@ -1896,9 +1901,9 @@ def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
-        .select(pk.alias("pk"), F.col("a.l_orderkey").alias("ok"))
+        .select(pk.alias("pk"))
         .groupBy("pk")
-        .agg(F.countDistinct("ok").cast("long").alias("w"))
+        .agg(F.count("*").cast("long").alias("w"))
         .select(
             F.expr("pk DIV 4294967296").alias("u"),
             (F.col("pk") % 4294967296).alias("v"),
