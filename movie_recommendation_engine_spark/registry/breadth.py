@@ -1785,15 +1785,23 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    dk = li.distinct().localCheckpoint(eager=False)
+    a, b = dk.alias("a"), dk.alias("b")
+    # packed single-long pair key for the distinct (8-byte vs 16-byte
+    # shuffle key over the k^2 join fan-out; partkeys < 2^31)
+    pk = F.col("a.l_partkey") * F.lit(4294967296).cast("long") + F.col("b.l_partkey")
     pairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .select(pk.alias("pk"))
         .distinct()
+        .select(
+            F.expr("pk DIV 4294967296").alias("u"),
+            (F.col("pk") % 4294967296).alias("v"),
+        )
     )
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     return (
