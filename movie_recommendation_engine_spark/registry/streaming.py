@@ -447,3 +447,71 @@ def q_user_value_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return grouped_value_stats_arrow(ev, "user_id", "value").orderBy("user_id")
+
+
+@register(
+    "events_cusum_alerts",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_id, ts,
+         sum(CAST(value AS DECIMAL(18,2)) - 75)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS r
+  FROM events),
+c AS (
+  SELECT *, r - least(CAST(0 AS DECIMAL(38,2)),
+                      min(r) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS s
+  FROM r)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(s * 100 AS BIGINT) AS cusum_cents
+FROM c WHERE s > 300
+ORDER BY user_id, event_id
+""",
+)
+def q_events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per user — the control-chart changepoint
+    alarm (Page 1954): alert when the clamped cumulative exceedance
+    s_t = max(0, s_{t-1} + x_t - k) crosses h.  The recursion has a
+    closed WINDOW form, s_t = R_t - min(0, min_{j<=t} R_j) with
+    R_t = running sum of (x - k) — two cumulative windows over the
+    per-user (ts, event_id) total order, no iteration.
+
+    Determinism: window CUMULATIVE sums may ASSOCIATE differently per
+    engine (segment trees vs sequential), so the summand is exact
+    DECIMAL cents — order- and association-free — and the s > h test is
+    exact; the ts/event_id ordering key is unique.  The alarm value is
+    emitted as integer CENTS — DuckDB converts INT128-backed decimals
+    to double via a reciprocal multiply (302.38 -> 302.3800000000001),
+    so a decimal->double cast would hash-diverge; integers cannot.
+    k=75 sits above the value mean (~50) so s resets between genuine
+    high-value runs; h=300 flags sustained drift, not single spikes."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = F.sum(F.col("value").cast("decimal(18,2)") - F.lit(75)).over(w)
+    zero = F.lit(0).cast("decimal(38,2)")
+    base = ev.select("user_id", "event_id", "ts", r.alias("r"))
+    s = F.col("r") - F.least(zero, F.min("r").over(w))
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            s.alias("__s"),
+        )
+        .filter(F.col("__s") > 300)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("__s") * 100).cast("long").alias("cusum_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
