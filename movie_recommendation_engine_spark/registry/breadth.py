@@ -2076,3 +2076,53 @@ def q_nation_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     ).orderBy("nation")
+
+
+@register(
+    "schema_evolution_roundtrip",
+    oracle="""
+SELECT c_nationkey, count(*) AS n,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,2))), 2) AS DOUBLE) AS bal,
+       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pre_evolution
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal, NULL AS c_mktsegment
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 2 = 1)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source layer: a dataset written in two
+    generations — v1 without a column, v2 with it added — read back as
+    ONE table via mergeSchema (parquet schema merging), old rows
+    surfacing NULL for the new column.  This is how long-lived 100 TB
+    datasets actually look; a reader that can't merge footers forces a
+    full rewrite on every schema change.  The aggregate proves both
+    generations landed (n_pre_evolution counts v1 rows) and values
+    survived."""
+    cust = _t(spark, sf_dir, "customer")
+    d = os.path.join(tempfile.gettempdir(), "mres_schema_evolution")
+    v1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    v2 = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    v1.write.mode("overwrite").parquet(d)
+    v2.write.mode("append").parquet(d)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return (
+        back.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,2)")), 2)
+            .cast("double")
+            .alias("bal"),
+            F.sum(F.col("c_mktsegment").isNull().cast("long")).alias("n_pre_evolution"),
+        )
+        .orderBy("c_nationkey")
+    )
