@@ -2126,3 +2126,50 @@ def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "benford_price_screen",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS d
+  FROM orders WHERE o_totalprice > 0),
+n AS (SELECT count(*) AS total FROM digits)
+SELECT d AS leading_digit, count(*) AS n_orders,
+       (floor((count(*) * 1.0 / total) * 1000000 + 0.5) / 1000000) AS observed_freq,
+       (floor(log10(1.0 + 1.0 / d) * 1000000 + 0.5) / 1000000) AS benford_freq
+FROM digits, n
+GROUP BY d, total
+ORDER BY d
+""",
+)
+def q_benford_price_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals — the classic
+    fraud/synthetic-data detector (first significant digits of natural
+    amounts follow log10(1 + 1/d)).  The leading digit is extracted
+    EXACTLY: amounts convert to integer cents first, then to a string —
+    never via log10-of-double (whose floor can sit on either side at
+    powers of ten) and never via double rendering (engines format
+    doubles differently).  Frequencies det_round; expected Benford
+    freqs computed from the same log10 on identical small operands."""
+    from ..functions.rounding import det_round
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("d")
+    )
+    total = digits.agg(F.count("*").alias("total"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").alias("leading_digit"),
+            "n_orders",
+            det_round(F.col("n_orders") / F.col("total")).alias("observed_freq"),
+            det_round(F.log10(1.0 + 1.0 / F.col("d"))).alias("benford_freq"),
+        )
+        .orderBy("leading_digit")
+    )
