@@ -72,6 +72,7 @@ def main() -> None:
 
     for i, (name, fn) in enumerate(QUERIES.items()):
         t0 = time.perf_counter()
+        df = None  # so the release below is safe when fn() itself raises
         try:
             df = fn(spark, sf_dir)
             df.count()
@@ -85,7 +86,7 @@ def main() -> None:
         # blocks pile up across 100+ queries and mid-run queries pay GC/
         # memory pressure that standalone runs don't (measured 14.2 s vs
         # 2.5 s on part_cooccurrence_top20)
-        del df
+        df = None
         gc.collect()
         if (i + 1) % 20 == 0:
             spark.sparkContext._jvm.System.gc()
@@ -106,6 +107,10 @@ def main() -> None:
         }
     )
     spark.stop()
+    # the JSON also goes to stderr tagged #BENCH-JSON: if the caller's
+    # stdout capture truncates (BENCH_r02 recorded "parsed": null with a
+    # truncated tail), the last stderr line still holds one parseable copy
+    print(f"#BENCH-JSON {line}", file=sys.stderr)
     os.write(real_stdout, (line + "\n").encode())
     os.close(real_stdout)
 

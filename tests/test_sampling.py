@@ -131,3 +131,15 @@ def test_mixture_sample_exact_ratios_and_determinism(spark):
     assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
     # unknown classes dropped
     assert out.filter(~F.col("cls").isin("a", "b", "c")).count() == 0
+
+
+def test_mixture_sample_absent_weighted_class_drives_m_to_zero(spark):
+    """A class listed in weights but absent from the data must force the
+    exact w-ratio to hold: m = min over ALL weighted classes = 0, so the
+    output is empty — not a silent ratio violation (ADVICE r02)."""
+    from movie_recommendation_engine_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(rows, "id int, cls string")
+    out = mixture_sample(df, "cls", ["id"], {"a": 3, "b": 2, "zmissing": 1})
+    assert out.count() == 0

@@ -338,3 +338,39 @@ def test_pagerank_micro_unit_hand_computed(spark):
     assert r["c"] == (150_000 + 85 * 1_000_000 // 100) / 1e6
     # d has no in-edges: reset floor only
     assert r["d"] == 0.15
+
+
+def test_ngram_pack_guard_rejects_out_of_range_ids(spark):
+    """Pair-key packing requires 0 <= id < 2^31; a bigint id outside that
+    range must raise loudly, never silently decode to a wrong pair
+    (ADVICE r02: dtype alone doesn't prove the bound)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2**31 + 7, "alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(Exception) as exc:
+        ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.1).collect()
+    assert "packable range" in str(exc.value)
+    # negative ids rejected too
+    df2 = spark.createDataFrame(
+        [(-1, "alpha beta gamma"), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as exc2:
+        ngram_jaccard_pairs(df2, "doc_id", "text", n=2, threshold=0.1).collect()
+    assert "packable range" in str(exc2.value)
+    # in-range ids still work end-to-end through the packed path
+    ok = ngram_jaccard_pairs(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        ),
+        "doc_id",
+        "text",
+        n=2,
+        threshold=0.5,
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in ok] == [(1, 2, 1.0)]
