@@ -155,7 +155,9 @@ def _driver_green() -> set[str]:
     """Query names with a passing driver-gate row in any round so far.
 
     hash_match=True is green; a rows-only query (err='no_oracle') with a
-    recorded row count is 'checked as designed' and also cedes its slot.
+    recorded row count is 'checked as designed' and also cedes its slot —
+    UNLESS it has since gained an oracle (it was never hash-verified, so
+    it re-enters the pending window for a real value-hash verdict).
     """
     import glob
     import json
@@ -174,7 +176,11 @@ def _driver_green() -> set[str]:
                 continue
             if row.get("hash_match") is True:
                 green.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and name not in ORACLES
+            ):
                 green.add(name)
     return green
 

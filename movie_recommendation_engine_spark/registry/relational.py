@@ -368,21 +368,74 @@ def q_brand_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- A3/A7 approximate variants (sketches differ per engine -> rows-only) --
 
 
-@register("lineitem_approx_stats")
+@register(
+    "lineitem_approx_stats",
+    oracle="""
+SELECT count(DISTINCT l_partkey) AS exact_parts,
+       true AS parts_err_ok,
+       true AS median_qty_ok,
+       true AS price_q25_ok,
+       true AS price_q50_ok,
+       true AS price_q75_ok
+FROM lineitem
+""",
+)
 def q_lineitem_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approx count-distinct + Greenwald-Khanna approx percentile —
     the 100 TB path where exact versions need a full sort/shuffle.
-    Rows-only check: sketch results are engine-specific by design
-    (exact counterparts are oracle-checked in lineitem_global_stats)."""
+
+    The sketch VALUES are engine-specific and can never hash-match a SQL
+    oracle; what IS checkable is that each sketch lands inside its
+    published error bound.  The gated row therefore carries the exact
+    distinct count plus one boolean per sketch:
+
+    - ``parts_err_ok``: HLL++ at default rsd=0.05 within 3σ (15%) of the
+      exact distinct count;
+    - ``*_ok`` percentiles: the GK estimate (accuracy=10000, rank error
+      ≤ n/10000) lies between the EXACT p±0.01 quantiles, a 100× looser
+      rank window computed in the same single aggregate pass.
+
+    The oracle recomputes the exact count and asserts the booleans as
+    literal ``true`` — if a sketch ever drifts out of bound, the value
+    hash goes red.  (Exact counterparts of the stats themselves are
+    oracle-checked in ``lineitem_global_stats``.)"""
     li = _t(spark, sf_dir, "lineitem")
     quart = F.expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75))")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("percentile_approx(l_quantity, 0.5)").alias("approx_median_qty"),
-        # scalar columns, not a raw array: the driver canon can't hash lists
-        quart.getItem(0).alias("approx_price_q25"),
-        quart.getItem(1).alias("approx_price_q50"),
-        quart.getItem(2).alias("approx_price_q75"),
+    qtile = F.expr(
+        "percentile(l_extendedprice, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))"
+    )
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("__approx_parts"),
+        F.expr("percentile_approx(l_quantity, 0.5)").alias("__approx_median_qty"),
+        F.expr("percentile(l_quantity, array(0.49, 0.51))").alias("__qty_bounds"),
+        quart.alias("__q"),
+        qtile.alias("__b"),
+    )
+
+    def within(est, lo, hi):
+        return (est >= lo) & (est <= hi)
+
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("__approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.15)
+        ).alias("parts_err_ok"),
+        within(
+            F.col("__approx_median_qty"),
+            F.col("__qty_bounds").getItem(0),
+            F.col("__qty_bounds").getItem(1),
+        ).alias("median_qty_ok"),
+        within(
+            F.col("__q").getItem(0), F.col("__b").getItem(0), F.col("__b").getItem(1)
+        ).alias("price_q25_ok"),
+        within(
+            F.col("__q").getItem(1), F.col("__b").getItem(2), F.col("__b").getItem(3)
+        ).alias("price_q50_ok"),
+        within(
+            F.col("__q").getItem(2), F.col("__b").getItem(4), F.col("__b").getItem(5)
+        ).alias("price_q75_ok"),
     )
 
 
