@@ -233,6 +233,115 @@ def q_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fitted_als(spark, sf_dir).evaluate_rmse(test)
 
 
+@register(
+    "als_recommend_invariants",
+    oracle=f"""
+WITH labeled AS ({_SPLIT_SQL}),
+train AS (SELECT * FROM labeled WHERE split = 'train'),
+servable AS (SELECT DISTINCT l_orderkey FROM train WHERE l_orderkey % 37 = 0)
+SELECT count(*) AS n_users,
+       count(*) * 5 AS n_rows,
+       true AS rows_per_user_ok,
+       true AS ranks_dense_ok,
+       true AS scores_nonincreasing_ok,
+       true AS items_in_catalog_ok
+FROM servable
+""",
+)
+def q_als_recommend_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib top-k surface under the FULL value-hash gate via its
+    SQL-expressible invariants: factor VALUES are float/order-dependent,
+    but the serving contract is not — exactly the active∩train users get
+    rows (coldStartStrategy='drop'), exactly k=5 each, ranks dense 1..5,
+    scores non-increasing in rank, every item from the train catalog.
+    The oracle recomputes the servable-user count and pins each
+    invariant ``true``; any contract break turns the hash red.
+    Companion to the rows-only ``als_recommend_top5`` (which exports the
+    engine-specific scores themselves)."""
+    rec = _fitted_als(spark, sf_dir)
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    active = labeled.select("l_orderkey").distinct().filter(
+        F.col("l_orderkey") % 37 == 0
+    )
+    recs = rec.recommend_for_users(active, k=5, flat=True)
+    train_items = train.select("l_partkey").distinct().withColumn(
+        "__in_cat", F.lit(True)
+    )
+    flagged = recs.join(F.broadcast(train_items), "l_partkey", "left")
+    per_user = flagged.groupBy("l_orderkey").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("rank")).alias("ranks"),
+        # scores ordered by rank: struct sort keys on rank first
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "score"))),
+            lambda x: x["score"],
+        ).alias("scores_by_rank"),
+        F.min(F.coalesce(F.col("__in_cat"), F.lit(False))).alias("all_in_cat"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("n_rows"),
+        F.expr("bool_and(n = 5)").alias("rows_per_user_ok"),
+        F.expr(
+            "bool_and(ranks = array(1, 2, 3, 4, 5))"
+        ).alias("ranks_dense_ok"),
+        F.expr(
+            "bool_and(forall(zip_with("
+            "  slice(scores_by_rank, 1, size(scores_by_rank) - 1),"
+            "  slice(scores_by_rank, 2, size(scores_by_rank) - 1),"
+            "  (a, b) -> a >= b), x -> x))"
+        ).alias("scores_nonincreasing_ok"),
+        F.expr("bool_and(all_in_cat)").alias("items_in_catalog_ok"),
+    )
+
+
+@register(
+    "als_rmse_invariants",
+    oracle=f"""
+WITH labeled AS ({_SPLIT_SQL}),
+train AS (SELECT * FROM labeled WHERE split = 'train'),
+test AS (SELECT * FROM labeled WHERE split = 'test')
+SELECT count(*) AS n_scored,
+       true AS rmse_finite_ok,
+       true AS rmse_le_2x_baseline_ok
+FROM test te
+WHERE EXISTS (SELECT 1 FROM train t WHERE t.l_orderkey = te.l_orderkey)
+  AND EXISTS (SELECT 1 FROM train t WHERE t.l_partkey = te.l_partkey)
+""",
+)
+def q_als_rmse_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib RMSE surface hash-gated via invariants: the scored-row
+    count is EXACTLY SQL-expressible (coldStartStrategy='drop' ≡ test
+    rows whose user AND item appear in train), and the model must be
+    finite and no worse than 2× the train-global-mean predictor on the
+    same scored subset.  Companion to the rows-only ``als_rmse_eval``
+    (which exports the float RMSE itself)."""
+    rec = _fitted_als(spark, sf_dir)
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    test = labeled.filter(F.col("split") == "test")
+    scored = rec.transform(test)
+    mu = train.agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("__mu")
+    )
+    agg = scored.crossJoin(F.broadcast(mu)).agg(
+        F.count("*").alias("n_scored"),
+        F.sqrt(
+            F.avg(F.pow(F.col("l_quantity") - F.col("prediction"), 2))
+        ).alias("__rmse"),
+        F.sqrt(F.avg(F.pow(F.col("l_quantity") - F.col("__mu"), 2))).alias("__base"),
+    )
+    return agg.select(
+        "n_scored",
+        (~F.isnan("__rmse") & (F.col("__rmse") > 0)).alias("rmse_finite_ok"),
+        (F.col("__rmse") <= 2 * F.col("__base")).alias("rmse_le_2x_baseline_ok"),
+    )
+
+
 def _rank1_sweep_sql(sweeps: int, lam: float) -> str:
     """Unrolled rank-1 ALS sweeps as DuckDB CTEs (v0 = all-ones).
 
