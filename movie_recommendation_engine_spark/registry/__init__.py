@@ -80,6 +80,7 @@ from . import streaming  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import e2e  # noqa: E402,F401
 
 from .core import flagship  # noqa: E402,F401
 

@@ -47,3 +47,18 @@ def test_cli_split_popularity_evaluate(spark, ratings_csv, tmp_path, capsys):
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(row) >= {"rmse", "map_at_k", "hit_rate", "popularity_hit_ratio", "n_users"}
     assert row["rmse"] > 0
+
+
+def test_movielens_e2e_cli_gate_row(spark):
+    """The composition-gated registry row: all four CLI verbs chained on
+    sf0.001, every invariant boolean true and the counts self-consistent
+    (the value-level oracle match runs in tools/check_oracle.py)."""
+    from movie_recommendation_engine_spark.registry.e2e import q_movielens_e2e_cli
+
+    row = q_movielens_e2e_cli(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_ratings == row.n_train + row.n_validation + row.n_test
+    assert row.n_ratings > 0 and row.pop_k > 0
+    assert row.rec_users > 0 and row.rec_rows_ok
+    assert row.als_rmse_finite_ok and row.als_rmse_le_2x_baseline_ok
+    assert row.als_map_in_range_ok
+    assert 0.0 <= row.pop_hit_ratio <= 1.0
