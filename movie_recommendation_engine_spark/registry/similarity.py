@@ -366,3 +366,87 @@ def q_embedding_centroid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
 
     vecs = _t(spark, sf_dir, "embeddings")
     return centroid_classifier_eval(vecs).orderBy("label")
+
+
+_SD_ASSIGN_COS = (
+    "round(list_dot_product(e.v, c.cv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+
+
+@register(
+    "semantic_dedup_semdedup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 29 = 1),
+assign AS (
+  SELECT vec_id, v, cent_id, cent_cos FROM (
+    SELECT e.vec_id, e.v, c.cent_id, {_SD_ASSIGN_COS} AS cent_cos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SD_ASSIGN_COS} DESC, c.cent_id) AS rn
+    FROM e, cents c) WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id > b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+SELECT a.vec_id, a.cent_id, a.cent_cos,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+""",
+)
+def q_semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: coarse-quantize to the
+    deterministic seed centroids, drop within-cluster pairs with cosine
+    >= 0.4 keeping the lowest id (operators.similarity.semdedup — the
+    clustering bounds the pair join, never all-pairs)."""
+    from ..operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, tau=0.4).orderBy("vec_id")
+
+
+@register(
+    "ann_sq8_top5",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+rng AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM dims GROUP BY pos),
+rec AS (
+  SELECT vec_id,
+         list(CASE WHEN hi = lo THEN lo
+              ELSE lo + floor((x - lo) * 255 / (hi - lo) + 0.5) * (hi - lo) / 255
+              END ORDER BY pos) AS v
+  FROM dims JOIN rng USING (pos) GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM rec WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv,
+         {_COS} AS cosine
+  FROM q, rec c WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_ann_sq8_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 over SCALAR-QUANTIZED (SQ8) vectors — what an
+    IVF-SQ8 index scores at 4x less memory than float32: per-dimension
+    [min,max] -> 0..255 codes via one broadcast (lo[], hi[]) row, then
+    the standard cosine top-k on the reconstructions.  The oracle
+    replays quantize+reconstruct+search; hash-equality proves the codes
+    and the dequantized scores bit-match after round-6."""
+    from ..operators.similarity import sq8_reconstruct
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rec = sq8_reconstruct(emb)
+    queries = rec.filter(F.col("vec_id") % 97 == 0)
+    return brute_force_topk(queries, rec, k=5, id_col="vec_id", vec_col="v").orderBy(
+        "query_id", "rank"
+    )

@@ -1,0 +1,94 @@
+"""Per-query bench regression guard.
+
+Compares a bench run (the one JSON line bench.py prints) against the
+committed per-query budget in ``tools/bench_budget.json`` and exits
+non-zero if any query exceeds ``RATIO``x its budgeted wall time — the
+pre-handoff check that a round's changes didn't regress an unrelated
+query (the round-2 verdict's task 8).
+
+Usage:
+    python tools/bench_check.py [bench.json]   # compare (runs bench.py
+                                               # itself if no file given)
+    python tools/bench_check.py --update [bench.json]
+                                               # rewrite the budget from
+                                               # this run's timings
+
+Queries faster than FLOOR seconds in budget are held to
+``RATIO * FLOOR`` instead (sub-second timings are scheduler noise, not
+plans). New queries (no budget yet) and retired ones are reported but
+never fail the check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+RATIO = 1.5
+FLOOR = 1.0  # seconds: below this, budget noise dominates plan changes
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUDGET_PATH = os.path.join(ROOT, "tools", "bench_budget.json")
+
+
+def run_bench() -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main(argv: list[str]) -> int:
+    update = "--update" in argv
+    argv = [a for a in argv if a != "--update"]
+    if argv:
+        with open(argv[0]) as fh:
+            bench = json.load(fh)
+    else:
+        bench = run_bench()
+    timings: dict[str, float] = bench["queries"]
+
+    if update:
+        with open(BUDGET_PATH, "w") as fh:
+            json.dump(
+                {"sf": bench.get("sf"), "queries": timings}, fh, indent=1, sort_keys=True
+            )
+        print(f"budget rewritten: {len(timings)} queries -> {BUDGET_PATH}")
+        return 0
+
+    with open(BUDGET_PATH) as fh:
+        budget: dict[str, float] = json.load(fh)["queries"]
+
+    regressions, errors = [], []
+    for name, t in sorted(timings.items()):
+        if t < 0:
+            errors.append(name)
+            continue
+        b = budget.get(name)
+        if b is None or b < 0:
+            continue
+        limit = RATIO * max(b, FLOOR)
+        if t > limit:
+            regressions.append((name, b, t))
+    new = sorted(set(timings) - set(budget))
+    gone = sorted(set(budget) - set(timings))
+
+    if new:
+        print(f"# {len(new)} new queries (no budget yet): {', '.join(new)}")
+    if gone:
+        print(f"# {len(gone)} budgeted queries no longer registered: {', '.join(gone)}")
+    for name in errors:
+        print(f"ERROR  {name}: query raised during bench")
+    for name, b, t in regressions:
+        print(f"REGRESSION  {name}: {t:.2f}s vs budget {b:.2f}s (>{RATIO}x)")
+    if not regressions and not errors:
+        print(f"OK: {len(timings)} queries within {RATIO}x of budget")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
