@@ -154,3 +154,51 @@ def test_arrow_topk_equals_jvm_bruteforce(spark, vectors):
     jvm2 = {tuple(r) for r in brute_force_topk(q, emb, k=5).collect()}
     arw2 = {tuple(r) for r in arrow_brute_force_topk(q, emb, k=5).collect()}
     assert arw2 == jvm2
+
+
+def test_semdedup_drop_policy(spark):
+    """Within a cluster, every cosine>=tau pair drops its HIGHER id; the
+    lowest id of a duplicate chain always survives."""
+    from movie_recommendation_engine_spark.operators.similarity import semdedup
+
+    # centroids: ids 30 and 59 (% 29 == 1).  Cluster 30 holds three
+    # identical vectors {2, 3, 30}; cluster 59 holds two distinct ones.
+    rows = [
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (30, [1.0, 0.0, 0.0, 0.0]),
+        (59, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.8, 0.6, 0.0]),
+        (5, [0.0, 0.6, 0.8, 0.0]),  # cos(4,5)=0.96 < tau
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup(df, tau=0.99, cent_mod=29, cent_rem=1).collect()}
+    assert len(out) == 6
+    # lowest id of the identical trio survives; the other two drop
+    assert not out[2].is_dup and out[3].is_dup and out[30].is_dup
+    # sub-threshold cluster-mates all survive
+    assert not out[4].is_dup and not out[5].is_dup and not out[59].is_dup
+    # every vector is assigned to a real centroid id
+    assert all(r.cent_id % 29 == 1 for r in out.values())
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    """SQ8 reconstruction is within half a quantization step per
+    dimension, and constant dimensions reconstruct exactly."""
+    from movie_recommendation_engine_spark.operators.similarity import sq8_reconstruct
+
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [1.0, 5.0, 2.0]),
+        (3, [0.5, 5.0, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rec = {r.vec_id: r.v for r in sq8_reconstruct(df).collect()}
+    orig = {i: v for i, v in rows}
+    for vid, v in orig.items():
+        for d, (x, xr) in enumerate(zip(v, rec[vid])):
+            lo = min(o[d] for o in orig.values())
+            hi = max(o[d] for o in orig.values())
+            step = (hi - lo) / 255 if hi > lo else 0.0
+            assert abs(x - xr) <= step / 2 + 1e-12, (vid, d, x, xr)
+    assert all(rec[v][1] == 5.0 for v in rec)  # constant dim exact
