@@ -95,6 +95,11 @@ from .core import flagship  # noqa: E402,F401
 # the priority order WITHIN the pending set (it pins this round's
 # must-gate queries ahead of later additions).
 _GATE_FIRST = [
+    # Round-3 verdict tasks: the upgraded/new oracle-paired queries that
+    # MUST receive a driver hash verdict this round.
+    "movielens_e2e_cli",
+    "als_recommend_invariants",
+    "als_rmse_invariants",
     # 44 queries registered at positions 51-94 in round 1 — never gated.
     "events_click_attribution",
     "events_json_props_stats",
@@ -152,6 +157,18 @@ _GATE_FIRST = [
 ]
 
 
+# Pending queries that YIELD their window slot to older pending ones:
+# round-3 additions beyond the must-gate set — the window holds 50 and
+# the 45 never-driver-gated queries from rounds 1-2 go first (they are
+# all pre-verified green on the local mirror; these three gate next
+# round via the same self-maintaining rotation).
+_GATE_LAST = [
+    "hll_mergeable_distinct",
+    "semantic_dedup_semdedup",
+    "ann_sq8_top5",
+]
+
+
 def _driver_green() -> set[str]:
     """Query names with a passing driver-gate row in any round so far.
 
@@ -194,7 +211,12 @@ def _apply_gate_order() -> None:
     done = [n for n in names if n in green]
     # pending first (pinned _GATE_FIRST order, then registration order),
     # then the already-green remainder in registration order
-    pending.sort(key=lambda n: (0, prio[n]) if n in prio else (1, names.index(n)))
+    last = {n: i for i, n in enumerate(_GATE_LAST)}
+    pending.sort(
+        key=lambda n: (0, prio[n])
+        if n in prio
+        else ((2, last[n]) if n in last else (1, names.index(n)))
+    )
     reordered = {n: QUERIES[n] for n in [*pending, *done]}
     QUERIES.clear()
     QUERIES.update(reordered)

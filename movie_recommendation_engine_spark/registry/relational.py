@@ -440,6 +440,50 @@ def q_lineitem_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_mergeable_distinct",
+    oracle="""
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_global,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
+       true AS merged_ok,
+       true AS groups_ok
+FROM orders
+""",
+)
+def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB distinct-count architecture: build one Datasketches
+    HLL sketch PER GROUP (map-side partial, ~KB each), then MERGE the
+    binary sketches with ``hll_union_agg`` — re-aggregation without
+    rescanning, the property a plain approx_count_distinct result does
+    not have.  Gated via error-bound invariants (same design as
+    ``lineitem_approx_stats``): every per-group estimate and the merged
+    global estimate must land within 5% of exact (lgConfigK=12 →
+    rsd ≈ 1.6%, so 5% ≈ 3σ); the oracle recomputes the exact counts and
+    pins the booleans true."""
+    o = _t(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_g"),
+    )
+    folded = per_group.agg(
+        F.count("*").alias("n_groups"),
+        F.expr(
+            "bool_and(abs(hll_sketch_estimate(sk) - exact_g) <= exact_g * 0.05)"
+        ).alias("groups_ok"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__merged_est"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_global"))
+    return exact.crossJoin(F.broadcast(folded)).select(
+        "exact_global",
+        "n_groups",
+        (
+            F.abs(F.col("__merged_est") - F.col("exact_global"))
+            <= F.col("exact_global") * F.lit(0.05)
+        ).alias("merged_ok"),
+        "groups_ok",
+    )
+
+
+@register(
     "bloom_semi_join_revenue",
     oracle="""
 SELECT l_returnflag,
