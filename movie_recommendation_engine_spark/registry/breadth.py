@@ -2198,3 +2198,94 @@ def q_benford_price_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1),
+act AS (
+  SELECT f.cohort, d.day - f.cohort AS day_offset,
+         count(DISTINCT d.user_id) AS n_active
+  FROM d JOIN first f USING (user_id) GROUP BY 1, 2)
+SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day_offset AS BIGINT) AS day_offset,
+       a.n_active,
+       s.cohort_size,
+       (floor(a.n_active * 1.0 / s.cohort_size * 1000000 + 0.5) / 1000000) AS retention
+FROM act a JOIN sizes s USING (cohort)
+ORDER BY 1, 2
+""",
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, the
+    share of each cohort active again N days later.  Three hash-
+    partitioned aggregates (user-day distinct, first-day per user,
+    cohort x offset counts) — no windows, so the plan scales with
+    users x active-days and every shuffle key is high-cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = d.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    act = (
+        d.join(first, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(sizes, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            det_round(F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+t AS (SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM t GROUP BY 1)
+SELECT t.event_type, t.next_type, t.n,
+       (floor(t.n * 1.0 / tot.row_total * 1000000 + 0.5) / 1000000) AS p
+FROM t JOIN tot USING (event_type)
+ORDER BY 1, 2
+""",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the sequence-model
+    feature table.  One lead window partitioned by user (the natural
+    high-cardinality key), then two small aggregates over the
+    |types|^2 transition space."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    tot = t.groupBy("event_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(tot, "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            det_round(F.col("n") / F.col("row_total")).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )
