@@ -166,6 +166,8 @@ _GATE_LAST = [
     "hll_mergeable_distinct",
     "semantic_dedup_semdedup",
     "ann_sq8_top5",
+    "events_cohort_retention",
+    "events_transition_matrix",
 ]
 
 
