@@ -452,6 +452,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
@@ -484,11 +485,18 @@ def semdedup(
         "cent_cos", _cos("v", "cv", "vn", "cn", round_to)
     )
     w = Window.partitionBy("__vid").orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+    # assign feeds three consumers (the output row, both sides of the
+    # pair self-join) — truncate once so the broadcast-assign pass runs
+    # once, not three times (engine-wide localCheckpoint policy: blocks
+    # freed by the ContextCleaner when the py4j ref drops).
+    # checkpoint=False keeps the full lineage visible for plan audits.
     assign = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("__vid", "v", "vn", "cent_id", "cent_cos")
     )
+    if checkpoint:
+        assign = assign.localCheckpoint(eager=False)
     a, b = assign.alias("a"), assign.alias("b")
     dups = (
         a.join(

@@ -278,10 +278,17 @@ def test_global_rank_matches_window_row_number(spark):
 def test_semdedup_broadcasts_centroids(spark):
     """The SemDeDup assignment step must broadcast the centroid table
     (narrow pass over the corpus), and the within-cluster pair join must
-    be a real equi-join on the cluster id, never a cartesian."""
-    plan = _plan(QUERIES["semantic_dedup_semdedup"](spark, SF))
+    be a real equi-join on the cluster id, never a cartesian.
+    checkpoint=False exposes the full lineage (the gated query truncates
+    it so the assign pass runs once, not three times)."""
+    from movie_recommendation_engine_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(semdedup(emb, tau=0.4, checkpoint=False))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    # and the gated (checkpointed) variant must not degenerate either
+    assert "CartesianProduct" not in _plan(QUERIES["semantic_dedup_semdedup"](spark, SF))
 
 
 def test_sq8_ranges_fold_to_one_broadcast_row(spark):

@@ -29,6 +29,10 @@ SHOWCASE = [
     ("tpch_q2_min_cost_supplier", "correlated scalar-min decorrelated to a partkey window"),
     ("part_pagerank", "iterative graph sweeps: per-iteration join+sum, truncated lineage"),
     ("events_ohlc_15m", "OHLC resample as ONE aggregate (min_by/max_by, no window pass)"),
+    ("semantic_dedup_semdedup", "SemDeDup: broadcast centroid assign, pair join bounded by cluster id"),
+    ("ann_sq8_top5", "SQ8 ANN: per-dim ranges fold to ONE broadcast row, narrow reconstruct"),
+    ("hll_mergeable_distinct", "per-group HLL sketches merged with hll_union_agg (no rescan)"),
+    ("events_cohort_retention", "retention triangle as hash aggregates only (window-free)"),
 ]
 
 
