@@ -270,3 +270,74 @@ def test_det_round_matches_decimal_half_up_off_ties(spark_global, nums):
             assert got[(a, b)] == want, (a, b)
         else:
             assert abs(got[(a, b)] - want) <= 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-5, 5, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_semdedup_invariants_any_corpus(spark_global, vecs):
+    """For any corpus: output is one row per vector; per duplicate pair
+    the LOWEST id always survives (a vector can only be dropped against
+    a smaller-id cluster-mate); a singleton cluster never drops; and the
+    result is partitioning-independent."""
+    from movie_recommendation_engine_spark.operators.similarity import semdedup
+
+    spark = spark_global
+    rows = [(i + 1, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # skip all-zero vectors: cosine is undefined (null) for them
+    rows = [(i, v) for i, v in rows if any(x != 0.0 for x in v)]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, tau=0.95, cent_mod=3, cent_rem=1).collect()
+    assert sorted(r.vec_id for r in out) == sorted(i for i, _ in rows)
+    by_cent: dict[int, list] = {}
+    for r in out:
+        by_cent.setdefault(r.cent_id, []).append(r)
+    for members in by_cent.values():
+        # the smallest id in every cluster can never be a duplicate
+        smallest = min(m.vec_id for m in members)
+        assert not next(m for m in members if m.vec_id == smallest).is_dup or any(
+            m.vec_id < smallest for m in members
+        )
+        if len(members) == 1:
+            assert not members[0].is_dup
+    again = semdedup(df.repartition(5), tau=0.95, cent_mod=3, cent_rem=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=3, max_size=3),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_sq8_idempotent_and_range_preserving(spark_global, vecs):
+    """Quantizing an already-reconstructed corpus is a fixed point
+    (codes re-derive themselves), and reconstructions stay inside the
+    per-dimension [lo, hi] envelope."""
+    from movie_recommendation_engine_spark.operators.similarity import sq8_reconstruct
+
+    spark = spark_global
+    rows = [(i + 1, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rec1 = {r.vec_id: r.v for r in sq8_reconstruct(df).collect()}
+    for d in range(3):
+        lo = min(v[d] for _, v in rows)
+        hi = max(v[d] for _, v in rows)
+        for v in rec1.values():
+            assert lo - 1e-9 <= v[d] <= hi + 1e-9
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in rec1.items()], "vec_id long, embedding array<double>"
+    )
+    rec2 = {r.vec_id: r.v for r in sq8_reconstruct(df2).collect()}
+    for k in rec1:
+        for a, b in zip(rec1[k], rec2[k]):
+            assert abs(a - b) <= 1e-9, (k, rec1[k], rec2[k])
