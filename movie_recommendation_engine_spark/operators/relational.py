@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Mapping
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def with_scalars(df: DataFrame, scalars: DataFrame) -> DataFrame:
@@ -122,4 +122,60 @@ def global_rank(
         .join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__off") + idx + 1).cast("long"))
         .drop("__pid", "__mid", "__off")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum over a TOTAL order without a single-partition
+    window — the prefix-sum twin of ``global_rank`` (same three scale-out
+    pieces):
+
+    1. range-partition + sort on the order key;
+    2. the intra-partition running sum IS parallel: a window partitioned
+       by the physical partition id runs one task per partition, exactly
+       the layout the sort already produced;
+    3. per-partition TOTALS fold to cumulative offsets via the bounded
+       triangular self-join (#partitions^2 rows, no WindowExec over
+       data), broadcast back, and
+       ``cumsum = partition_offset + local_running_sum``.
+
+    ``order_cols`` must be a total order.  This is the sequence-packing
+    primitive: token offsets over a corpus ordered by doc id, at any
+    corpus size.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright("__mid", 33)
+    totals = base.groupBy(pid.alias("__pid")).agg(
+        F.sum(value_col).alias("__tot")
+    )
+    offsets = (
+        totals.alias("x")
+        .join(totals.alias("y"), F.col("y.__pid") < F.col("x.__pid"), "left")
+        .groupBy(F.col("x.__pid").alias("__pid"))
+        .agg(F.sum(F.coalesce(F.col("y.__tot"), F.lit(0))).alias("__off"))
+    )
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("__run", F.sum(value_col).over(w))
+        .withColumn("__pid", pid)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(cumsum_col, (F.col("__off") + F.col("__run")).cast("long"))
+        .drop("__pid", "__mid", "__run", "__off")
     )

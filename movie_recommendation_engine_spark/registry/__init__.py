@@ -168,6 +168,7 @@ _GATE_LAST = [
     "ann_sq8_top5",
     "events_cohort_retention",
     "events_transition_matrix",
+    "doc_pack_sequences",
 ]
 
 

@@ -471,3 +471,48 @@ def q_doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     The id_sum fingerprint pins which docs took each exit."""
     docs = _t(spark, sf_dir, "documents")
     return X.corpus_filter_funnel(docs, "doc_id", "text").orderBy("reason")
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+WITH t AS (SELECT doc_id, len({WORDS}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
+       CAST((cum - 1) // 512 AS BIGINT) AS last_bin
+FROM c
+ORDER BY doc_id
+""",
+)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training sequence packing (concat-and-chunk): concatenate the
+    corpus in doc-id order and cut every 512 tokens — each document gets
+    its global token offset and the context-window bins it spans.  The
+    offsets come from ``operators.relational.global_cumsum``: range
+    partition + per-partition running sums + triangular offset join —
+    NO single-partition window, so the packing plan survives any corpus
+    size (the naive ``sum() OVER (ORDER BY ...)`` the oracle runs is
+    exactly the scale cliff the operator avoids)."""
+    from ..operators.relational import global_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", X.ws_token_count("text").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    c = global_cumsum(t, ["doc_id"], "n_tokens", cumsum_col="cum")
+    return (
+        c.select(
+            "doc_id",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            F.expr("(cum - n_tokens) DIV 512").alias("first_bin"),
+            F.expr("(cum - 1) DIV 512").alias("last_bin"),
+        )
+        .orderBy("doc_id")
+    )

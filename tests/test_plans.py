@@ -305,3 +305,22 @@ def test_cohort_retention_is_window_free(spark):
     per-cohort window would serialize each cohort through one task."""
     plan = _plan(QUERIES["events_cohort_retention"](spark, SF))
     assert "Window" not in plan
+
+
+def test_global_cumsum_matches_window_running_sum(spark):
+    """global_cumsum's distributed assembly (range partition + per-
+    partition running sums + triangular offsets) must equal the semantic
+    spec sum() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING), including
+    across partition boundaries of a skewed input."""
+    from pyspark.sql import Window
+    from movie_recommendation_engine_spark.operators.relational import global_cumsum
+
+    rows = [(i % 7, (i * 37) % 101, i, (i * 13) % 29 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a int, b int, id int, v int").repartition(13)
+    got = {
+        r.id: r.cumsum
+        for r in global_cumsum(df, ["a", "b", "id"], "v", num_partitions=5).collect()
+    }
+    w = Window.orderBy("a", "b", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.id: r.cumsum for r in df.withColumn("cumsum", F.sum("v").over(w)).collect()}
+    assert got == want
