@@ -88,3 +88,82 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n"))
     )
+
+
+# --- Misra-Gries mergeable heavy hitters ----------------------------------
+#
+# The deterministic counterpart to CMS: a bounded set of <= k counters per
+# partition that UNDER-counts (CMS over-counts), merged by counter-sum plus
+# one trim.  Error bound (Misra & Gries 1982; mergeability per Agarwal et
+# al., PODS 2012): with per-partition summaries trimmed to k and one global
+# add-then-trim merge,
+#
+#     est <= exact   and   exact - est <= 2N/(k+1)
+#
+# proof sketch: every trim subtracts its threshold t from >= k+1 counters,
+# so it removes >= (k+1)*t of inserted mass; total inserted mass per
+# partition is n_p, hence a key's within-partition undercount is
+# <= n_p/(k+1), summing to N/(k+1) across partitions, and the single global
+# trim threshold is itself <= N/(k+1) by the same mass argument.  Any key
+# with exact > 2N/(k+1) therefore survives with est > 0 — guaranteed
+# recall, REGARDLESS of how rows were partitioned (the bound is
+# partitioning-independent, which is what makes it gate-able).
+#
+# Why this shape at 100 TB: per-executor state is k counters; the shuffle
+# carries <= partitions*k summary rows, never token occurrences.  The
+# estimates re-merge without rescanning — region-level summaries fold into
+# a global one exactly like the HLL sketches in hll_mergeable_distinct.
+
+
+def mg_partition_summaries(keys, key_col: str, k: int = 200):
+    """Per-partition Misra-Gries summaries: DataFrame (key_col, mg_n)
+    with <= k rows per input partition.
+
+    Arrow-batched (``mapInPandas``), never row-at-a-time: each batch is
+    exact-counted vectorized (``value_counts``), folded into the running
+    counter dict, and trimmed to k by subtracting the (k+1)-th largest
+    counter — the weighted-insert formulation of MG, same bound."""
+    import numpy as np
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # (k+1)-th largest = trim threshold; one pass, no sort
+                t = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
+                counters = {key: c - t for key, c in counters.items() if c > t}
+        if counters:
+            yield pd.DataFrame(
+                {key_col: list(counters), "mg_n": list(counters.values())}
+            )
+
+    return keys.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} string, mg_n long"
+    )
+
+
+def mg_merge(summaries, key_col: str, k: int = 200):
+    """Merge per-partition summaries into one global <= k-row summary:
+    counter-sum per key, then one trim by the (k+1)-th largest merged
+    counter.  The pre-trim table is bounded by partitions*k rows, so the
+    single-row trim aggregate (sorted counter list) is bounded state,
+    not a data-volume collect."""
+    summed = summaries.groupBy(key_col).agg(F.sum("mg_n").alias("mg_n"))
+    trim = summed.agg(
+        F.coalesce(
+            # element k+1 of the descending counter list, 0 when <= k keys
+            F.try_element_at(
+                F.reverse(F.array_sort(F.collect_list("mg_n"))), F.lit(k + 1)
+            ),
+            F.lit(0),
+        ).alias("t")
+    )
+    return (
+        summed.crossJoin(F.broadcast(trim))
+        .select(key_col, (F.col("mg_n") - F.col("t")).alias("mg_n"))
+        .filter(F.col("mg_n") > 0)
+    )

@@ -169,6 +169,8 @@ _GATE_LAST = [
     "events_cohort_retention",
     "events_transition_matrix",
     "doc_pack_sequences",
+    "incremental_rollup_maintenance",
+    "heavy_hitters_mg",
 ]
 
 

@@ -516,3 +516,71 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "heavy_hitters_mg",
+    oracle=f"""
+WITH t AS (
+  SELECT tok FROM (SELECT unnest({WORDS}) AS tok FROM documents)
+  WHERE tok <> ''),
+n AS (SELECT count(*) AS n_tokens FROM t),
+ex AS (SELECT tok, count(*) AS c FROM t GROUP BY tok)
+SELECT n.n_tokens,
+       (SELECT count(*) FROM ex) AS n_distinct,
+       (SELECT count(*) FROM ex, n WHERE c > 2.0 * n_tokens / 201) AS n_heavy,
+       (SELECT coalesce(string_agg(tok, '|' ORDER BY tok), '')
+        FROM ex, n WHERE c > 2.0 * n_tokens / 201) AS heavy_list,
+       true AS coverage_ok,
+       true AS bounds_ok
+FROM n
+""",
+)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy hitters over the corpus token stream
+    (operators/sketch.py): <= k counters of state per partition,
+    <= partitions*k rows on the wire, merged by counter-sum plus one
+    trim — the deterministic, under-counting dual of the CMS query.
+
+    Gated through its PROOF, not its (partitioning-dependent) raw
+    counters: est <= exact, exact - est <= 2N/(k+1), and every token
+    with exact > 2N/(k+1) present in the summary — all guaranteed by
+    the MG mass argument for ANY partitioning, so the booleans pin true
+    at 32 threads or 1000 executors.  The heavy-hitter list itself is
+    derived from exact counts and value-checked against the oracle."""
+    from ..operators.sketch import mg_merge, mg_partition_summaries
+
+    k = 200
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.words("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    toks = toks.localCheckpoint(eager=False)  # 3 consumers, one pass
+    merged = mg_merge(mg_partition_summaries(toks, "tok", k=k), "tok", k=k)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n_tokens"))
+    bound = 2.0 * F.col("n_tokens") / (k + 1)
+    j = (
+        exact.join(merged, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "c",
+            "n_tokens",
+            F.coalesce(F.col("mg_n"), F.lit(0)).alias("est"),
+            (F.col("c") > bound).alias("heavy"),
+            (F.col("c") - F.coalesce(F.col("mg_n"), F.lit(0)) <= bound).alias(
+                "err_ok"
+            ),
+        )
+    )
+    return j.agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("heavy").cast("long")).alias("n_heavy"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.when(F.col("heavy"), F.col("tok")))), "|"
+        ).alias("heavy_list"),
+        F.bool_and(~F.col("heavy") | (F.col("est") > 0)).alias("coverage_ok"),
+        F.bool_and((F.col("est") <= F.col("c")) & F.col("err_ok")).alias("bounds_ok"),
+    )
