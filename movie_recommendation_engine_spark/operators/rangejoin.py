@@ -51,3 +51,56 @@ def bucketed_range_join(
         .filter((F.col(lo_col) <= F.col(point_col)) & (F.col(point_col) <= F.col(hi_col)))
         .drop("__bkt")
     )
+
+
+def bucketed_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-interval OVERLAP join: every (left row, right row) with
+    ``left_lo <= right_hi AND right_lo <= left_hi`` (closed intervals).
+
+    Same bucketing idea as the point-in-interval join, with one twist:
+    both sides explode onto every bucket they span, so an overlapping
+    pair can meet in SEVERAL buckets.  Rather than paying a distinct
+    shuffle to dedup, each pair is emitted only from its canonical
+    bucket — ``max(floor(lo_l/w), floor(lo_r/w))``, the first bucket
+    where both intervals are live, which every overlapping pair has
+    exactly one of (it is where the later-starting interval begins, and
+    overlap guarantees the other interval spans it).  The join stays a
+    plain hash equi-join of exploded rows; no dedup pass, no
+    BroadcastNestedLoopJoin.
+    """
+    w = float(bucket_width)
+
+    def burst(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("long"),
+                    F.floor(F.col(hi) / w).cast("long"),
+                )
+            ),
+        )
+
+    pairs = burst(left, left_lo, left_hi).join(
+        burst(right, right_lo, right_hi), "__bkt"
+    )
+    canonical = F.greatest(
+        F.floor(F.col(left_lo) / w).cast("long"),
+        F.floor(F.col(right_lo) / w).cast("long"),
+    )
+    return (
+        pairs.filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col("__bkt") == canonical)
+        )
+        .drop("__bkt")
+    )

@@ -171,6 +171,7 @@ _GATE_LAST = [
     "doc_pack_sequences",
     "incremental_rollup_maintenance",
     "heavy_hitters_mg",
+    "interval_overlap_ship_windows",
 ]
 
 

@@ -2359,3 +2359,83 @@ def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy(*keys)
     )
+
+
+@register(
+    "interval_overlap_ship_windows",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS order_month,
+         epoch(o_orderdate) AS alo, epoch(o_orderdate) + 259200 AS ahi
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'),
+b AS (
+  SELECT l_orderkey, l_linenumber,
+         epoch(l_shipdate) AS blo, epoch(l_shipdate) + 172800 AS bhi
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01')
+SELECT order_month, count(*) AS n_pairs,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(DISTINCT concat_ws('-', l_orderkey, l_linenumber)) AS n_items
+FROM a JOIN b ON a.alo <= b.bhi AND b.blo <= a.ahi
+GROUP BY order_month
+ORDER BY order_month
+""",
+)
+def q_interval_overlap_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (operators/rangejoin.py): 3-day
+    urgent-order handling windows vs 2-day return-shipment windows,
+    paired whenever they overlap in time.  The oracle is the naive
+    theta join; the engine's plan is the bucketed equi-join with
+    canonical-bucket pair emission — a hash join on an integer key
+    instead of BroadcastNestedLoopJoin, which is the difference between
+    O(n*m) and O(overlaps) at 100 TB."""
+    from ..operators.rangejoin import bucketed_interval_overlap_join
+
+    day = 86400
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.unix_timestamp("o_orderdate").alias("alo"),
+            (F.unix_timestamp("o_orderdate") + 3 * day).alias("ahi"),
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.unix_timestamp("l_shipdate").alias("blo"),
+            (F.unix_timestamp("l_shipdate") + 2 * day).alias("bhi"),
+        )
+    )
+    pairs = bucketed_interval_overlap_join(
+        o, li, "alo", "ahi", "blo", "bhi", bucket_width=7 * day
+    )
+    return (
+        pairs.groupBy("order_month")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct(
+                F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+            ).alias("n_items"),
+        )
+        .orderBy("order_month")
+    )

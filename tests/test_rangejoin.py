@@ -72,3 +72,39 @@ def test_null_safe_join_semantics(spark):
     assert safe.count() == 2
     pairs = {(r.lv, r.rv) for r in safe.collect()}
     assert ("b", "y") in pairs
+
+
+def test_interval_overlap_join_matches_naive_theta(spark):
+    """Bucketed overlap join == naive theta join on adversarial
+    intervals: touching endpoints (closed semantics), one interval
+    spanning many buckets, disjoint pairs, and exactly one emission per
+    overlapping pair (no bucket-duplicate rows)."""
+    from movie_recommendation_engine_spark.operators.rangejoin import (
+        bucketed_interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 35.0, 36.0), (3, 5.0, 95.0), (4, 200.0, 201.0)],
+        "lid int, alo double, ahi double",
+    )
+    right = spark.createDataFrame(
+        [(10, 10.0, 12.0), (11, 30.0, 40.0), (12, 96.0, 99.0), (13, -5.0, 0.0)],
+        "rid int, blo double, bhi double",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in bucketed_interval_overlap_join(
+            left, right, "alo", "ahi", "blo", "bhi", bucket_width=7.0
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .filter("alo <= bhi AND blo <= ahi")
+        .collect()
+    )
+    assert got == naive
+    # touching endpoints included (closed), and pair (3,11) emitted once
+    # even though both intervals span bucket 5
+    assert (1, 10) in got and (1, 13) in got and (3, 11) in got
+    assert len(got) == len(set(got))
