@@ -567,3 +567,69 @@ def sq8_reconstruct(
         ).alias("v"),
     )
     return rec
+
+
+# --- Johnson-Lindenstrauss random projection ------------------------------
+
+
+def jl_signs(in_dim: int, out_dim: int, salt: str = "jl") -> list[list[int]]:
+    """Deterministic +-1 projection matrix (out_dim x in_dim), each sign
+    the parity of md5(salt|j|i) — the Achlioptas (2001) database-friendly
+    JL construction with sign entries.  Derived at PLAN BUILD time in
+    plain Python (no Spark, no RNG state), so the Spark expression and
+    the DuckDB oracle embed the identical literal matrix."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}|{j}|{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    salt: str = "jl",
+) -> DataFrame:
+    """Project embeddings to ``out_dim`` dims: p_j = sum_i s_ji * u_i
+    over integer MICRO-UNIT components (floor(x*1e6) — the engine's
+    exact-arithmetic trick, cf. centroid_classifier_eval), so every
+    projected coordinate is an exact integer, bit-identical across
+    engines and summation orders.  Cosine is scale-invariant, so the
+    unnormalized signed sum preserves JL geometry exactly as the
+    1/sqrt(out_dim)-scaled version would.
+
+    Why this shape at 100 TB: the projection is a NARROW per-row map
+    (no shuffle, no state); downstream ANN then scores out_dim-wide
+    vectors — a 4x FLOP/bandwidth cut at out_dim=16 over 64 — with
+    recall governed by the JL lemma.  Returns (id_col, jl: array<long>).
+    """
+    signs = jl_signs(in_dim, out_dim, salt)
+    u = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1_000_000).cast("long")
+    )
+    out = vecs.withColumn("__u", u)
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__u"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, s: x * s.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return out.select(id_col, proj.alias("jl"))

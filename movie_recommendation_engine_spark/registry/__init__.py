@@ -172,6 +172,7 @@ _GATE_LAST = [
     "incremental_rollup_maintenance",
     "heavy_hitters_mg",
     "interval_overlap_ship_windows",
+    "ann_jl_top5",
 ]
 
 

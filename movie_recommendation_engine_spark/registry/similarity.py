@@ -450,3 +450,98 @@ def q_ann_sq8_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, rec, k=5, id_col="vec_id", vec_col="v").orderBy(
         "query_id", "rank"
     )
+
+
+# --- JL random-projection ANN ---------------------------------------------
+
+from ..operators.similarity import jl_signs  # noqa: E402
+
+_JL_OUT = 16
+_JL_ROWS = jl_signs(_DIM, _JL_OUT)
+_JL_PROJ_SQL = "[" + ", ".join(
+    "list_dot_product(u, [" + ", ".join(str(s) for s in row) + "])"
+    for row in _JL_ROWS
+) + "]"
+# exact-integer dot product (BIGINT lists; double folds would round past
+# 2^53 on micro-unit products)
+_JL_DOT = "list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2]))"
+_JL_N2 = "list_sum(list_transform({0}, x -> x * x))"
+_JL_COS = (
+    f"round(CAST({_JL_DOT} AS DOUBLE) / "
+    f"(sqrt(CAST({_JL_N2.format('qv')} AS DOUBLE)) * "
+    f"sqrt(CAST({_JL_N2.format('cv')} AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "ann_jl_top5",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS u
+  FROM embeddings),
+p AS (SELECT vec_id, CAST({_JL_PROJ_SQL} AS BIGINT[]) AS v FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv FROM p WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv
+  FROM q, p c WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, {_JL_COS} AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_JL_COS} DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def q_ann_jl_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine search in Johnson-Lindenstrauss-projected space
+    (64 -> 16 dims, operators.similarity.jl_project): the
+    dimensionality-reduction scale path for wide embeddings — a 4x
+    FLOP/bandwidth cut per comparison with JL-lemma-bounded recall
+    loss.  Every projected coordinate is an exact integer (micro-unit
+    components, +-1 signs), dots and norms are exact BIGINT sums on
+    BOTH engines, and only the final cosine divides in double — so the
+    whole reduced-space search hash-matches the oracle's replay."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = jl_project(emb, in_dim=_DIM, out_dim=_JL_OUT).localCheckpoint(eager=False)
+    q = p.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("jl").alias("qv")
+    )
+    c = p.select(F.col("vec_id").alias("neighbor_id"), F.col("jl").alias("cv"))
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), zero, lambda a, x: a + x
+    )
+
+    def n2(col: str):
+        return F.aggregate(
+            F.transform(F.col(col), lambda x: x * x), zero, lambda a, x: a + x
+        )
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot.cast("double") / (F.sqrt(n2("qv")) * F.sqrt(n2("cv"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )

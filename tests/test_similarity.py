@@ -202,3 +202,60 @@ def test_sq8_reconstruction_error_bounded(spark):
             step = (hi - lo) / 255 if hi > lo else 0.0
             assert abs(x - xr) <= step / 2 + 1e-12, (vid, d, x, xr)
     assert all(rec[v][1] == 5.0 for v in rec)  # constant dim exact
+
+
+def test_jl_project_matches_numpy(spark):
+    """Projected coordinates are the exact integer signed micro-unit
+    sums — bit-equal to the numpy replay of the same sign matrix."""
+    import math
+
+    import numpy as np
+
+    from movie_recommendation_engine_spark.operators.similarity import (
+        jl_project,
+        jl_signs,
+    )
+
+    rows = [
+        (7, [0.5, -1.25, 3.0, 0.1]),
+        (8, [0.0, 0.0, 0.0, 0.0]),
+        (9, [-2.5, 1e-7, 123.456, -0.333]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: list(r.jl) for r in jl_project(df, in_dim=4, out_dim=3).collect()}
+    S = np.array(jl_signs(4, 3))
+    for vid, vec in rows:
+        u = np.array([math.floor(np.float64(np.float32(x)) * 1_000_000) for x in vec])
+        assert out[vid] == list(S @ u), vid
+
+
+def test_jl_projection_finds_planted_neighbors(spark):
+    """On data with a REAL neighborhood (planted near-duplicates,
+    cosine ~0.95 vs ~0 background), the 64->16 projection must surface
+    the planted neighbor as top-1 for almost every query — the JL
+    guarantee at the gap/distortion ratio it actually promises.
+    (The sf testdata's exact top-5 sits a ~0.03 cosine gap above bulk,
+    below 16-dim distortion, so recall there is meaningless.)"""
+    import numpy as np
+
+    from movie_recommendation_engine_spark.operators.similarity import (
+        brute_force_topk,
+        jl_project,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        twin = v + 0.3 * rng.standard_normal(64)  # cosine ~0.95
+        rows.append((2 * i + 1, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = jl_project(df)
+    top1 = brute_force_topk(p, p, k=1, vec_col="jl")
+    hits = sum(
+        1
+        for r in top1.collect()
+        if r.neighbor_id == (r.query_id ^ 1)  # its planted twin
+    )
+    assert hits >= 72, f"planted-twin top-1 hits too low: {hits}/80"
