@@ -173,6 +173,8 @@ _GATE_LAST = [
     "heavy_hitters_mg",
     "interval_overlap_ship_windows",
     "ann_jl_top5",
+    "sliding_7d_active_users",
+    "text_log_roundtrip_agg",
 ]
 
 

@@ -2439,3 +2439,57 @@ def q_interval_overlap_ship_windows(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("order_month")
     )
+
+
+@register(
+    "text_log_roundtrip_agg",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+       max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_ts
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_text_log_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source/sink roundtrip (sources read_text/write_text):
+    events serialized to pipe-delimited log lines, written as plain
+    text, scanned back schema-free, re-parsed with split(), and
+    aggregated — the flat-file ingestion path every log pipeline
+    starts from.  Values cross the text boundary as integer micro-units
+    and fixed-format timestamps, so the roundtrip is bit-lossless and
+    the oracle can aggregate the ORIGINAL table directly: any
+    serialize/parse drift breaks the hash."""
+    from ..sources.readers import read_text
+    from ..sources.writers import write_text
+
+    ev = _t(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"mres_text_log_{tag}_{os.getpid()}")
+    lines = ev.select(
+        F.concat_ws(
+            "|",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 1_000_000).cast("long"),
+        ).alias("value")
+    )
+    write_text(lines, d)
+    parts = F.split(F.col("value"), r"\|")
+    parsed = read_text(spark, d).select(
+        parts.getItem(0).alias("ts_s"),
+        parts.getItem(1).cast("long").alias("user_id"),
+        parts.getItem(2).alias("event_type"),
+        parts.getItem(3).cast("long").alias("micro"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("micro").alias("sum_micro"),
+            F.max("ts_s").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

@@ -586,3 +586,63 @@ def q_region_priority_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_cells"))
         .orderBy("r_name", "o_orderpriority")
     )
+
+
+@register(
+    "sliding_7d_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+  FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+win AS (
+  SELECT r.d AS report_day, ud.user_id
+  FROM ud JOIN days r ON ud.d BETWEEN r.d - INTERVAL 6 DAY AND r.d)
+SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+       count(DISTINCT user_id) AS n_users_7d,
+       true AS hll_ok
+FROM win GROUP BY report_day ORDER BY report_day
+""",
+)
+def q_sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct users (weekly-active-users) two ways in
+    one gated row set: the exact count, and the mergeable-sketch
+    architecture that replaces it at 100 TB — ONE HLL sketch per day
+    (kilobytes of state, the only thing a production pipeline persists;
+    cf. operators/incremental.py), with each report day answered by
+    unioning its 7 day-sketches instead of rescanning a week of raw
+    events.  Sliding distinct is not decomposable exactly, which is
+    precisely why the sketch path exists; the gate pins the estimate
+    within 5% (~3 sigma at lgConfigK=12) of exact for EVERY window."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    ud = ud.localCheckpoint(eager=False)  # consumed by exact + day lists
+    days = ud.select("d").distinct().withColumnRenamed("d", "report_day")
+    cond = (F.col("d") >= F.date_sub(F.col("report_day"), 6)) & (
+        F.col("d") <= F.col("report_day")
+    )
+    exact = (
+        ud.join(F.broadcast(days), cond)
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+    day_sk = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = (
+        day_sk.join(F.broadcast(days), cond)
+        .groupBy("report_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"))
+    )
+    return (
+        exact.join(est, "report_day")
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("report_day"),
+            "n_users_7d",
+            (
+                F.abs(F.col("__est") - F.col("n_users_7d"))
+                <= F.col("n_users_7d") * F.lit(0.05)
+            ).alias("hll_ok"),
+        )
+        .orderBy("report_day")
+    )

@@ -43,6 +43,15 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Raw-text scan: one row per line (column ``value``), the source
+    for log-parsing pipelines — parse structure out with
+    regexp_extract/split downstream, keep the scan itself schema-free.
+    ``wholetext=True`` reads each file as ONE row instead (small-doc
+    corpora where file boundary == document boundary)."""
+    return spark.read.option("wholetext", str(wholetext).lower()).text(path)
+
+
 def read_json(
     spark: SparkSession,
     path: str,

@@ -24,6 +24,13 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Plain-text sink: one line per row from a single string column —
+    the log/flat-file interchange format.  Lines are schema-free, so
+    the writer demands the caller has already serialized the row."""
+    df.write.mode(mode).text(path)
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (zlib default): the second columnar interchange format —
     same predicate-pushdown/column-pruning story as parquet (ORC stripe
