@@ -371,3 +371,79 @@ def pagerank_weighted(
     return pr.select(
         F.col(id_col), (F.col("pru").cast("double") / 1_000_000).alias("pagerank")
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count by degree-ordered edge orientation — the
+    classic bound on the wedge blowup (Schank & Wagner 2005; the same
+    orientation GraphX's TriangleCount uses).
+
+    Input: undirected edges, one row per edge, either endpoint order,
+    no self-loops required to be pre-removed.  Every edge is oriented
+    from its (degree, id)-SMALLER endpoint to the larger, so wedges are
+    only enumerated at each triangle's lowest-degree vertex: the join
+    fan-out is sum(d_out^2) with d_out <= O(sqrt(m)) on any graph
+    (arboricity bound) — the difference between a feasible 100-TB join
+    and the sum(d^2) hub blowup of naive wedge counting.  Each triangle
+    is counted EXACTLY once (orientation is acyclic and total).
+
+    Plan: degree agg (one shuffle) -> broadcast-free orientation via two
+    joins on the endpoint -> wedge self-join on the middle vertex ->
+    semi-join against oriented edges to close wedges.  Returns a single
+    row (n_vertices, n_edges, n_wedges, n_triangles) where n_wedges
+    counts unordered open+closed two-paths from plain degrees.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + orientation + closure reuse it
+    )
+    deg = (
+        e.select(F.col("a").alias("x"))
+        .unionAll(e.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+            )
+            .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        .localCheckpoint(eager=False)  # wedge join probes it twice + closure
+    )
+    w1 = oriented.select(F.col("s").alias("p"), F.col("t").alias("q1"))
+    w2 = oriented.select(F.col("s").alias("p"), F.col("t").alias("q2"))
+    wedges = w1.join(w2, "p").filter(F.col("q1") < F.col("q2"))
+    closed = wedges.join(
+        oriented.select(
+            F.least("s", "t").alias("q1"), F.greatest("s", "t").alias("q2")
+        ),
+        ["q1", "q2"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    stats = e.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").alias("n_vertices"),
+            F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_vertices", "n_edges", "n_wedges", "n_triangles"
+    )

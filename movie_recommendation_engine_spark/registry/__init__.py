@@ -175,6 +175,7 @@ _GATE_LAST = [
     "ann_jl_top5",
     "sliding_7d_active_users",
     "text_log_roundtrip_agg",
+    "part_triangle_count",
 ]
 
 

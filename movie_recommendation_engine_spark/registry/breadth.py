@@ -2493,3 +2493,51 @@ def q_text_log_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "part_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS (SELECT pa AS a, pb AS b FROM pairs WHERE w >= 2),
+deg AS (SELECT x, count(*) AS d FROM
+          (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e) GROUP BY x)
+SELECT (SELECT count(*) FROM deg) AS n_vertices,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT count(*)
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+""",
+)
+def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edges = part
+    pairs co-ordered at least twice): operators/graph.py::
+    triangle_count, the degree-ORIENTED wedge join whose fan-out is
+    bounded by sum(d_out^2) <= O(m^1.5) on any graph — hub vertices
+    never enumerate their d^2 wedge pairs, which is what detonates the
+    naive spelling on power-law 100-TB graphs.  The oracle counts the
+    same triangles the simple a<b<c way; equality proves the
+    orientation trick loses and double-counts nothing."""
+    from ..operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)

@@ -103,3 +103,29 @@ def test_mg_exact_when_under_capacity(spark):
         ("b", 3),
         ("c", 2),
     }
+
+
+def test_triangle_count_known_graphs(spark):
+    """Oriented wedge counting on hand-checkable graphs: K4 has 4
+    triangles, a star has none, duplicate/reversed input edges collapse,
+    and a closed 4-cycle with one chord has exactly 2."""
+    from movie_recommendation_engine_spark.operators.graph import triangle_count
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "src int, dst int")
+        return triangle_count(df).collect()[0]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = run(k4)
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.n_wedges == 12  # 4 vertices of degree 3
+
+    star = [(0, i) for i in range(1, 6)]
+    assert run(star).n_triangles == 0
+
+    # reversed + duplicated edges and a self-loop must not change counts
+    noisy = k4 + [(b, a) for a, b in k4] + k4[:3] + [(2, 2)]
+    assert run(noisy).n_triangles == 4
+
+    chordal_cycle = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    assert run(chordal_cycle).n_triangles == 2

@@ -25,6 +25,8 @@ ARROW_OK = {
     "multimodal_frame_sample",
     # deliberate Arrow path: BLAS-matmul exact kNN (sanctioned mapInPandas)
     "knn_arrow_top5",
+    # deliberate Arrow path: Misra-Gries per-partition summaries
+    "heavy_hitters_mg",
 }
 # ALS queries build MLlib plans lazily via fit(); skip plan introspection.
 # movielens_e2e_cli is a driver composition over CLI verbs (its result is
@@ -324,3 +326,30 @@ def test_global_cumsum_matches_window_running_sum(spark):
     w = Window.orderBy("a", "b", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     want = {r.id: r.cumsum for r in df.withColumn("cumsum", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_interval_overlap_join_is_hash_join_not_bnlj(spark):
+    """The bucketed overlap join must plan as an equi-join on the bucket
+    id — never the BroadcastNestedLoopJoin Spark gives a bare theta
+    overlap predicate."""
+    plan = _plan(QUERIES["interval_overlap_ship_windows"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_jl_projection_stays_jvm_side(spark):
+    """64->16 JL reduction + reduced-space search: pure codegen
+    expressions (HOF folds), broadcast query side, no Python anywhere."""
+    plan = _plan(QUERIES["ann_jl_top5"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_sliding_7d_broadcasts_day_list(spark):
+    """Both the exact and the sketch leg join user-days/day-sketches to
+    the tiny report-day list via broadcast — the big side never
+    range-shuffles against a theta condition."""
+    plan = _plan(QUERIES["sliding_7d_active_users"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
