@@ -179,3 +179,103 @@ def global_cumsum(
         .withColumn(cumsum_col, (F.col("__off") + F.col("__run")).cast("long"))
         .drop("__pid", "__mid", "__run", "__off")
     )
+
+
+def global_cummax_strict(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "strict_cummax",
+    descending: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Strict-prefix running max over a global order without a
+    single-partition window — the max-monoid sibling of
+    ``global_cumsum`` (same three scale-out pieces: range partition,
+    per-partition window keyed by the physical partition id, bounded
+    triangular offset join).
+
+    For each row, ``out_col`` = max(value_col) over all rows STRICTLY
+    before it in the global order (NULL for the global first row) — the
+    primitive behind staircase/skyline computations, where "before"
+    means "strictly better on the sort dimension".
+
+    ``order_col`` must be a total order (callers pre-aggregate to one
+    row per key, e.g. max(value) per distinct order value).  The frame
+    excludes the current row, so equal-order peers never see each other
+    — callers handle peer semantics in their own aggregate.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    base = (
+        df.repartitionByRange(n, key)
+        .sortWithinPartitions(key)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright("__mid", 33)
+    # per-partition maxima -> strict offsets: partition p's offset is the
+    # max over all EARLIER partitions (NULL for the first) — a
+    # #partitions^2 triangular join, never a data-sized window
+    totals = base.groupBy(pid.alias("__pid")).agg(F.max(value_col).alias("__tot"))
+    offsets = (
+        totals.alias("x")
+        .join(totals.alias("y"), F.col("y.__pid") < F.col("x.__pid"), "left")
+        .groupBy(F.col("x.__pid").alias("__pid"))
+        .agg(F.max(F.col("y.__tot")).alias("__off"))
+    )
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = F.max(value_col).over(w)
+    return (
+        base.withColumn("__run", run)
+        .withColumn("__pid", pid)
+        .join(F.broadcast(offsets), "__pid")
+        # greatest() skips NULLs: NULL only when both prefix pieces are
+        # empty, i.e. the global first row
+        .withColumn(out_col, F.greatest(F.col("__run"), F.col("__off")))
+        .drop("__pid", "__mid", "__run", "__off")
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skyline (Pareto-frontier) of a 2-D maximize/maximize objective:
+    rows not dominated by any other row (q dominates p iff q >= p on
+    both dimensions and > on at least one).
+
+    The naive definition is an O(n^2) NOT EXISTS self-join (what the
+    DuckDB oracle runs); the 2-D structure admits a staircase plan that
+    is three shuffles total and survives any n:
+
+    1. ``max(y)`` per distinct x — one hash aggregate;
+    2. strict-prefix running max of that over x DESC via
+       ``global_cummax_strict`` (range partition + bounded offsets — no
+       single-partition WindowExec);
+    3. a row survives iff  y == max(y among its x-peers)  AND
+       y > max(y over all strictly-greater x)  (exact-duplicate points
+       all survive: neither dominates the other).
+    """
+    sm = df.groupBy(F.col(x_col).alias("__x")).agg(F.max(y_col).alias("__peer_mx"))
+    sm = global_cummax_strict(
+        sm, "__x", "__peer_mx", out_col="__strict_mx",
+        descending=True, num_partitions=num_partitions,
+    )
+    # the distinct-x table can approach data size (continuous x), so this
+    # is a plain shuffle join on x, not a broadcast
+    j = df.join(sm, F.col(x_col) == F.col("__x"))
+    return (
+        j.filter(
+            (F.col(y_col) == F.col("__peer_mx"))
+            & (F.col("__strict_mx").isNull() | (F.col(y_col) > F.col("__strict_mx")))
+        )
+        .drop("__x", "__peer_mx", "__strict_mx")
+    )

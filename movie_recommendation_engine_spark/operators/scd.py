@@ -79,3 +79,55 @@ def scd2_apply(
     return hist.unionByName(unchanged).unionByName(closed).unionByName(
         reopened
     ).unionByName(new_keys)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: classify every
+    key as inserted / deleted / updated / unchanged — the diff step of a
+    snapshot-based CDC pipeline (no change log available, only two
+    loads).
+
+    Returns key_cols + ``change_type`` ('I'|'D'|'U'|'N') + the old and
+    new values of every compare column (``old_<c>`` / ``new_<c>``).
+
+    Scale shape: ONE full-outer shuffle join on the key — both snapshots
+    hash-partition by key, the comparison itself is a null-safe column
+    expression inside the join's project (no second pass, no window).
+    Column comparison uses ``eqNullSafe`` so NULL -> value and
+    value -> NULL both count as updates.
+    """
+    o = old.select(*key_cols, *compare_cols).alias("o")
+    n = new.select(*key_cols, *compare_cols).alias("n")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols],
+    )
+    # full-outer on eqNullSafe keys: a key present on either side yields
+    # exactly one row; presence is detected with per-side marker columns
+    # (key columns themselves can be NULL-valued in theory)
+    oj = o.withColumn("__in_old", F.lit(True))
+    nj = n.withColumn("__in_new", F.lit(True))
+    j = oj.join(nj, cond, "full_outer")
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in compare_cols],
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+        .otherwise(F.lit("N"))
+    )
+    keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in key_cols
+    ]
+    vals = [c for cc in compare_cols for c in (
+        F.col(f"o.{cc}").alias(f"old_{cc}"),
+        F.col(f"n.{cc}").alias(f"new_{cc}"),
+    )]
+    return j.select(*keys, change_type.alias("change_type"), *vals)

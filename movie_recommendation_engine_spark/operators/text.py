@@ -425,3 +425,116 @@ def corpus_filter_funnel(
             "id_sum",
         )
     )
+
+
+def build_vocab(df, text_col: str, vocab_size: int) -> "DataFrame":
+    """Frequency-ranked token vocabulary: the top ``vocab_size`` corpus
+    tokens by (count DESC, token ASC), with dense ids 1..vocab_size
+    (id 0 is reserved for OOV by ``encode_with_vocab``).
+
+    Scale shape: the token-count aggregate is map-side combinable; the
+    top-V selection runs as TakeOrderedAndProject (per-partition V-heaps,
+    driver merges V*partitions rows) — the corpus-sized tf table never
+    passes through a single-partition sort.  Only the final id
+    assignment is a window, over exactly ``vocab_size`` rows.
+    """
+    from pyspark.sql import Window as W
+
+    from .topk import top_k_global
+
+    toks = df.select(F.explode(words(text_col)).alias("tok")).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    top = top_k_global(tf, [F.col("n").desc(), F.col("tok").asc()], k=vocab_size)
+    w = W.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return top.withColumn("token_id", F.row_number().over(w))
+
+
+def encode_with_vocab(df, id_col: str, text_col: str, vocab) -> "DataFrame":
+    """Token-id encoding of every document under ``vocab`` (id 0 =
+    out-of-vocabulary) — the tokenize-and-map step of an LLM training
+    pipeline.  Returns one row per (doc, position):
+    (id_col, pos, token_id).
+
+    The vocab is broadcast (it is vocab_size rows by construction), so
+    encoding is a map-side join over the exploded token stream — no
+    shuffle of the corpus.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    return toks.join(F.broadcast(vocab.select("tok", "token_id")), "tok", "left").select(
+        id_col, "pos", F.coalesce("token_id", F.lit(0)).alias("token_id")
+    )
+
+
+def vocab_coverage(df, id_col: str, text_col: str, vocab_size: int = 25):
+    """Per-document OOV profile under a top-``vocab_size`` corpus vocab:
+    (id_col, n_tokens, n_oov, oov_rate, ids_fp) where ids_fp is the md5
+    of the full position-ordered token-id sequence — the encoding itself
+    is value-checked, not just its counts.
+
+    The id-sequence fingerprint is built distributed: per-doc
+    collect_list of (pos, id) structs, array_sort (pos is unique within
+    a doc, so struct order == position order), join, md5 — no driver.
+    """
+    vocab = build_vocab(df, text_col, vocab_size)
+    enc = encode_with_vocab(df, id_col, text_col, vocab)
+    ids_sorted = F.array_sort(F.collect_list(F.struct("pos", "token_id")))
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("token_id") == 0, 1).otherwise(0)).alias("n_oov"),
+        det_round(
+            F.sum(F.when(F.col("token_id") == 0, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+        F.md5(
+            F.array_join(
+                F.transform(ids_sorted, lambda s: s["token_id"].cast("string")), ","
+            )
+        ).alias("ids_fp"),
+    )
+
+
+def bigram_logprob(df, id_col: str, text_col: str, k: float = 0.5):
+    """Corpus-trained add-k bigram language model score per document —
+    the stronger sibling of ``unigram_logprob``: fluency, not just
+    token plausibility (token-salad passes a unigram LM but flunks a
+    bigram one).
+
+    P(w|v) = (c(v,w) + k) / (c(v,.) + k*V)   with V = corpus vocabulary
+    size; score = round(mean ln P over the doc's bigrams, 6).  Documents
+    with fewer than two tokens have no bigrams and drop out.
+
+    Physical plan: the bigram stream comes from a lead() window
+    partitioned PER DOCUMENT (parallel, state bounded by one doc);
+    model tables (bigram counts, context counts) are broadcast here —
+    on an open-vocabulary corpus where c(v,w) outgrows broadcast, both
+    joins degrade gracefully to shuffle joins on the same keys.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = W.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(id_col, F.col("tok").alias("a"), F.col("nxt").alias("b"))
+    )
+    bc = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    cc = bc.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vs = toks.agg(F.countDistinct("tok").alias("v_size"))
+    scored = (
+        pairs.join(F.broadcast(bc), ["a", "b"])
+        .join(F.broadcast(cc), "a")
+        .crossJoin(F.broadcast(vs))
+    )
+    logp = F.log(
+        (F.col("c_ab") + F.lit(k)) / (F.col("c_a") + F.lit(k) * F.col("v_size"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(logp), 6).alias("avg_logprob"),
+    )

@@ -81,6 +81,7 @@ from . import multimodal  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import e2e  # noqa: E402,F401
+from . import featurize  # noqa: E402,F401
 
 from .core import flagship  # noqa: E402,F401
 
@@ -176,6 +177,14 @@ _GATE_LAST = [
     "sliding_7d_active_users",
     "text_log_roundtrip_agg",
     "part_triangle_count",
+    # round-3 session-2 additions
+    "doc_vocab_coverage",
+    "doc_bigram_logprob",
+    "doc_boolean_search",
+    "customer_pareto_frontier",
+    "customer_snapshot_diff",
+    "part_feature_hashing",
+    "brand_target_encoding",
 ]
 
 

@@ -2541,3 +2541,118 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(edges)
+
+
+@register(
+    "customer_pareto_frontier",
+    oracle="""
+WITH prof AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS spend_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT c_custkey, spend_cents, n_orders
+FROM prof p
+WHERE NOT EXISTS (
+  SELECT 1 FROM prof q
+  WHERE q.spend_cents >= p.spend_cents AND q.n_orders >= p.n_orders
+    AND (q.spend_cents > p.spend_cents OR q.n_orders > p.n_orders))
+ORDER BY c_custkey
+""",
+)
+def q_customer_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline: customers not dominated on (total spend, order count).
+    The oracle runs the O(n^2) NOT-EXISTS dominance definition; the
+    engine runs the 2-D staircase plan (operators/relational.py::
+    pareto_frontier_2d): max-per-x aggregate, strict-prefix running max
+    over x DESC via global_cummax_strict (range partition + bounded
+    triangular offsets — NO single-partition WindowExec), one filter —
+    three shuffles at any n.  Spend is exact integer cents (DECIMAL sum
+    * 100 -> BIGINT) so the dominance comparisons are integer-exact."""
+    from ..operators.relational import pareto_frontier_2d
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("spend_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    return pareto_frontier_2d(prof, "spend_cents", "n_orders").orderBy("c_custkey")
+
+
+# deterministic synthetic "second load" for the CDC diff: content-hash
+# u in [0,1) per customer key decides the row's fate in snapshot v2 —
+# u < 0.05 deleted, 0.05 <= u < 0.15 balance bumped by 100.00, and the
+# u >= 0.95 tail cloned as inserts under key+10M.  Bit-identical on
+# both engines (md5 hash, double add of exact operands).
+_CDC_U = (
+    "(CAST(('0x' || substr(md5(concat_ws(chr(1), 'cdc', "
+    "CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)"
+)
+
+
+@register(
+    "customer_snapshot_diff",
+    oracle=f"""
+WITH v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+h AS (SELECT c_custkey, {_CDC_U} AS u FROM customer),
+v2 AS (
+  SELECT v1.c_custkey,
+         CASE WHEN u < 0.15 THEN c_acctbal + 100.0 ELSE c_acctbal END
+           AS c_acctbal,
+         c_mktsegment
+  FROM v1 JOIN h USING (c_custkey) WHERE u >= 0.05
+  UNION ALL
+  SELECT v1.c_custkey + 10000000, c_acctbal, c_mktsegment
+  FROM v1 JOIN h USING (c_custkey) WHERE u >= 0.95),
+d AS (
+  SELECT coalesce(v1.c_custkey, v2.c_custkey) AS c_custkey,
+         CASE WHEN v1.c_custkey IS NULL THEN 'I'
+              WHEN v2.c_custkey IS NULL THEN 'D'
+              WHEN v1.c_acctbal IS DISTINCT FROM v2.c_acctbal
+                   OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
+                THEN 'U'
+              ELSE 'N' END AS change_type,
+         v1.c_acctbal AS old_c_acctbal, v2.c_acctbal AS new_c_acctbal,
+         v1.c_mktsegment AS old_c_mktsegment,
+         v2.c_mktsegment AS new_c_mktsegment
+  FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)
+SELECT * FROM d WHERE change_type <> 'N' ORDER BY c_custkey
+""",
+)
+def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based CDC: diff two loads of the customer dimension and
+    classify every key I/D/U (operators/scd.py::snapshot_diff — ONE
+    full-outer shuffle join, null-safe column comparison inside the
+    join's project, no second pass).  Snapshot v2 is derived
+    deterministically from v1 by content hash: 5% deleted, 10% balance
+    bumped, 5% cloned as inserts — both engines rebuild it
+    bit-identically, so every old/new value is hash-checked."""
+    from ..functions.hashing import uniform_hash
+    from ..operators.scd import snapshot_diff
+
+    v1 = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    u = uniform_hash("c_custkey", salt="cdc")
+    base = v1.withColumn("__u", u)
+    kept = (
+        base.filter(F.col("__u") >= 0.05)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("__u") < 0.15, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .drop("__u")
+    )
+    ins = base.filter(F.col("__u") >= 0.95).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    v2 = kept.unionByName(ins)
+    d = snapshot_diff(v1, v2, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    return d.filter(F.col("change_type") != "N").orderBy("c_custkey")

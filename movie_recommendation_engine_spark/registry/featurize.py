@@ -1,0 +1,128 @@
+"""ML featurization queries: the hashing trick and smoothed target
+encoding — the tabular-feature companions of the text/embedding
+pipeline operators (each oracle-checked).
+
+Both are single-aggregate shapes that survive any scale: feature
+hashing maps an unbounded categorical space onto a fixed bucket space
+with an engine-neutral md5 hash (no vocabulary state at all), and
+target encoding reduces each category to exact-DECIMAL sufficient
+statistics before one double-precision smoothing formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import hash_bucket
+from . import _t, register
+
+# raw 64-bit md5 key (first 8 hex chars) — the DuckDB mirror of
+# functions.hashing.md5_long(feat, salt='fh')
+_FH_LONG = (
+    "CAST(('0x' || substr(md5(concat_ws(chr(1), 'fh', feat)), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "part_feature_hashing",
+    oracle=f"""
+WITH f AS (
+  SELECT p_partkey,
+         unnest(['brand=' || p_brand,
+                 'type=' || p_type,
+                 'size=' || CAST(p_size AS VARCHAR)]) AS feat
+  FROM part),
+b AS (SELECT feat, CAST({_FH_LONG} % 64 AS INT) AS bucket FROM f)
+SELECT bucket,
+       count(*) AS n_rows,
+       count(DISTINCT feat) AS n_feats,
+       min(feat) AS example_feat
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def q_part_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: every part's categorical features
+    (brand/type/size as 'name=value' strings) map to a fixed 64-bucket
+    index via functions.hashing.hash_bucket (md5 % 64 — engine-neutral,
+    vocabulary-free).  Output is the bucket occupancy histogram with
+    per-bucket distinct-feature counts — n_feats > 1 rows ARE the hash
+    collisions, measured rather than assumed away.  Scale shape: one
+    narrow explode (3 features/row) + one hash aggregate over <= 64
+    groups; no vocabulary table exists at any corpus size — that is the
+    point of the trick."""
+    part = _t(spark, sf_dir, "part")
+    f = part.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("brand="), "p_brand"),
+                F.concat(F.lit("type="), "p_type"),
+                F.concat(F.lit("size="), F.col("p_size").cast("string")),
+            )
+        ).alias("feat")
+    )
+    return (
+        f.withColumn("bucket", hash_bucket(64, "feat", salt="fh"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("feat").alias("n_feats"),
+            F.min("feat").alias("example_feat"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "brand_target_encoding",
+    oracle="""
+WITH g AS (
+  SELECT p.p_brand,
+         count(*) AS n,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS s
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1),
+gm AS (
+  SELECT CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS gmean FROM g)
+SELECT p_brand, n,
+       round((CAST(s AS DOUBLE) + 25.0 * gmean) / (n + 25.0), 6)
+         AS enc_price
+FROM g, gm
+ORDER BY p_brand
+""",
+)
+def q_brand_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of the part brand against line-item
+    price: enc = (sum_target + m*global_mean) / (n + m), m=25 — the
+    leak-resistant categorical encoder of tabular ML pipelines (rare
+    categories shrink toward the prior).  Sufficient statistics are
+    exact DECIMAL sums per category (one map-side-combinable
+    aggregate); the global prior re-enters as a broadcast one-row
+    aggregate (no driver collect) and a single double-precision formula
+    written identically on both engines."""
+    from ..operators.relational import with_scalars
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    g = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    )
+    gm = g.agg(
+        (
+            F.sum("s").cast("double") / F.sum("n").cast("double")
+        ).alias("gmean")
+    )
+    return (
+        with_scalars(g, gm)
+        .select(
+            "p_brand",
+            "n",
+            F.round(
+                (F.col("s").cast("double") + 25.0 * F.col("gmean"))
+                / (F.col("n") + 25.0),
+                6,
+            ).alias("enc_price"),
+        )
+        .orderBy("p_brand")
+    )

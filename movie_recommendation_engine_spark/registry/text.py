@@ -584,3 +584,127 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(~F.col("heavy") | (F.col("est") > 0)).alias("coverage_ok"),
         F.bool_and((F.col("est") <= F.col("c")) & F.col("err_ok")).alias("bounds_ok"),
     )
+
+
+# position-indexed token stream shared by the encoding/bigram oracles:
+# unnest + generate_subscripts preserves list order, mirroring Spark's
+# posexplode; empty tokens (blank/whitespace-only docs) are dropped on
+# both sides
+_POS_TOKS = f"""
+w0 AS (SELECT doc_id, unnest({WORDS}) AS tok,
+              generate_subscripts({WORDS}, 1) AS pos
+       FROM documents),
+t AS (SELECT * FROM w0 WHERE tok <> '')"""
+
+
+@register(
+    "doc_vocab_coverage",
+    oracle=f"""
+WITH {_POS_TOKS},
+tf AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS token_id
+  FROM tf QUALIFY token_id <= 25),
+enc AS (
+  SELECT doc_id, pos, coalesce(v.token_id, 0) AS id
+  FROM t LEFT JOIN vocab v USING (tok))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (floor((sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) * 1.0 / count(*))
+              * 1000000 + 0.5) / 1000000) AS oov_rate,
+       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
+FROM enc GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token-id encoding + per-document OOV profile —
+    the tokenize-and-map front of an LLM training pipeline.  The top-25
+    corpus vocab comes from a distributed top-V heap
+    (TakeOrderedAndProject — the corpus tf table never crosses a
+    single-partition sort), encoding is a broadcast map-side join over
+    the exploded token stream, and the gate hashes the md5 of every
+    document's FULL position-ordered id sequence, so the encoding
+    itself is value-checked end-to-end, not just its counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.vocab_coverage(docs, "doc_id", "text", vocab_size=25).orderBy("doc_id")
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+WITH {_POS_TOKS},
+p AS (
+  SELECT doc_id, tok AS a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM t QUALIFY b IS NOT NULL),
+bc AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2),
+cc AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bc GROUP BY 1),
+vs AS (SELECT count(DISTINCT tok) AS v_size FROM t)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln((c_ab + 0.5) / (c_a + 0.5 * v_size))), 6) AS avg_logprob
+FROM p JOIN bc USING (a, b) JOIN cc USING (a), vs
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k bigram language-model fluency score per document (the
+    stronger sibling of doc_unigram_logprob: token salad passes a
+    unigram LM but flunks a bigram one).  Bigrams come from a lead()
+    window partitioned PER DOCUMENT — parallel, state bounded by one
+    doc — and the model tables are broadcast (shuffle-join fallback on
+    open-vocabulary corpora noted in the operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.bigram_logprob(docs, "doc_id", "text", k=0.5).orderBy("doc_id")
+
+
+@register(
+    "doc_boolean_search",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {WORDS} AS w FROM documents),
+scored AS (
+  SELECT doc_id,
+         len(list_filter(w, x -> x = 'join'))   AS tf_join,
+         len(list_filter(w, x -> x = 'hash'))   AS tf_hash,
+         len(list_filter(w, x -> x = 'window')) AS tf_window
+  FROM base)
+SELECT doc_id, tf_join, tf_hash, tf_window,
+       CAST(tf_join + tf_hash + tf_window AS BIGINT) AS total_tf
+FROM scored
+WHERE tf_join > 0 AND tf_hash > 0 AND tf_window > 0
+ORDER BY total_tf DESC, doc_id
+""",
+)
+def q_doc_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (docs containing ALL of join/hash/
+    window) ranked by summed term frequency.  Ad-hoc plan: per-term tf
+    via higher-order array filters — a ZERO-shuffle codegen scan, no
+    explode.  For repeated queries the engine's bucketed-write path
+    (sources/writers.write_bucketed on an exploded postings table,
+    bucketed by term) turns this into a partition-pruned posting-list
+    intersection instead of a corpus scan; the scan variant is gated
+    because it is the right plan for one-shot search."""
+    docs = _t(spark, sf_dir, "documents")
+    w = X.words("text")
+
+    def term_tf(term: str):
+        # NB: the lambda must be unary — a second (even defaulted)
+        # parameter makes PySpark pass the array index into it
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    scored = docs.select(
+        "doc_id",
+        term_tf("join").alias("tf_join"),
+        term_tf("hash").alias("tf_hash"),
+        term_tf("window").alias("tf_window"),
+    )
+    return (
+        scored.filter(
+            (F.col("tf_join") > 0) & (F.col("tf_hash") > 0) & (F.col("tf_window") > 0)
+        )
+        .withColumn(
+            "total_tf",
+            (F.col("tf_join") + F.col("tf_hash") + F.col("tf_window")).cast("long"),
+        )
+        .orderBy(F.col("total_tf").desc(), "doc_id")
+    )

@@ -353,3 +353,22 @@ def test_sliding_7d_broadcasts_day_list(spark):
     plan = _plan(QUERIES["sliding_7d_active_users"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_staircase_no_global_window(spark):
+    """customer_pareto_frontier must run the staircase plan: its only
+    windows are partitioned by the physical partition id (bounded
+    per-task state), never a global ORDER BY-only window, and the
+    dominance test must not appear as a quadratic join."""
+    plan = _plan(QUERIES["customer_pareto_frontier"](spark, SF))
+    # the only nested-loop join allowed is the bounded triangular offset
+    # fold (#partitions^2 rows); the data-sized dominance test must not
+    # appear as a quadratic join, so no CartesianProduct anywhere
+    assert "CartesianProduct" not in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = spec.split(", ")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            f"unpartitioned (global-order) window: {spec}"
+        )
