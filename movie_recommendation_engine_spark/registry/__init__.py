@@ -185,6 +185,7 @@ _GATE_LAST = [
     "customer_snapshot_diff",
     "part_feature_hashing",
     "brand_target_encoding",
+    "doc_bpe_merges",
 ]
 
 

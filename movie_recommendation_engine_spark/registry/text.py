@@ -708,3 +708,90 @@ def q_doc_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_tf").desc(), "doc_id")
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB replay of operators/bpe.bpe_train: one block
+    per merge step (pair count -> deterministic best -> gaps-and-islands
+    greedy merge), exactly the pagerank gating pattern — the oracle is
+    generated, never hand-maintained, so both engines execute the same
+    spelled-out algorithm."""
+    blocks = [
+        f"""
+wf AS (SELECT tok AS word, count(*) AS freq FROM t GROUP BY 1),
+state0 AS (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, CAST(i AS INT), 1)) AS syms
+  FROM wf)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        blocks.append(f"""
+pos{k} AS (
+  SELECT word, freq, unnest(range(0, len(syms))) AS pos, unnest(syms) AS s
+  FROM state{p}),
+lead{k} AS (
+  SELECT word, freq, pos, s,
+         lead(s) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM pos{k}),
+pc{k} AS (
+  SELECT s AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS c
+  FROM lead{k} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+best{k} AS (SELECT l, r, c FROM pc{k} ORDER BY c DESC, l, r LIMIT 1),
+c1_{k} AS (
+  SELECT word, freq, pos, s, nxt, (s = b.l AND nxt = b.r) AS cand
+  FROM lead{k}, best{k} b),
+c2_{k} AS (
+  SELECT *, CASE WHEN cand THEN pos - row_number()
+        OVER (PARTITION BY word, cand ORDER BY pos) END AS isl
+  FROM c1_{k}),
+c3_{k} AS (
+  SELECT *, cand AND ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0)
+         AS do_merge
+  FROM c2_{k}),
+c4_{k} AS (
+  SELECT *, lag(do_merge) OVER (PARTITION BY word ORDER BY pos) AS absorbed
+  FROM c3_{k}),
+state{k} AS (
+  SELECT word, freq,
+         list(CASE WHEN do_merge THEN s || nxt ELSE s END ORDER BY pos) AS syms
+  FROM c4_{k} WHERE NOT coalesce(absorbed, false)
+  GROUP BY word, freq),
+stat{k} AS (
+  SELECT {k} AS step, b.l AS merge_left, b.r AS merge_right,
+         b.c AS pair_count,
+         (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM state{k})
+           AS corpus_len_after,
+         (SELECT count(DISTINCT s2)
+          FROM (SELECT unnest(syms) AS s2 FROM state{k}) vv) AS vocab_after
+  FROM best{k} b)""")
+        del p
+    union = "\nUNION ALL\n".join(f"SELECT * FROM stat{k}" for k in range(1, n_merges + 1))
+    return (
+        f"WITH {_POS_TOKS},{','.join(blocks)}\n{union}\nORDER BY step"
+    )
+
+
+@register("doc_bpe_merges", oracle=_bpe_oracle(5))
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 5 merge
+    rules learned over the documents corpus, with the corpus-length and
+    vocab-size trajectory after each merge.  Everything is exact
+    integers/strings, so the ENTIRE iterative training run — pair
+    counting, deterministic best-pair selection, greedy non-overlapping
+    merge application — is value-hash-gated against an independently
+    unrolled SQL replay (the pagerank gating pattern applied to
+    tokenizer learning)."""
+    from ..operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bpe_train(docs, "text", n_merges=5)
+    return out.select(
+        "step",
+        F.col("left").alias("merge_left"),
+        F.col("right").alias("merge_right"),
+        "pair_count",
+        "corpus_len_after",
+        "vocab_after",
+    ).orderBy("step")

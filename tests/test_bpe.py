@@ -1,0 +1,72 @@
+"""BPE tokenizer training: distributed == sequential reference."""
+
+from __future__ import annotations
+
+import collections
+
+from movie_recommendation_engine_spark.operators.bpe import bpe_train
+
+
+def _ref_bpe(texts: list[str], n: int):
+    """Sequential BPE with the operator's exact semantics: overlap-
+    inclusive pair counting, (count DESC, left, right) tiebreak, greedy
+    left-to-right non-overlapping merge application."""
+    wf = collections.Counter(w for t in texts for w in t.lower().split() if w)
+    state = {w: list(w) for w in wf}
+    out = []
+    for step in range(1, n + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in state.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    new.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            state[w] = new
+        corpus = sum(wf[w] * len(s) for w, s in state.items())
+        vocab = len({s for ss in state.values() for s in ss})
+        out.append((step, l, r, c, corpus, vocab))
+    return out
+
+
+def test_bpe_matches_sequential_reference(spark):
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "widest aaaa aabab banana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = [tuple(r) for r in bpe_train(df, "text", 6).orderBy("step").collect()]
+    assert got == _ref_bpe(texts, 6)
+
+
+def test_bpe_greedy_nonoverlapping_runs(spark):
+    """'aaaa' under merge (a,a) must become (aa)(aa) — two merges, not
+    three overlapping candidates; odd runs keep the tail: 'aaa' ->
+    (aa)a."""
+    df = spark.createDataFrame([(1, "aaaa aaa")], "doc_id int, text string")
+    rows = bpe_train(df, "text", 1).collect()
+    assert [(r.left, r.right, r.pair_count) for r in rows] == [("a", "a", 5)]
+    # corpus after: aaaa -> 2 symbols, aaa -> 2 symbols (aa + a)
+    assert rows[0].corpus_len_after == 4
+    assert rows[0].vocab_after == 2  # {'aa', 'a'}
+
+
+def test_bpe_single_char_words_survive(spark):
+    """Length-1 words have no pairs but must stay in the state (their
+    frequency still counts toward corpus length)."""
+    df = spark.createDataFrame([(1, "a b ab ab")], "doc_id int, text string")
+    rows = bpe_train(df, "text", 1).collect()
+    assert [(r.left, r.right) for r in rows] == [("a", "b")]
+    # words: a(1 sym), b(1 sym), ab -> merged to 1 sym, freq 2
+    assert rows[0].corpus_len_after == 1 + 1 + 2 * 1
