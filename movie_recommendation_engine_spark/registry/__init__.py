@@ -186,6 +186,7 @@ _GATE_LAST = [
     "part_feature_hashing",
     "brand_target_encoding",
     "doc_bpe_merges",
+    "embedding_top_pc_power",
 ]
 
 

@@ -126,3 +126,66 @@ def q_brand_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def _pca_oracle(n_iter: int = 8, dim: int = 64) -> str:
+    """Unrolled replay of operators/pca.power_iteration_top_pc: every
+    iteration's integer sums, power-of-two floor rescale, and IEEE
+    max-normalization spelled out per step (generated, like the BPE and
+    pagerank oracles).  Every CTE is MATERIALIZED: DuckDB inlines
+    multiply-referenced CTEs by default, which duplicates the iteration
+    subtree per reference — 2^n_iter plan copies — and turns a 0.2 s
+    replay into minutes."""
+    blocks = [
+        f"""
+base AS MATERIALIZED (SELECT vec_id AS id,
+                list_transform(embedding,
+                               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                         AS BIGINT)) AS xm
+         FROM embeddings),
+ex AS MATERIALIZED (SELECT id, unnest(range(0, len(xm))) AS dim, unnest(xm) AS x FROM base),
+v0 AS MATERIALIZED (SELECT unnest(range(0, {dim})) AS dim, CAST(1048576 AS BIGINT) AS vq)"""
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        blocks.append(f"""
+dots{k} AS MATERIALIZED (SELECT id, CAST(sum(x * vq) AS BIGINT) AS dot
+            FROM ex JOIN v{p} USING (dim) GROUP BY id),
+d{k} AS MATERIALIZED (SELECT id, CAST(floor(dot / 67108864.0) AS BIGINT) AS d FROM dots{k}),
+y{k} AS MATERIALIZED (SELECT dim, CAST(sum(x * d) AS BIGINT) AS y
+         FROM ex JOIN d{k} USING (id) GROUP BY dim),
+m{k} AS MATERIALIZED (SELECT CAST(max(abs(y)) AS DOUBLE) AS m FROM y{k}),
+v{k} AS MATERIALIZED (SELECT dim, CAST(floor(CAST(y AS DOUBLE) / m * 1048576 + 0.5) AS BIGINT)
+                AS vq
+         FROM y{k}, m{k})""")
+    v = f"v{n_iter}"
+    return f"""WITH {','.join(blocks)},
+fin AS MATERIALIZED (SELECT id, CAST(sum(x * vq) AS BIGINT) AS dotf
+        FROM ex JOIN {v} USING (dim) GROUP BY id),
+num AS MATERIALIZED (SELECT sum(CAST(dotf AS HUGEINT) * dotf) AS num FROM fin),
+den AS MATERIALIZED (SELECT CAST(sum(vq * vq) AS BIGINT) AS den FROM {v}),
+ssq AS MATERIALIZED (SELECT CAST(sum(x * x) AS BIGINT) AS ssq FROM ex)
+SELECT dim, vq AS v_q,
+       (floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000000000.0)
+              * 1000000 + 0.5) / 1000000) AS lambda_r6,
+       (floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / CAST(ssq AS DOUBLE))
+              * 1000000 + 0.5) / 1000000) AS evr_r6
+FROM {v}, num, den, ssq ORDER BY dim"""
+
+
+@register("embedding_top_pc_power", oracle=_pca_oracle(8, 64))
+def q_embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 8 rounds of
+    distributed power iteration (operators/pca.py) — iterative linear
+    algebra under a full value-hash gate: micro-unit integers, exact
+    BIGINT dots, power-of-two floor rescales and IEEE-deterministic
+    max-normalization make every engine produce the bit-identical
+    iterate.  On a flat spectrum (near-isotropic synthetic embeddings)
+    the fixed-iteration output is a high-Rayleigh direction rather than
+    the fully converged eigenvector — the eigenvalue and
+    explained-variance columns report exactly how much variance it
+    captures, and the hash gates that computation too."""
+    from ..operators.pca import power_iteration_top_pc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return power_iteration_top_pc(emb, "vec_id", "embedding", dim=64, n_iter=8)

@@ -718,8 +718,8 @@ def _bpe_oracle(n_merges: int) -> str:
     spelled-out algorithm."""
     blocks = [
         f"""
-wf AS (SELECT tok AS word, count(*) AS freq FROM t GROUP BY 1),
-state0 AS (
+wf AS MATERIALIZED (SELECT tok AS word, count(*) AS freq FROM t GROUP BY 1),
+state0 AS MATERIALIZED (
   SELECT word, freq,
          list_transform(range(1, length(word) + 1),
                         i -> substr(word, CAST(i AS INT), 1)) AS syms
@@ -728,37 +728,37 @@ state0 AS (
     for k in range(1, n_merges + 1):
         p = k - 1
         blocks.append(f"""
-pos{k} AS (
+pos{k} AS MATERIALIZED (
   SELECT word, freq, unnest(range(0, len(syms))) AS pos, unnest(syms) AS s
   FROM state{p}),
-lead{k} AS (
+lead{k} AS MATERIALIZED (
   SELECT word, freq, pos, s,
          lead(s) OVER (PARTITION BY word ORDER BY pos) AS nxt
   FROM pos{k}),
-pc{k} AS (
+pc{k} AS MATERIALIZED (
   SELECT s AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS c
   FROM lead{k} WHERE nxt IS NOT NULL GROUP BY 1, 2),
-best{k} AS (SELECT l, r, c FROM pc{k} ORDER BY c DESC, l, r LIMIT 1),
-c1_{k} AS (
+best{k} AS MATERIALIZED (SELECT l, r, c FROM pc{k} ORDER BY c DESC, l, r LIMIT 1),
+c1_{k} AS MATERIALIZED (
   SELECT word, freq, pos, s, nxt, (s = b.l AND nxt = b.r) AS cand
   FROM lead{k}, best{k} b),
-c2_{k} AS (
+c2_{k} AS MATERIALIZED (
   SELECT *, CASE WHEN cand THEN pos - row_number()
         OVER (PARTITION BY word, cand ORDER BY pos) END AS isl
   FROM c1_{k}),
-c3_{k} AS (
+c3_{k} AS MATERIALIZED (
   SELECT *, cand AND ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0)
          AS do_merge
   FROM c2_{k}),
-c4_{k} AS (
+c4_{k} AS MATERIALIZED (
   SELECT *, lag(do_merge) OVER (PARTITION BY word ORDER BY pos) AS absorbed
   FROM c3_{k}),
-state{k} AS (
+state{k} AS MATERIALIZED (
   SELECT word, freq,
          list(CASE WHEN do_merge THEN s || nxt ELSE s END ORDER BY pos) AS syms
   FROM c4_{k} WHERE NOT coalesce(absorbed, false)
   GROUP BY word, freq),
-stat{k} AS (
+stat{k} AS MATERIALIZED (
   SELECT {k} AS step, b.l AS merge_left, b.r AS merge_right,
          b.c AS pair_count,
          (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM state{k})
