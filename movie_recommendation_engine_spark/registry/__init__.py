@@ -187,6 +187,8 @@ _GATE_LAST = [
     "brand_target_encoding",
     "doc_bpe_merges",
     "embedding_top_pc_power",
+    "item_item_cf_neighbors",
+    "doc_rrf_fusion",
 ]
 
 

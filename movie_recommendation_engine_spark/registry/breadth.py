@@ -2656,3 +2656,96 @@ def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = kept.unionByName(ins)
     d = snapshot_diff(v1, v2, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
     return d.filter(F.col("change_type") != "N").orderBy("c_custkey")
+
+
+@register(
+    "item_item_cf_neighbors",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+idf AS (SELECT l_partkey, count(*) AS df FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+sym AS (
+  SELECT pa AS item, pb AS neighbor, c FROM pairs
+  UNION ALL
+  SELECT pb AS item, pa AS neighbor, c FROM pairs),
+scored AS (
+  SELECT s.item, s.neighbor, s.c,
+         s.c / sqrt(di.df * dj.df) AS cos_raw
+  FROM sym s
+  JOIN idf di ON s.item = di.l_partkey
+  JOIN idf dj ON s.neighbor = dj.l_partkey
+  WHERE s.c >= 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY item
+                               ORDER BY cos_raw DESC, neighbor) AS rnk
+  FROM scored)
+SELECT item, neighbor, c AS cooccur,
+       (floor(cos_raw * 1000000 + 0.5) / 1000000) AS cosine, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY item, rnk
+""",
+)
+def q_item_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering: top-3 nearest neighbors per
+    part by co-occurrence cosine c_ij / sqrt(df_i * df_j) over deduped
+    order baskets — the classic neighborhood model the reference's ALS
+    complements (precompute once, serve neighbors with no model).
+
+    Scale shape: one distinct on (order, item), one self-join that
+    shuffles ONLY on the basket key (pair fan-out bounded by basket
+    width squared), broadcast item-frequency table, and a per-item
+    rank window (state bounded by one item's candidate list).  The
+    cosine is exact-integer inputs -> one sqrt + one division, IEEE-
+    identical on both engines, so ranking by the RAW double is
+    deterministic; the reported value is det-rounded."""
+    from ..operators.topk import top_k_per_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    )
+    idf = baskets.groupBy("l_partkey").agg(F.count("*").alias("df"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("c"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "c"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "c")
+    )
+    scored = (
+        sym.filter(F.col("c") >= 2)
+        .join(F.broadcast(idf.withColumnRenamed("l_partkey", "item")), "item")
+        .withColumnRenamed("df", "df_i")
+        .join(F.broadcast(idf.withColumnRenamed("l_partkey", "neighbor")), "neighbor")
+        .withColumnRenamed("df", "df_j")
+        .withColumn("cos_raw", F.col("c") / F.sqrt(F.col("df_i") * F.col("df_j")))
+    )
+    top = top_k_per_group(
+        scored,
+        ["item"],
+        [F.col("cos_raw").desc(), F.col("neighbor").asc()],
+        k=3,
+        rank_col="rnk",
+        keep_rank=True,
+    )
+    return top.select(
+        "item",
+        "neighbor",
+        F.col("c").alias("cooccur"),
+        det_round(F.col("cos_raw")).alias("cosine"),
+        "rnk",
+    ).orderBy("item", "rnk")

@@ -795,3 +795,88 @@ def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_len_after",
         "vocab_after",
     ).orderBy("step")
+
+
+@register(
+    "doc_rrf_fusion",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {WORDS} AS w FROM documents),
+rel AS (
+  SELECT doc_id,
+         CAST(len(list_filter(w, x -> x = 'join'))
+            + len(list_filter(w, x -> x = 'hash'))
+            + len(list_filter(w, x -> x = 'window')) AS BIGINT) AS total_tf
+  FROM base),
+toks AS (SELECT doc_id, unnest({WORDS}) AS tok FROM documents),
+tf AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf),
+qual AS (
+  SELECT doc_id,
+         round(avg(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS lp
+  FROM toks JOIN tf USING (tok), tot GROUP BY doc_id),
+ra AS (SELECT doc_id, total_tf,
+              CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id) AS BIGINT)
+                AS rank_rel
+       FROM rel),
+rb AS (SELECT doc_id, lp,
+              CAST(row_number() OVER (ORDER BY lp DESC, doc_id) AS BIGINT)
+                AS rank_qual
+       FROM qual),
+fused AS (
+  SELECT doc_id, rank_rel, rank_qual,
+         1.0 / (60 + rank_rel) + 1.0 / (60 + rank_qual) AS s
+  FROM ra JOIN rb USING (doc_id))
+SELECT doc_id, rank_rel, rank_qual,
+       (floor(s * 1000000 + 0.5) / 1000000) AS rrf_r6
+FROM fused ORDER BY s DESC, doc_id LIMIT 50
+""",
+)
+def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval rankings — query
+    relevance (summed TF of join/hash/window) and corpus quality
+    (unigram-LM score): the standard way a search pipeline combines
+    heterogeneous scorers without calibrating them.  Both rankings come
+    from operators/relational.global_rank (range partition + triangular
+    offsets — NO single-partition window; the oracle's naive
+    row_number() OVER (ORDER BY ...) is exactly the scale cliff the
+    engine avoids).  RRF scores are integer-rank reciprocals — IEEE-
+    identical on both engines — so the fused ordering is deterministic;
+    the reported score is det-rounded."""
+    from ..operators.relational import global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    w = X.words("text")
+
+    def term_tf(term: str):
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    rel = docs.select(
+        "doc_id",
+        (term_tf("join") + term_tf("hash") + term_tf("window"))
+        .cast("long")
+        .alias("total_tf"),
+    ).withColumn("neg_tf", -F.col("total_tf"))
+    ra = global_rank(rel, ["neg_tf", "doc_id"], rank_col="rank_rel").select(
+        "doc_id", "rank_rel"
+    )
+    qual = (
+        X.unigram_logprob(docs, "doc_id", "text")
+        .select("doc_id", F.col("avg_logprob").alias("lp"))
+        .withColumn("neg_lp", -F.col("lp"))
+    )
+    rb = global_rank(qual, ["neg_lp", "doc_id"], rank_col="rank_qual").select(
+        "doc_id", "rank_qual"
+    )
+    fused = ra.join(rb, "doc_id").withColumn(
+        "s", 1.0 / (60 + F.col("rank_rel")) + 1.0 / (60 + F.col("rank_qual"))
+    )
+    return (
+        fused.orderBy(F.col("s").desc(), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            "rank_rel",
+            "rank_qual",
+            det_round(F.col("s")).alias("rrf_r6"),
+        )
+    )
