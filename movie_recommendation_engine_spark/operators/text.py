@@ -374,6 +374,39 @@ def shingle_novelty(df, id_col: str, text_col: str, n: int = 3):
     )
 
 
+def filter_funnel_verdicts(
+    df,
+    id_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    keep_langs: tuple[str, ...] = ("en", "fr", "es", "de"),
+    min_quality: float = 0.58,
+    max_dup_word_frac: float = 0.65,
+    max_run: int = 4,
+):
+    """Per-document first-failing-rule verdicts (id_col, reason) for the
+    corpus filter funnel — the reusable stage behind
+    ``corpus_filter_funnel``'s aggregate and the curation-pipeline
+    composition gate (reason in {'lang','quality','repetition','kept'})."""
+    rep = repetition_signals(df, id_col, text_col).select(
+        id_col, "dup_word_frac", "max_token_run"
+    )
+    base = df.select(
+        F.col(id_col), F.col(lang_col), quality_score(text_col).alias("__q")
+    )
+    reason = (
+        F.when(~F.col(lang_col).isin(*keep_langs), F.lit("lang"))
+        .when(F.col("__q") < min_quality, F.lit("quality"))
+        .when(
+            (F.col("dup_word_frac") > max_dup_word_frac)
+            | (F.col("max_token_run") >= max_run),
+            F.lit("repetition"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return base.join(rep, id_col).select(F.col(id_col), reason.alias("reason"))
+
+
 def corpus_filter_funnel(
     df,
     id_col: str,
@@ -396,23 +429,16 @@ def corpus_filter_funnel(
     det_round-stable), so attribution is hash-exact.  One scan + one
     shuffle-light join on the id; everything else is per-row.
     """
-    rep = repetition_signals(df, id_col, text_col).select(
-        id_col, "dup_word_frac", "max_token_run"
+    verdicts = filter_funnel_verdicts(
+        df,
+        id_col,
+        text_col,
+        lang_col=lang_col,
+        keep_langs=keep_langs,
+        min_quality=min_quality,
+        max_dup_word_frac=max_dup_word_frac,
+        max_run=max_run,
     )
-    base = df.select(
-        F.col(id_col), F.col(lang_col), quality_score(text_col).alias("__q")
-    )
-    reason = (
-        F.when(~F.col(lang_col).isin(*keep_langs), F.lit("lang"))
-        .when(F.col("__q") < min_quality, F.lit("quality"))
-        .when(
-            (F.col("dup_word_frac") > max_dup_word_frac)
-            | (F.col("max_token_run") >= max_run),
-            F.lit("repetition"),
-        )
-        .otherwise(F.lit("kept"))
-    )
-    verdicts = base.join(rep, id_col).select(F.col(id_col), reason.alias("reason"))
     total = verdicts.agg(F.count("*").alias("__total"))
     return (
         verdicts.groupBy("reason")

@@ -189,6 +189,8 @@ _GATE_LAST = [
     "embedding_top_pc_power",
     "item_item_cf_neighbors",
     "doc_rrf_fusion",
+    "events_forward_fill",
+    "corpus_curation_e2e",
 ]
 
 

@@ -199,3 +199,161 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
         "als_rmse_finite_ok boolean, als_rmse_le_2x_baseline_ok boolean, "
         "als_map_in_range_ok boolean",
     )
+
+
+# ---- corpus curation end-to-end ------------------------------------------
+
+from .text import FUNNEL_VERDICTS_SQL, NORM, WORDS  # noqa: E402
+from .dedup import MINHASH_PAIRS, SHINGLES  # noqa: E402
+
+_CUR_W = {"en": 4, "de": 1, "es": 1, "fr": 1}
+_CUR_W_SQL = ", ".join(f"('{k}', {w})" for k, w in sorted(_CUR_W.items()))
+_H_CUR = duck_hash_sql("mix", "doc_id")
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE {FUNNEL_VERDICTS_SQL},
+e1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN v USING (doc_id) WHERE v.reason = 'kept'),
+efp AS (SELECT doc_id, text, lang, md5({NORM}) AS fp FROM e1),
+e2 AS MATERIALIZED (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM efp)
+  WHERE doc_id = keep_id),
+{SHINGLES.replace("FROM documents", "FROM e2")},
+{MINHASH_PAIRS},
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src),
+e3 AS MATERIALIZED (
+  SELECT e2.doc_id, e2.text, e2.lang
+  FROM e2 LEFT JOIN comp c USING (doc_id)
+  WHERE coalesce(c.component, e2.doc_id) = e2.doc_id),
+wts AS (SELECT * FROM (VALUES {_CUR_W_SQL}) w(lang, w)),
+cnts AS (SELECT lang, count(*) AS n FROM e3
+         WHERE lang IN (SELECT lang FROM wts) GROUP BY 1),
+mm AS (SELECT min(coalesce(n, 0) // w) AS m FROM wts LEFT JOIN cnts USING (lang)),
+ranked AS (
+  SELECT doc_id, text, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_H_CUR}, doc_id) AS rn
+  FROM e3 WHERE lang IN (SELECT lang FROM wts)),
+e4 AS MATERIALIZED (
+  SELECT r.doc_id, r.text, r.lang
+  FROM ranked r JOIN wts USING (lang), mm WHERE rn <= w * m),
+tok AS (SELECT doc_id, len({WORDS}) AS n_tok FROM e4)
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs,
+  (SELECT count(*) FROM e1) AS n_funnel_kept,
+  (SELECT count(*) FROM e2) AS n_exact_kept,
+  (SELECT count(*) FROM e3) AS n_neardup_kept,
+  (SELECT count(*) FROM e4) AS n_sampled,
+  (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM e4) AS sampled_id_sum,
+  (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM tok) AS sampled_tokens,
+  (SELECT CAST((coalesce(sum(n_tok), 0) + 511) // 512 AS BIGINT) FROM tok)
+    AS n_bins_512,
+  (SELECT md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id),
+                       '')) FROM e4) AS sampled_ids_md5
+"""
+
+
+@register("corpus_curation_e2e", oracle=_CURATION_ORACLE)
+def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-data curation pipeline END TO END as one gated
+    row: quality filter funnel -> exact dedup -> MinHash-LSH near-dedup
+    (components, canonical-only) -> target-mixture sampling (en:de:es:fr
+    = 4:1:1:1) -> 512-token sequence-packing accounting.  Every stage is
+    independently oracle-gated elsewhere; this row gates their
+    COMPOSITION — stage counts, the sampled-id sum AND the md5 of the
+    exact sampled id list, so one wrong document anywhere in the chain
+    flips the hash.  Each stage output is localCheckpointed: consumed
+    by both the next stage and its own count, computed once."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import dedup_canonical
+    from ..operators.sampling import mixture_sample
+    from ..operators.text import (
+        filter_funnel_verdicts,
+        normalize_text,
+        ws_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    v = filter_funnel_verdicts(docs, "doc_id", "text")
+    e1 = docs.join(
+        v.filter(F.col("reason") == "kept").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    fp = e1.withColumn("__fp", F.md5(normalize_text("text")))
+    e2 = (
+        fp.withColumn(
+            "__keep", F.min("doc_id").over(Window.partitionBy("__fp"))
+        )
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
+    )
+    pairs = minhash_lsh_pairs(
+        e2, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5
+    )
+    canon = dedup_canonical(e2, pairs)
+    e3 = e2.join(
+        canon.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    e4 = mixture_sample(e3, "lang", ["doc_id"], _CUR_W).localCheckpoint(eager=False)
+    toks = e4.select("doc_id", ws_token_count("text").cast("long").alias("n_tok"))
+
+    def one(df, *aggs):
+        return F.broadcast(df.agg(*aggs))
+
+    ids_md5 = F.md5(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+            F.lit(""),
+        )
+    )
+    return (
+        one(docs, F.count("*").alias("n_docs"))
+        .crossJoin(one(e1, F.count("*").alias("n_funnel_kept")))
+        .crossJoin(one(e2, F.count("*").alias("n_exact_kept")))
+        .crossJoin(one(e3, F.count("*").alias("n_neardup_kept")))
+        .crossJoin(
+            one(
+                e4,
+                F.count("*").alias("n_sampled"),
+                F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sampled_id_sum"),
+                ids_md5.alias("sampled_ids_md5"),
+            )
+        )
+        .crossJoin(
+            one(
+                toks,
+                F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("sampled_tokens"),
+                F.expr("CAST((coalesce(sum(n_tok), 0) + 511) DIV 512 AS BIGINT)").alias(
+                    "n_bins_512"
+                ),
+            )
+        )
+        .select(
+            "n_docs",
+            "n_funnel_kept",
+            "n_exact_kept",
+            "n_neardup_kept",
+            "n_sampled",
+            "sampled_id_sum",
+            "sampled_tokens",
+            "n_bins_512",
+            "sampled_ids_md5",
+        )
+    )

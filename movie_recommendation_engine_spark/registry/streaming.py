@@ -515,3 +515,61 @@ def q_events_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "events_forward_fill",
+    oracle="""
+WITH holes AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN (CAST(('0x' || substr(md5(concat_ws(chr(1), 'ff',
+                    CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                    / 4294967296.0) < 0.4
+              THEN NULL ELSE value END AS v
+  FROM events),
+filled AS (
+  SELECT event_id, user_id, (v IS NULL) AS was_null,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+  FROM holes)
+SELECT event_id, user_id, was_null, filled_value
+FROM filled ORDER BY event_id
+""",
+)
+def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by per-key forward fill (LOCF — the
+    time-series repair step before feature extraction): 40% of values
+    are knocked out deterministically by content hash, then refilled
+    with the most recent non-null observation per user.  One window
+    partitioned PER USER over the (ts, event_id) total order — bounded
+    state, parallel across keys; leading nulls stay null (nothing to
+    carry), and the filled values are untouched doubles (no arithmetic),
+    so the whole repair is bit-exact on any engine."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import uniform_hash
+
+    ev = _t(spark, sf_dir, "events")
+    holes = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(uniform_hash("event_id", salt="ff") < 0.4, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        holes.select(
+            "event_id",
+            "user_id",
+            F.col("v").isNull().alias("was_null"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -423,11 +423,11 @@ def q_doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.shingle_novelty(docs, "doc_id", "text", n=3).orderBy("doc_id")
 
 
-@register(
-    "doc_filter_funnel",
-    oracle=f"""
-WITH base AS (SELECT doc_id, lang, {NORM} AS norm, {WORDS} AS w FROM documents),
-q AS (
+# per-document funnel verdict chain, shared with the curation-pipeline
+# composition oracle (registry/e2e.py) — ends at CTE ``v(doc_id, reason)``
+FUNNEL_VERDICTS_SQL = f"""
+fbase AS (SELECT doc_id, lang, {NORM} AS norm, {WORDS} AS w FROM documents),
+fq AS (
   SELECT doc_id, lang,
          greatest(0.0, least(1.0,
            0.2 + 0.08 * (CASE WHEN len(w) > 0
@@ -441,20 +441,26 @@ q AS (
                         ELSE 0 END))) AS q,
          (floor((1.0 - len(list_distinct(w)) * 1.0 / len(w)) * 1000000 + 0.5) / 1000000)
            AS dup_word_frac
-  FROM base),
-flat AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM base),
-isl AS (SELECT doc_id, tok,
+  FROM fbase),
+fflat AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM fbase),
+fisl AS (SELECT doc_id, tok,
                pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS g
-        FROM flat),
-runs AS (SELECT doc_id, count(*) AS r FROM isl GROUP BY doc_id, tok, g),
-maxrun AS (SELECT doc_id, CAST(max(r) AS INT) AS max_token_run FROM runs GROUP BY doc_id),
+        FROM fflat),
+fruns AS (SELECT doc_id, count(*) AS r FROM fisl GROUP BY doc_id, tok, g),
+fmaxrun AS (SELECT doc_id, CAST(max(r) AS INT) AS max_token_run FROM fruns GROUP BY doc_id),
 v AS (
-  SELECT q.doc_id,
-         CASE WHEN q.lang NOT IN ('en', 'fr', 'es', 'de') THEN 'lang'
-              WHEN q.q < 0.58 THEN 'quality'
-              WHEN q.dup_word_frac > 0.65 OR m.max_token_run >= 4 THEN 'repetition'
+  SELECT fq.doc_id,
+         CASE WHEN fq.lang NOT IN ('en', 'fr', 'es', 'de') THEN 'lang'
+              WHEN fq.q < 0.58 THEN 'quality'
+              WHEN fq.dup_word_frac > 0.65 OR m.max_token_run >= 4 THEN 'repetition'
               ELSE 'kept' END AS reason
-  FROM q JOIN maxrun m USING (doc_id))
+  FROM fq JOIN fmaxrun m USING (doc_id))"""
+
+
+@register(
+    "doc_filter_funnel",
+    oracle=f"""
+WITH {FUNNEL_VERDICTS_SQL}
 SELECT reason, count(*) AS n_docs,
        (floor((count(*) * 1.0 / (SELECT count(*) FROM documents)) * 1000000 + 0.5)
          / 1000000) AS share,

@@ -372,3 +372,36 @@ def test_pareto_staircase_no_global_window(spark):
         assert "ASC" not in first and "DESC" not in first, (
             f"unpartitioned (global-order) window: {spec}"
         )
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark):
+    """Star-join against a partitioned fact must prune fact partitions
+    at RUNTIME from the dimension's filter (DPP): the fact scan's
+    partition filters carry a dynamicpruning subquery, so only the
+    partitions whose keys survive the dim filter are read — the plan
+    shape that makes dim-filtered scans over a 100 TB partitioned fact
+    affordable."""
+    import tempfile
+
+    from movie_recommendation_engine_spark.sources.writers import write_partitioned
+
+    fact = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    d = tempfile.mkdtemp(prefix="dpp_fact_")
+    try:
+        write_partitioned(fact, d, partition_by=["o_orderpriority"])
+        dim = spark.createDataFrame(
+            [("1-URGENT", "hot"), ("2-HIGH", "hot"), ("5-LOW", "cold")],
+            "o_orderpriority string, klass string",
+        )
+        back = spark.read.parquet(d)
+        j = back.join(dim.filter(F.col("klass") == "hot"), "o_orderpriority")
+        plan = _plan(j)
+        assert "dynamicpruning" in plan.lower(), plan
+        want = fact.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ).count()
+        assert j.count() == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
