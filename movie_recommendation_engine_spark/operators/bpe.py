@@ -130,6 +130,25 @@ def _merge_round(state: DataFrame, step: int) -> tuple[DataFrame, DataFrame]:
     return stats, next_state
 
 
+def bpe_train_state(
+    df: DataFrame, text_col: str, n_merges: int = 5
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merge rules; returns (merges, state).
+
+    ``merges`` is one row per step (step, left, right, pair_count,
+    corpus_len_after, vocab_after); ``state`` is the trained tokenizer
+    itself — every distinct word with its final symbol sequence
+    (word, freq, syms), i.e. the lookup table ``bpe_encode`` applies.
+    """
+    state = _initial_state(_word_freqs(df, text_col)).localCheckpoint(eager=False)
+    out: DataFrame | None = None
+    for step in range(1, n_merges + 1):
+        stats, state = _merge_round(state, step)
+        out = stats if out is None else out.unionByName(stats)
+    assert out is not None, "n_merges must be >= 1"
+    return out, state
+
+
 def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules over the corpus.
 
@@ -141,10 +160,35 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5) -> DataFrame:
     Assumes the corpus has at least one adjacent pair at every step
     (i.e. n_merges is small relative to corpus symbol diversity).
     """
-    state = _initial_state(_word_freqs(df, text_col)).localCheckpoint(eager=False)
-    out: DataFrame | None = None
-    for step in range(1, n_merges + 1):
-        stats, state = _merge_round(state, step)
-        out = stats if out is None else out.unionByName(stats)
-    assert out is not None, "n_merges must be >= 1"
-    return out
+    return bpe_train_state(df, text_col, n_merges)[0]
+
+
+def bpe_encode(
+    df: DataFrame, id_col: str, text_col: str, state: DataFrame
+) -> DataFrame:
+    """Tokenize every document under a trained BPE ``state`` (from
+    ``bpe_train_state``): per document, the whitespace words map to
+    their merged symbol sequences via ONE join on the word — the
+    classic word-level BPE serving path (the per-word encoding was
+    computed once at train time; encoding a 100 TB corpus is a
+    broadcast/shuffle join against the vocabulary-sized state table,
+    never a re-run of the merge loop).
+
+    Returns (id_col, n_words, n_chars, n_bpe_tokens, compression_r6)
+    with compression = bpe_tokens / chars (det-rounded) — all counts
+    exact integers.
+    """
+    from ..functions.rounding import det_round
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    enc = toks.join(
+        F.broadcast(state.select("word", F.size("syms").alias("n_syms"))), "word"
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        det_round(F.sum("n_syms") / F.sum(F.length("word"))).alias("compression_r6"),
+    )

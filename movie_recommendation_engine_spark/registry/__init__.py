@@ -191,6 +191,8 @@ _GATE_LAST = [
     "doc_rrf_fusion",
     "events_forward_fill",
     "corpus_curation_e2e",
+    "doc_bpe_encoding",
+    "lineitem_feature_scaling",
 ]
 
 

@@ -189,3 +189,89 @@ def q_embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return power_iteration_top_pc(emb, "vec_id", "embedding", dim=64, n_iter=8)
+
+
+@register(
+    "lineitem_feature_scaling",
+    oracle="""
+WITH stats AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_sum,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p_sumsq
+  FROM lineitem GROUP BY 1),
+s2 AS (
+  SELECT l_returnflag, n, q_min, q_max,
+         p_sum / n AS p_mean,
+         sqrt((p_sumsq - p_sum * p_sum / n) / (n - 1)) AS p_std
+  FROM stats)
+SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_returnflag,
+       (floor((CASE WHEN s.q_max > s.q_min
+               THEN (l.l_quantity - s.q_min) / (s.q_max - s.q_min)
+               ELSE 0.0 END) * 1000000 + 0.5) / 1000000) AS qty_minmax_r6,
+       (floor((CASE WHEN s.p_std > 0
+               THEN (l.l_extendedprice - s.p_mean) / s.p_std
+               ELSE 0.0 END) * 1000000 + 0.5) / 1000000) AS price_z_r6
+FROM lineitem l JOIN s2 s USING (l_returnflag)
+ORDER BY l.l_orderkey, l.l_partkey, l.l_linenumber
+""",
+)
+def q_lineitem_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization — min-max scaling of quantity and
+    z-scoring of price within each return-flag group, the standard
+    tabular-ML preprocessing pass.  Group sufficient statistics (count,
+    min/max, exact-DECIMAL sum and sum-of-squares) reduce in ONE
+    map-side-combinable aggregate over <= |groups| rows, broadcast back
+    onto the fact scan — no window, no second shuffle of the data.  The
+    mean/std/scale formulas are written identically on both engines
+    over identical exact inputs, so every scaled row det-rounds to the
+    same value."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+        F.sum(p).cast("double").alias("p_sum"),
+        F.sum(p * p).cast("double").alias("p_sumsq"),
+    )
+    s2 = stats.select(
+        "l_returnflag",
+        "q_min",
+        "q_max",
+        (F.col("p_sum") / F.col("n")).alias("p_mean"),
+        F.sqrt(
+            (F.col("p_sumsq") - F.col("p_sum") * F.col("p_sum") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("p_std"),
+    )
+    p6 = float(10**6)
+
+    def r6(c):
+        return F.floor(c * p6 + F.lit(0.5)) / p6
+
+    return (
+        li.join(F.broadcast(s2), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            "l_returnflag",
+            r6(
+                F.when(
+                    F.col("q_max") > F.col("q_min"),
+                    (F.col("l_quantity") - F.col("q_min"))
+                    / (F.col("q_max") - F.col("q_min")),
+                ).otherwise(0.0)
+            ).alias("qty_minmax_r6"),
+            r6(
+                F.when(
+                    F.col("p_std") > 0,
+                    (F.col("l_extendedprice") - F.col("p_mean")) / F.col("p_std"),
+                ).otherwise(0.0)
+            ).alias("price_z_r6"),
+        )
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+    )

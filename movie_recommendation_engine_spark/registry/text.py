@@ -886,3 +886,38 @@ def q_doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(F.col("s")).alias("rrf_r6"),
         )
     )
+
+
+@register(
+    "doc_bpe_encoding",
+    # same generated training replay as doc_bpe_merges, different tail:
+    # the merges-union SELECT is swapped for an encode join of the
+    # word-level state5 table back onto the per-doc word stream (CTE t)
+    oracle=_bpe_oracle(5).replace(
+        "\nUNION ALL\n".join(f"SELECT * FROM stat{k}" for k in range(1, 6))
+        + "\nORDER BY step",
+        """,
+dw AS (SELECT doc_id, tok AS word FROM t),
+enc AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+         (floor((sum(len(syms)) * 1.0 / sum(length(word))) * 1000000 + 0.5)
+           / 1000000) AS compression_r6
+  FROM dw JOIN state5 USING (word) GROUP BY doc_id)
+SELECT * FROM enc ORDER BY doc_id""",
+    ),
+)
+def q_doc_bpe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained 5-merge BPE tokenizer to the corpus: every
+    word maps to its merged symbol count via one broadcast join against
+    the vocabulary-sized state table (the merge loop ran once at train
+    time — encoding never re-runs it).  Per-document word/char/
+    BPE-token counts and the det-rounded compression ratio, all gated
+    by the same unrolled training replay as doc_bpe_merges plus the
+    encode join."""
+    from ..operators.bpe import bpe_encode, bpe_train_state
+
+    docs = _t(spark, sf_dir, "documents")
+    _, state = bpe_train_state(docs, "text", n_merges=5)
+    return bpe_encode(docs, "doc_id", "text", state).orderBy("doc_id")

@@ -70,3 +70,23 @@ def test_bpe_single_char_words_survive(spark):
     assert [(r.left, r.right) for r in rows] == [("a", "b")]
     # words: a(1 sym), b(1 sym), ab -> merged to 1 sym, freq 2
     assert rows[0].corpus_len_after == 1 + 1 + 2 * 1
+
+
+def test_bpe_encode_applies_trained_state(spark):
+    from movie_recommendation_engine_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_state,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lowest"), (2, "low slow")], "doc_id int, text string"
+    )
+    _, state = bpe_train_state(df, "text", 2)
+    enc = {r.doc_id: r for r in bpe_encode(df, "doc_id", "text", state).collect()}
+    # chars never change; bpe tokens shrink monotonically with merges
+    assert enc[1].n_words == 3 and enc[1].n_chars == len("lowlowlowest")
+    assert enc[1].n_bpe_tokens < enc[1].n_chars
+    assert enc[2].n_words == 2
+    # every word's token count = len of its trained symbol sequence
+    st = {r.word: len(r.syms) for r in state.collect()}
+    assert enc[2].n_bpe_tokens == st["low"] + st["slow"]
