@@ -193,6 +193,8 @@ _GATE_LAST = [
     "corpus_curation_e2e",
     "doc_bpe_encoding",
     "lineitem_feature_scaling",
+    "customer_time_travel",
+    "customer_hierarchy_depth",
 ]
 
 

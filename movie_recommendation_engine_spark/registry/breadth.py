@@ -2749,3 +2749,119 @@ def q_item_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("cos_raw")).alias("cosine"),
         "rnk",
     ).orderBy("item", "rnk")
+
+
+@register(
+    "customer_time_travel",
+    oracle=f"""
+WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
+h AS (SELECT c_custkey, {_CDC_U} AS u FROM customer),
+v2 AS (
+  SELECT v1.c_custkey,
+         CASE WHEN u < 0.15 THEN c_acctbal + 100.0 ELSE c_acctbal END
+           AS c_acctbal
+  FROM v1 JOIN h USING (c_custkey) WHERE u >= 0.05
+  UNION ALL
+  SELECT v1.c_custkey + 10000000, c_acctbal
+  FROM v1 JOIN h USING (c_custkey) WHERE u >= 0.95)
+SELECT 1 AS version, count(*) AS n_rows,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS acctbal_cents_sum,
+       CAST(sum(c_custkey) AS BIGINT) AS id_sum
+FROM v1
+UNION ALL
+SELECT 2, count(*),
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT),
+       CAST(sum(c_custkey) AS BIGINT)
+FROM v2
+ORDER BY version
+""",
+)
+def q_customer_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table + time travel (sources/versioned.py):
+    load v1 of the customer dimension, publish the CDC-mutated second
+    load as snapshot v2 (same deterministic derivation as
+    customer_snapshot_diff), then query BOTH versions back through
+    read_snapshot — per-version row count, exact-cents balance sum and
+    id fingerprint.  The numbers come from reading the published
+    snapshot files, so the atomic write -> list -> pinned-read path is
+    what the oracle gates; the oracle recomputes both loads from the
+    base table.  Scratch path derives from sf_dir + pid so concurrent
+    gate/bench runs never interleave."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.hashing import uniform_hash
+    from ..sources.versioned import read_snapshot, write_snapshot
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        tempfile.gettempdir(), f"mres_timetravel_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    v1 = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    u = uniform_hash("c_custkey", salt="cdc")
+    base = v1.withColumn("__u", u)
+    kept = (
+        base.filter(F.col("__u") >= 0.05)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("__u") < 0.15, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .drop("__u")
+    )
+    ins = base.filter(F.col("__u") >= 0.95).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"), "c_acctbal"
+    )
+    ver1 = write_snapshot(v1, path)
+    ver2 = write_snapshot(kept.unionByName(ins), path)
+
+    def stats(ver: int):
+        snap = read_snapshot(spark, path, ver)
+        return snap.agg(
+            F.lit(ver).alias("version"),
+            F.count("*").alias("n_rows"),
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("acctbal_cents_sum"),
+            F.sum("c_custkey").cast("long").alias("id_sum"),
+        )
+
+    return stats(ver1).unionByName(stats(ver2)).orderBy("version")
+
+
+@register(
+    "customer_hierarchy_depth",
+    oracle="""
+WITH RECURSIVE climb(v, cur, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT v, cur // 8, d + 1 FROM climb WHERE cur >= 8)
+SELECT v AS c_custkey, cur AS root, CAST(d AS BIGINT) AS depth
+FROM climb WHERE cur < 8
+ORDER BY c_custkey
+""",
+)
+def q_customer_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal by pointer doubling (operators/graph.py::
+    ancestor_roots): a synthetic management forest over customers
+    (parent = custkey DIV 8, keys below 8 are roots) resolved to
+    (root, depth) for every node in O(log depth) self-join rounds —
+    the distributed answer to the recursive CTE the oracle runs, which
+    walks one level per iteration.  At 1000 executors a depth-1e6
+    chain is ~20 shuffles, not 1e6; every value is an exact integer."""
+    from ..operators.graph import ancestor_roots
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    parents = c.select(
+        F.col("c_custkey").alias("v"),
+        F.when(F.col("c_custkey") >= 8, F.expr("c_custkey DIV 8")).alias("p"),
+    )
+    out = ancestor_roots(parents, "v", "p", rounds=4)
+    return out.select(
+        F.col("v").alias("c_custkey"), "root", F.col("depth").cast("long").alias("depth")
+    ).orderBy("c_custkey")

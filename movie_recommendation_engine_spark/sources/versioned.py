@@ -1,0 +1,74 @@
+"""Versioned snapshot tables with time travel.
+
+A minimal snapshot-log table format (the Iceberg/Delta idea reduced to
+its core): every write is a NEW immutable snapshot directory
+``path/v=N``; readers pin a version (time travel) or take the latest.
+Written data is never mutated, so concurrent readers of version N are
+unaffected by later writes — the property that makes reproducible
+training runs possible ("the corpus as of snapshot 3").
+
+Scale shape: a snapshot is a plain parquet directory — all partition/
+pushdown behavior of the engine's parquet path applies unchanged; the
+only metadata is the version directory name, listed once at read
+planning time (no manifest server, no driver state).  Writes go
+through a staging directory and a FINAL atomic rename, so a crashed
+writer never publishes a half-written version and ``versions()`` never
+lists one.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _vdir(path: str, version: int) -> str:
+    return os.path.join(path, f"v={version:06d}")
+
+
+def versions(path: str) -> list[int]:
+    """Published (fully committed) snapshot versions, ascending."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v=") and not name.endswith(".staging"):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Append a new immutable snapshot; returns its version number.
+
+    The parquet write lands in ``v=N.staging`` and is published with
+    one atomic rename — a reader can never observe a partial snapshot.
+    """
+    os.makedirs(path, exist_ok=True)
+    ver = (versions(path)[-1] + 1) if versions(path) else 1
+    final = _vdir(path, ver)
+    staging = final + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(staging, final)
+    return ver
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read one snapshot: ``version=None`` pins the latest published
+    one at PLANNING time (the frame stays stable even if later
+    snapshots land while it executes)."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise FileNotFoundError(f"version {version} not in {vs} at {path}")
+    return spark.read.parquet(_vdir(path, version))

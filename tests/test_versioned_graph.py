@@ -1,0 +1,71 @@
+"""Versioned snapshot tables + pointer-doubling hierarchy traversal."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from movie_recommendation_engine_spark.operators.graph import ancestor_roots
+from movie_recommendation_engine_spark.sources.versioned import (
+    read_snapshot,
+    versions,
+    write_snapshot,
+)
+
+
+def test_snapshot_versions_accumulate_and_time_travel(spark):
+    d = tempfile.mkdtemp(prefix="vsnap_")
+    try:
+        df1 = spark.range(10).select(F.col("id"), F.lit("a").alias("tag"))
+        df2 = spark.range(25).select(F.col("id"), F.lit("b").alias("tag"))
+        assert write_snapshot(df1, d) == 1
+        assert write_snapshot(df2, d) == 2
+        assert versions(d) == [1, 2]
+        assert read_snapshot(spark, d, 1).count() == 10
+        assert read_snapshot(spark, d, 2).count() == 25
+        # latest by default; pinned at planning time
+        assert read_snapshot(spark, d).count() == 25
+        # old version content untouched by the new write
+        assert {r.tag for r in read_snapshot(spark, d, 1).collect()} == {"a"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_staging_never_published(spark):
+    """A leftover staging dir (crashed writer) must not appear in
+    versions() and must be reclaimed by the next write."""
+    d = tempfile.mkdtemp(prefix="vsnap_")
+    try:
+        write_snapshot(spark.range(3), d)
+        os.makedirs(os.path.join(d, "v=000002.staging", "junk"))
+        assert versions(d) == [1]
+        assert write_snapshot(spark.range(4), d) == 2
+        assert read_snapshot(spark, d, 2).count() == 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ancestor_roots_deep_chain_log_rounds(spark):
+    """A depth-100 path must resolve with only 7 doubling rounds
+    (2^7 = 128 >= 100) — the log-round contract."""
+    rows = [(i, i - 1 if i > 0 else None) for i in range(101)]
+    parents = spark.createDataFrame(rows, "v long, p long").repartition(5)
+    out = {r.v: (r.root, r.depth) for r in ancestor_roots(parents, rounds=7).collect()}
+    assert out[0] == (0, 0)
+    assert out[100] == (0, 100)
+    assert out[37] == (0, 37)
+
+
+def test_ancestor_roots_forest_and_branching(spark):
+    rows = [
+        (1, None), (2, None),          # two roots
+        (10, 1), (11, 1), (12, 2),     # depth 1
+        (20, 10), (21, 10), (22, 12),  # depth 2
+    ]
+    parents = spark.createDataFrame(rows, "v long, p long")
+    out = {r.v: (r.root, r.depth) for r in ancestor_roots(parents, rounds=3).collect()}
+    assert out[1] == (1, 0) and out[2] == (2, 0)
+    assert out[20] == (1, 2) and out[21] == (1, 2) and out[22] == (2, 2)
