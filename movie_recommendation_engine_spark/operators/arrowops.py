@@ -74,3 +74,59 @@ def grouped_value_stats_arrow(
             F.round("max_value", 6).alias("max_value"),
         )
     )
+
+
+def grouped_trimmed_mean_arrow(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim: float = 0.1,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-group trimmed mean in an Arrow grouped-map: drop the
+    floor(trim*n) lowest and highest values, average the rest — the
+    robust-mean preprocessing step that shrugs off sensor spikes and
+    fat-finger outliers.
+
+    Exactness contract (same discipline as the median op): values
+    convert to integer CENTS inside the worker, the kept slice is
+    selected by a TOTAL order ((cents, tiebreak) — ties at the trim
+    boundary cut identically on any engine/partitioning), the sum is an
+    exact int64, and ONE double division ends the computation, so the
+    result round-trips bit-identically against a SQL window-rank
+    oracle.  Output: (group_col, n, n_trimmed_each, trimmed_mean_r6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, n long, n_trimmed_each long, trimmed_mean_r6 double"
+    )
+    cols = [group_col, value_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def tmean(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(pdf[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        if tiebreak_col:
+            order = np.lexsort((pdf[tiebreak_col].to_numpy(), cents))
+        else:
+            order = np.argsort(cents, kind="stable")
+        cents = cents[order]
+        n = len(cents)
+        k = int(np.floor(trim * n))
+        kept = cents[k : n - k] if n - 2 * k > 0 else cents[:0]
+        # exact int64 sum -> one double division -> det-round
+        if len(kept):
+            m = float(int(kept.sum())) / len(kept) / 100.0
+            r6 = float(np.floor(m * 1e6 + 0.5) / 1e6)
+        else:
+            r6 = 0.0
+        return pd.DataFrame(
+            {
+                group_col: [str(pdf[group_col].iloc[0])],
+                "n": [n],
+                "n_trimmed_each": [k],
+                "trimmed_mean_r6": [r6],
+            }
+        )
+
+    return df.select(*cols).groupBy(group_col).applyInPandas(tmean, schema=out_schema)

@@ -564,3 +564,26 @@ def bigram_logprob(df, id_col: str, text_col: str, k: float = 0.5):
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(logp), 6).alias("avg_logprob"),
     )
+
+
+# character classes for web-crawl text repair (clean_text):
+# C0/C1 control chars (tab/newline excluded — normalize_text handles
+# whitespace), unicode space variants, zero-width/joiner marks
+CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+SPACEY_CLASS = "[  - 　]"
+ZERO_WIDTH_CLASS = "[​-‍﻿]"
+REPLACEMENT_CHAR = "�"
+
+
+def clean_text(col: Column | str) -> Column:
+    """Web-crawl character repair: strip control characters, map
+    unicode space variants to plain spaces, drop zero-width marks and
+    replacement characters — the cleanup every crawl corpus needs
+    before tokenization.  Pure regexp chain, one codegen stage, no
+    shuffle; counts of what was removed are reported by the
+    ``doc_unicode_cleaning`` query so the repair is auditable."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, CTRL_CLASS, "")
+    c = F.regexp_replace(c, SPACEY_CLASS, " ")
+    c = F.regexp_replace(c, ZERO_WIDTH_CLASS, "")
+    return F.regexp_replace(c, REPLACEMENT_CHAR, "")

@@ -195,6 +195,9 @@ _GATE_LAST = [
     "lineitem_feature_scaling",
     "customer_time_travel",
     "customer_hierarchy_depth",
+    "customer_link_prediction_aa",
+    "doc_unicode_cleaning",
+    "grouped_price_trimmed_mean_arrow",
 ]
 
 

@@ -2865,3 +2865,75 @@ def q_customer_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v").alias("c_custkey"), "root", F.col("depth").cast("long").alias("depth")
     ).orderBy("c_custkey")
+
+
+@register(
+    "customer_link_prediction_aa",
+    oracle="""
+WITH purch AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+pdf AS (
+  SELECT p, count(*) AS df,
+         CAST(floor(1000000.0 / ln(count(*))) AS BIGINT) AS w
+  FROM purch GROUP BY p
+  HAVING count(*) BETWEEN 2 AND 50),
+pairs AS (
+  SELECT a.c AS cust_a, b.c AS cust_b,
+         count(*) AS common_parts,
+         CAST(sum(w) AS BIGINT) AS aa_micro
+  FROM purch a
+  JOIN purch b ON a.p = b.p AND a.c < b.c
+  JOIN pdf ON pdf.p = a.p
+  GROUP BY 1, 2)
+SELECT cust_a, cust_b, common_parts, aa_micro
+FROM pairs
+ORDER BY aa_micro DESC, cust_a, cust_b
+LIMIT 20
+""",
+)
+def q_customer_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the customer-part bipartite graph:
+    Adamic-Adar scores sum 1/ln(df_p) over shared parts — rare shared
+    purchases count more — surfacing the 20 most-similar customer
+    pairs.  The 1/ln weights convert ONCE to integer micro-units
+    (floor(1e6/ln df) — ln on identical integers is IEEE-identical, and
+    the pair aggregate then sums exact BIGINTs, immune to summation
+    order).  Scale shape: pair fan-out is df_p^2 per part, so parts
+    join through an explicit df BETWEEN 2 AND 50 gate — hub parts carry
+    ~no Adamic-Adar signal and would otherwise dominate the shuffle;
+    the cap is the scale dial, stated rather than assumed."""
+    from ..operators.topk import top_k_global
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    purch = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pdf = (
+        purch.groupBy("p")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select(
+            F.col("p").alias("wp"),
+            F.floor(1000000.0 / F.log(F.col("df").cast("double")))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    a, b = purch.alias("a"), purch.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .join(F.broadcast(pdf), F.col("a.p") == F.col("wp"))
+        .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+        .agg(
+            F.count("*").alias("common_parts"),
+            F.sum("w").cast("long").alias("aa_micro"),
+        )
+    )
+    return top_k_global(
+        pairs, [F.col("aa_micro").desc(), F.col("cust_a").asc(), F.col("cust_b").asc()], 20
+    )

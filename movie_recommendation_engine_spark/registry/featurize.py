@@ -275,3 +275,44 @@ def q_lineitem_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_partkey", "l_linenumber")
     )
+
+
+@register(
+    "grouped_price_trimmed_mean_arrow",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem),
+r AS (
+  SELECT g, cents,
+         row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM c),
+k AS (SELECT g, n, CAST(floor(0.1 * n) AS BIGINT) AS k FROM r GROUP BY g, n),
+kept AS (
+  SELECT r.g, r.cents, k.n, k.k
+  FROM r JOIN k USING (g) WHERE r.rn > k.k AND r.rn <= k.n - k.k)
+SELECT g AS l_returnflag,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(k) AS BIGINT) AS n_trimmed_each,
+       (floor((CAST(sum(cents) AS DOUBLE) / count(*) / 100.0)
+              * 1000000 + 0.5) / 1000000) AS trimmed_mean_r6
+FROM kept GROUP BY g ORDER BY l_returnflag
+""",
+)
+def q_grouped_price_trimmed_mean_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of price per return flag through the Arrow
+    grouped-map path (operators/arrowops.py) — the robust-aggregation
+    companion of the exact-median op, completing the sanctioned-Python
+    surface under a value-hash gate.  Inside the worker: integer-cents
+    conversion, total-order slice, exact int64 sum, one double division
+    — so the pandas computation hashes identically against the SQL
+    window-rank oracle (boundary ties have equal cents, so either cut
+    yields the same kept multiset)."""
+    from ..operators.arrowops import grouped_trimmed_mean_arrow
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_trimmed_mean_arrow(
+        li, "l_returnflag", "l_extendedprice", trim=0.1
+    ).orderBy("l_returnflag")

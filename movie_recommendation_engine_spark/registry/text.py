@@ -921,3 +921,99 @@ def q_doc_bpe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     _, state = bpe_train_state(docs, "text", n_merges=5)
     return bpe_encode(docs, "doc_id", "text", state).orderBy("doc_id")
+
+
+# deterministic "dirty web crawl" derivation for the cleaning audit: a
+# content-hash bucket decides which corruption each doc gets, embedded
+# as literal unicode on both engines
+_UC_U = (
+    "(CAST(('0x' || substr(md5(concat_ws(chr(1), 'uc', "
+    "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)"
+)
+
+
+@register(
+    "doc_unicode_cleaning",
+    oracle=f"""
+WITH h AS (SELECT doc_id, text, {_UC_U} AS u FROM documents),
+dirty AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.15 THEN text || ' tail '
+              WHEN u < 0.30 THEN chr(7) || chr(1) || text || '​​'
+              WHEN u < 0.40 THEN text || ' cafÃ© �'
+              ELSE text END AS t
+  FROM h),
+cleaned AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+               '[  - 　]', ' ', 'g'),
+             '[​-‍﻿]', '', 'g'),
+           '�', '', 'g') AS clean
+  FROM dirty)
+SELECT doc_id,
+       CAST(length(t) - length(regexp_replace(t,
+         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS BIGINT) AS n_ctrl,
+       CAST(length(t) - length(regexp_replace(t,
+         '[  - 　]', '', 'g')) AS BIGINT) AS n_spacey,
+       CAST(length(t) - length(regexp_replace(t,
+         '[​-‍﻿]', '', 'g')) AS BIGINT) AS n_zero_width,
+       CAST(length(t) - length(regexp_replace(t, '�', '', 'g')) AS BIGINT)
+         AS n_replacement,
+       CAST(length(t) - length(replace(t, 'Ã©', '©')) AS BIGINT)
+         AS n_mojibake,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS cleaned_fp
+FROM cleaned ORDER BY doc_id
+""",
+)
+def q_doc_unicode_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl character repair, audited: a deterministic 'dirty
+    crawl' derivation (NBSP padding / control chars + zero-width marks /
+    mojibake + replacement chars, chosen per doc by content hash) is
+    cleaned by operators.text.clean_text, and the gate value-hashes the
+    per-doc removal counts, the cleaned length AND the md5 of the
+    cleaned text — the repair itself is verified byte-for-byte, not
+    just counted.  Everything is a regexp chain in one codegen stage."""
+    from ..functions.hashing import uniform_hash
+    from ..operators.text import (
+        CTRL_CLASS,
+        REPLACEMENT_CHAR,
+        SPACEY_CLASS,
+        ZERO_WIDTH_CLASS,
+        clean_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    u = uniform_hash("doc_id", salt="uc")
+    dirty = docs.select(
+        "doc_id",
+        F.when(u < 0.15, F.concat("text", F.lit(" tail ")))
+        .when(u < 0.30, F.concat(F.lit("\x07\x01"), "text", F.lit("​​")))
+        .when(u < 0.40, F.concat("text", F.lit(" cafÃ© �")))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+
+    def removed(cls: str):
+        return (
+            F.length("t") - F.length(F.regexp_replace("t", cls, ""))
+        ).cast("long")
+
+    return dirty.select(
+        "doc_id",
+        removed(CTRL_CLASS).alias("n_ctrl"),
+        removed(SPACEY_CLASS).alias("n_spacey"),
+        removed(ZERO_WIDTH_CLASS).alias("n_zero_width"),
+        removed(REPLACEMENT_CHAR).alias("n_replacement"),
+        (
+            F.length("t")
+            - F.length(F.expr("replace(t, 'Ã©', '©')"))
+        )
+        .cast("long")
+        .alias("n_mojibake"),
+        F.length(clean_text("t")).cast("long").alias("clean_len"),
+        F.md5(clean_text("t")).alias("cleaned_fp"),
+    ).orderBy("doc_id")

@@ -27,6 +27,9 @@ ARROW_OK = {
     "knn_arrow_top5",
     # deliberate Arrow path: Misra-Gries per-partition summaries
     "heavy_hitters_mg",
+    # deliberate Arrow grouped-map paths (applyInPandas)
+    "user_value_median_arrow",
+    "grouped_price_trimmed_mean_arrow",
 }
 # ALS queries build MLlib plans lazily via fit(); skip plan introspection.
 # movielens_e2e_cli is a driver composition over CLI verbs (its result is
@@ -46,9 +49,11 @@ def test_no_python_row_udfs_anywhere(spark):
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} runs a row-at-a-time Python UDF"
         if name not in ARROW_OK:
-            assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
-                f"{name} unexpectedly crosses into Python"
-            )
+            assert (
+                "ArrowEvalPython" not in plan
+                and "MapInPandas" not in plan
+                and "FlatMapGroupsInPandas" not in plan
+            ), f"{name} unexpectedly crosses into Python"
 
 
 def test_flagship_uses_heap_topk_and_broadcast_scalars(spark):
