@@ -198,6 +198,7 @@ _GATE_LAST = [
     "customer_link_prediction_aa",
     "doc_unicode_cleaning",
     "grouped_price_trimmed_mean_arrow",
+    "revenue_mom_growth",
 ]
 
 

@@ -2937,3 +2937,75 @@ def q_customer_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame
     return top_k_global(
         pairs, [F.col("aa_micro").desc(), F.col("cust_a").asc(), F.col("cust_b").asc()], 20
     )
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT month, rev_cents, n_orders,
+         lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+         CAST(avg(rev_cents) OVER (ORDER BY month
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_raw
+  FROM m)
+SELECT strftime(month, '%Y-%m-%d') AS month, rev_cents, n_orders,
+       (floor((CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+               THEN (rev_cents - prev_cents) * 100.0 / prev_cents
+               ELSE 0.0 END) * 1000000 + 0.5) / 1000000) AS mom_pct_r6,
+       CAST(floor(ma3_raw) AS BIGINT) AS ma3_cents_floor
+FROM g ORDER BY month
+""",
+)
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar analytics: monthly revenue with month-over-month growth
+    and a 3-month trailing average — the reporting query every BI layer
+    runs.  Monthly sums are exact integer cents (DECIMAL -> BIGINT), so
+    lag/growth arithmetic is exact; the 3-month average floors its
+    double to whole cents.  The month-level frame is tiny by
+    construction (one row per month regardless of order volume), so the
+    ordered window is bounded state — the heavy lifting is one
+    map-side-combinable monthly aggregate over the fact table."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    g = m.select(
+        "month",
+        "rev_cents",
+        "n_orders",
+        F.lag("rev_cents").over(w).alias("prev_cents"),
+        F.avg("rev_cents").over(w3).cast("double").alias("ma3_raw"),
+    )
+    p6 = float(10**6)
+    return g.select(
+        F.date_format("month", "yyyy-MM-dd").alias("month"),
+        "rev_cents",
+        "n_orders",
+        (
+            F.floor(
+                F.when(
+                    F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+                    (F.col("rev_cents") - F.col("prev_cents"))
+                    * 100.0
+                    / F.col("prev_cents"),
+                ).otherwise(0.0)
+                * p6
+                + F.lit(0.5)
+            )
+            / p6
+        ).alias("mom_pct_r6"),
+        F.floor("ma3_raw").cast("long").alias("ma3_cents_floor"),
+    ).orderBy("month")

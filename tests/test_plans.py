@@ -410,3 +410,20 @@ def test_dynamic_partition_pruning_on_dim_filter(spark):
         assert j.count() == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_triangular_offsets_reuse_the_range_exchange(spark):
+    """global_cumsum's per-partition totals and final join both read the
+    SAME range-partitioned base — Catalyst must reuse that exchange
+    (ReusedExchange/localCheckpoint reuse), not scan and shuffle the
+    input twice."""
+    from movie_recommendation_engine_spark.operators.relational import global_cumsum
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).cast("long").alias("v")
+    )
+    out = global_cumsum(df, ["id"], "v", num_partitions=4)
+    plan = _plan(out)
+    # the localCheckpointed base appears as ONE scan reused by both
+    # consumers: no more than one Exchange rangepartitioning node
+    assert plan.count("Exchange rangepartitioning") <= 1, plan

@@ -306,3 +306,50 @@ def test_unconverted_boundary_semantics(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     got = sorted(r.event_id for r in unconverted_events(df, "view", "purchase", "30 minutes").collect())
     assert got == [2, 3, 4]
+
+
+def test_streaming_day_hll_state_matches_batch(spark, events_dir):
+    """Incremental sketch maintenance: day-level HLL distinct-user
+    sketches streamed through the foreachBatch upsert sink must give
+    the same per-day estimates as a batch build — the streaming twin of
+    sliding_7d_active_users' persisted day-sketch state (merge sketches
+    as data arrives, never rescan history)."""
+    import os
+
+    from movie_recommendation_engine_spark.streaming.sinks import foreach_batch_upsert
+
+    state = tempfile.mkdtemp(prefix="hll_state_") + "/table"
+    ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
+    try:
+        stream = read_events_stream(spark, events_dir)
+        day_sk = stream.groupBy(
+            F.date_trunc("day", "ts").alias("day")
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        q = foreach_batch_upsert(day_sk, state, ["day"], ckpt)
+        q.awaitTermination(120)
+        got = {
+            r.day: r.est
+            for r in spark.read.parquet(state)
+            .select("day", F.expr("CAST(hll_sketch_estimate(sk) AS LONG)").alias("est"))
+            .collect()
+        }
+        batch = spark.read.parquet(events_dir)
+        want = {
+            r.day: r.est
+            for r in batch.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS LONG)").alias("est"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+        # and the sketch estimates are sane vs exact distincts (3-sigma)
+        exact = {
+            r.day: r.n
+            for r in batch.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        for day, est in got.items():
+            assert abs(est - exact[day]) <= max(2, exact[day] * 0.05)
+    finally:
+        shutil.rmtree(os.path.dirname(state), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
