@@ -199,6 +199,9 @@ _GATE_LAST = [
     "doc_unicode_cleaning",
     "grouped_price_trimmed_mean_arrow",
     "revenue_mom_growth",
+    "doc_bm25_search",
+    "events_rolling_median5",
+    "qty_discount_histogram_2d",
 ]
 
 

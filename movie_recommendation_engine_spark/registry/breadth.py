@@ -3009,3 +3009,47 @@ def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mom_pct_r6"),
         F.floor("ma3_raw").cast("long").alias("ma3_cents_floor"),
     ).orderBy("month")
+
+
+@register(
+    "qty_discount_histogram_2d",
+    oracle="""
+WITH b AS (
+  SELECT CAST((CAST(floor(l_quantity + 0.5) AS BIGINT) - 1) // 5 AS INT)
+           AS qty_bin,
+         CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) // 2 AS INT)
+           AS disc_bin,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT qty_bin, disc_bin, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM b GROUP BY 1, 2 ORDER BY qty_bin, disc_bin
+""",
+)
+def q_qty_discount_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap) of quantity x discount with per-cell
+    revenue — the binned-aggregate shape behind every density plot and
+    OLAP heatmap.  Bin ids come from integer-exact arithmetic (round to
+    whole units / whole discount-percent FIRST, then integer-divide) —
+    never floor(double/width), whose 0.06/0.02 = 2.999... misbins
+    across engines.  One map-side-combinable aggregate over <= 50
+    cells; zero shuffle beyond it."""
+    qty_bin = ((F.floor(F.col("l_quantity") + 0.5).cast("long") - 1) / 5).cast("int")
+    disc_bin = (F.floor(F.col("l_discount") * 100 + 0.5).cast("long") / 2).cast("int")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr("CAST((CAST(floor(l_quantity + 0.5) AS BIGINT) - 1) DIV 5 AS INT)").alias(
+                "qty_bin"
+            ),
+            F.expr("CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) DIV 2 AS INT)").alias(
+                "disc_bin"
+            ),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("qty_bin", "disc_bin")
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("long").alias("revenue_cents"))
+        .orderBy("qty_bin", "disc_bin")
+    )

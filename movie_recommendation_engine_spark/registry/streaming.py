@@ -573,3 +573,43 @@ def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_rolling_median5",
+    oracle="""
+WITH r AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+  FROM events)
+SELECT event_id, user_id, med5
+FROM r WHERE rn >= 5 ORDER BY event_id
+""",
+)
+def q_events_rolling_median5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-median smoothing (window of 5) per user over the event
+    stream — the robust time-series denoiser (a rolling MEAN chases
+    every spike; the median ignores them).  Odd window length is the
+    exactness trick: the median of 5 values is always a SELECTED
+    element, never an interpolation, so both engines return the
+    identical raw double (partial leading windows are even-sized and
+    interpolate differently across engines — they are excluded by the
+    rn >= 5 guard, which is also the analytics-correct 'warm-up'
+    cutoff).  One window partitioned per user: bounded state, parallel
+    across keys."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, Window.currentRow)
+    r = ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.expr("percentile(value, 0.5)").over(w5).alias("med5"),
+    )
+    return r.filter(F.col("rn") >= 5).select("event_id", "user_id", "med5").orderBy(
+        "event_id"
+    )

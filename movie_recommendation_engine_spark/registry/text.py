@@ -1017,3 +1017,95 @@ def q_doc_unicode_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean_text("t")).cast("long").alias("clean_len"),
         F.md5(clean_text("t")).alias("cleaned_fp"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_bm25_search",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {WORDS} AS w FROM documents),
+d AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT)   AS tf_join,
+         CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT)   AS tf_hash,
+         CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window
+  FROM base),
+g AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+         CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+  FROM d),
+s AS (
+  SELECT doc_id, dl, tf_join, tf_hash, tf_window,
+         ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+           * (tf_join * 2.2)
+           / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         + ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+           * (tf_hash * 2.2)
+           / (tf_hash + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+           * (tf_window * 2.2)
+           / (tf_window + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+  FROM d, g)
+SELECT doc_id, tf_join, tf_hash, tf_window,
+       (floor(score * 1000000 + 0.5) / 1000000) AS bm25_r6
+FROM s ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75, Lucene's always-positive idf) for
+    the 3-term query join/hash/window — the standard full-text scorer
+    on top of the same zero-shuffle HOF term-frequency scan as
+    doc_boolean_search.  Corpus stats (N, avgdl, per-term df) fold into
+    ONE broadcast one-row aggregate; the score is an explicit
+    left-to-right 3-term sum — a row EXPRESSION, not an aggregate — so
+    there is no summation-order nondeterminism anywhere, and the raw
+    double ranks identically on both engines before det-rounding."""
+    from ..operators.relational import with_scalars
+
+    docs = _t(spark, sf_dir, "documents")
+    w = X.words("text")
+
+    def term_tf(term: str):
+        return F.size(F.filter(w, lambda x: x == F.lit(term))).cast("long")
+
+    d = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("dl"),
+        term_tf("join").alias("tf_join"),
+        term_tf("hash").alias("tf_hash"),
+        term_tf("window").alias("tf_window"),
+    )
+    g = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.sum((F.col("tf_join") > 0).cast("long")).alias("df_join"),
+        F.sum((F.col("tf_hash") > 0).cast("long")).alias("df_hash"),
+        F.sum((F.col("tf_window") > 0).cast("long")).alias("df_window"),
+    )
+
+    def term_score(tf, df):
+        idf = F.log(
+            (F.col("n_docs") - F.col(df) + 0.5) / (F.col(df) + 0.5) + 1.0
+        )
+        norm = F.col(tf) + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+        return idf * (F.col(tf) * 2.2) / norm
+
+    scored = with_scalars(d, g).withColumn(
+        "score",
+        term_score("tf_join", "df_join")
+        + term_score("tf_hash", "df_hash")
+        + term_score("tf_window", "df_window"),
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "tf_join",
+            "tf_hash",
+            "tf_window",
+            det_round(F.col("score")).alias("bm25_r6"),
+        )
+    )
