@@ -202,6 +202,8 @@ _GATE_LAST = [
     "doc_bm25_search",
     "events_rolling_median5",
     "qty_discount_histogram_2d",
+    "label_centroid_similarity",
+    "part_entity_golden_records",
 ]
 
 

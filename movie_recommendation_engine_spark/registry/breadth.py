@@ -3053,3 +3053,126 @@ def q_qty_discount_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("cents").cast("long").alias("revenue_cents"))
         .orderBy("qty_bin", "disc_bin")
     )
+
+
+@register(
+    "part_entity_golden_records",
+    oracle="""
+WITH RECURSIVE
+names AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names),
+prs AS (
+  SELECT a.p_name AS u, c.p_name AS v
+  FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+  WHERE levenshtein(a.p_name, c.p_name) <= 3),
+edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (SELECT src AS p_name, least(src, min(dst)) AS ent
+         FROM reach GROUP BY src),
+m AS (
+  SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice,
+         coalesce(c.ent, p.p_name) AS ent
+  FROM part p LEFT JOIN comp c USING (p_name)),
+sized AS (
+  SELECT ent, count(*) AS n_members, count(DISTINCT p_name) AS n_names
+  FROM m GROUP BY ent HAVING count(DISTINCT p_name) >= 2),
+nm AS (
+  SELECT m.ent, m.p_name, count(*) AS cnt FROM m JOIN sized USING (ent)
+  GROUP BY m.ent, m.p_name),
+canon AS (
+  SELECT ent, p_name AS canonical_name
+  FROM (SELECT *, row_number() OVER (PARTITION BY ent
+                                     ORDER BY cnt DESC, p_name) AS rk
+        FROM nm)
+  WHERE rk = 1)
+SELECT s.ent AS entity_id, s.n_members, s.n_names, c.canonical_name,
+       CAST(min(floor(m.p_retailprice * 100 + 0.5)) AS BIGINT) AS min_price_cents,
+       max(m.p_size) AS max_size,
+       CAST(sum(m.p_partkey) AS BIGINT) AS member_id_sum
+FROM sized s JOIN canon c USING (ent) JOIN m USING (ent)
+GROUP BY s.ent, s.n_members, s.n_names, c.canonical_name
+ORDER BY entity_id
+""",
+)
+def q_part_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end at the REFERENCE-STRING level:
+    blocked Levenshtein matching over DISTINCT part names -> connected
+    components over the name graph -> parts mapped to their entity ->
+    one GOLDEN RECORD per resolved entity with survivorship rules
+    (modal name with deterministic tie-break, min price, max size,
+    member-id fingerprint) — the master-data-management pipeline on
+    top of the engine's fuzzy matcher and component operators.
+
+    Resolving at the name level is the scale design, not a shortcut:
+    the quadratic matcher and the component graph are bounded by the
+    DISTINCT-name vocabulary (64 names / 8 blocks at sf0.1), while the
+    20k-row part table only ever joins by name — the row count never
+    enters the pair fan-out.  (The first cut paired at the row level:
+    2.5k-row blocks of near-identical names -> ~50M edges -> the
+    closure detonated at sf0.1.)  The oracle recomputes clusters with
+    a recursive transitive closure over names; the engine runs
+    join-based min-label propagation — two algorithms, one hash."""
+    from ..operators.graph import dedup_canonical
+    from ..operators.topk import top_k_per_group
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", "p_retailprice"
+    )
+    names = part.select("p_name").distinct()
+    b = names.withColumn("blk", F.split("p_name", " ").getItem(0))
+    a, c = b.alias("a"), b.alias("c")
+    prs = (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("c.p_name")) <= 3)
+        .select(F.col("a.p_name").alias("id_a"), F.col("c.p_name").alias("id_b"))
+    )
+    ents = (
+        dedup_canonical(names.withColumnRenamed("p_name", "doc_id"), prs)
+        .select(F.col("doc_id").alias("p_name"), F.col("component").alias("ent"))
+    )
+    m = part.join(ents, "p_name").localCheckpoint(eager=False)
+    sized = (
+        m.groupBy("ent")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("p_name").alias("n_names"),
+        )
+        .filter(F.col("n_names") >= 2)
+    )
+    nm = (
+        m.join(sized.select("ent"), "ent")
+        .groupBy("ent", "p_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    canon = top_k_per_group(
+        nm, ["ent"], [F.col("cnt").desc(), F.col("p_name").asc()], k=1
+    ).select("ent", F.col("p_name").alias("canonical_name"))
+    return (
+        sized.join(canon, "ent")
+        .join(m, "ent")
+        .groupBy("ent", "n_members", "n_names", "canonical_name")
+        .agg(
+            F.min(F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("min_price_cents"),
+            F.max("p_size").alias("max_size"),
+            F.sum("p_partkey").cast("long").alias("member_id_sum"),
+        )
+        .select(
+            F.col("ent").alias("entity_id"),
+            "n_members",
+            "n_names",
+            "canonical_name",
+            "min_price_cents",
+            "max_size",
+            "member_id_sum",
+        )
+        .orderBy("entity_id")
+    )

@@ -545,3 +545,88 @@ def q_ann_jl_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS u
+  FROM embeddings),
+cents AS (
+  SELECT label, dim, CAST(CAST(sum(u) AS BIGINT) // count(*) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2),
+nc AS (SELECT label, CAST(sum(c * c) AS BIGINT) AS nc FROM cents GROUP BY 1),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM cents a JOIN cents b ON a.dim = b.dim AND a.label <= b.label
+  GROUP BY 1, 2)
+SELECT p.label_a, p.label_b,
+       (floor((CAST(p.dot AS DOUBLE)
+               / (sqrt(CAST(na.nc AS DOUBLE)) * sqrt(CAST(nb.nc AS DOUBLE))))
+              * 1000000 + 0.5) / 1000000) AS cos_r6
+FROM pairs p
+JOIN nc na ON na.label = p.label_a
+JOIN nc nb ON nb.label = p.label_b
+ORDER BY label_a, label_b
+""",
+)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the
+    confusion-structure read on an embedding space (which classes sit
+    close; the off-diagonal hot spots predict classifier confusions).
+    Same exactness engineering as embedding_centroid_accuracy: integer
+    micro-unit centroids (sum DIV count), exact BIGINT pairwise dots
+    over the tiny (labels x dims) table, one double sqrt/division at
+    the end.  The data-sized work is ONE aggregate; the pair join runs
+    over |labels| x dims rows regardless of corpus size."""
+    from ..functions.rounding import det_round
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1_000_000).cast("long").alias("u"),
+    )
+    cents = (
+        ex.groupBy("label", "dim")
+        .agg(F.expr("sum(u) DIV count(*)").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    nc = cents.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("nc"))
+    a = cents.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, ["dim"])
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(nc.select(F.col("label").alias("label_a"), F.col("nc").alias("na"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(nc.select(F.col("label").alias("label_b"), F.col("nc").alias("nb"))),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            det_round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cos_r6"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -33,6 +33,12 @@ SHOWCASE = [
     ("ann_sq8_top5", "SQ8 ANN: per-dim ranges fold to ONE broadcast row, narrow reconstruct"),
     ("hll_mergeable_distinct", "per-group HLL sketches merged with hll_union_agg (no rescan)"),
     ("events_cohort_retention", "retention triangle as hash aggregates only (window-free)"),
+    ("customer_pareto_frontier", "2-D skyline: staircase via pid-partitioned windows + bounded triangular offsets"),
+    ("doc_bpe_merges", "BPE training: per-round pair agg + broadcast best + islands merge, flat lineage"),
+    ("embedding_top_pc_power", "power-iteration PCA: one checkpointed explode, 64-row broadcast state per round"),
+    ("customer_hierarchy_depth", "pointer doubling: log-round self-joins, no recursive walk"),
+    ("doc_bm25_search", "BM25: zero-shuffle HOF tf scan + one broadcast stats row + heap top-k"),
+    ("item_item_cf_neighbors", "item CF: basket-key self-join, broadcast df table, per-item rank window"),
 ]
 
 
