@@ -204,6 +204,8 @@ _GATE_LAST = [
     "qty_discount_histogram_2d",
     "label_centroid_similarity",
     "part_entity_golden_records",
+    "customer_scd2_point_in_time",
+    "order_price_percentile_ranks",
 ]
 
 

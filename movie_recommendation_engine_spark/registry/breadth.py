@@ -3176,3 +3176,134 @@ def q_part_entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+@register(
+    "customer_scd2_point_in_time",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+         '1995-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+  FROM customer WHERE c_mktsegment <> 'BUILDING'
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2),
+         '1995-01-01', '1998-06-01'
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, round(round(c_acctbal, 2) + 100, 2),
+         '1998-06-01', CAST(NULL AS VARCHAR)
+  FROM customer WHERE c_mktsegment = 'BUILDING'),
+pit AS (
+  SELECT * FROM dim
+  WHERE valid_from <= '1998-01-15'
+    AND (valid_to IS NULL OR valid_to > '1998-01-15')),
+j AS (
+  SELECT o.o_orderkey, o.o_custkey, a.c_mktsegment, a.acctbal
+  FROM orders o JOIN pit a ON a.c_custkey = o.o_custkey
+  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-02-01')
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS acctbal_cents_sum
+FROM j GROUP BY 1 ORDER BY 1
+""",
+)
+def q_customer_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: January orders joined against
+    the SCD2 customer dimension AS OF 1998-01-15 (one validity-interval
+    filter BEFORE the join — the dimension collapses to one row per key,
+    so the join is a plain equi-join, never an interval join).  This is
+    the query pattern that makes SCD2 history usable: reproduce any
+    past report against the dimension as it stood.  The AS-OF slice
+    predicate pushes to the dimension scan; the fact date filter pushes
+    to the fact scan."""
+    from ..operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.round("c_acctbal", 2) + 100, 2).alias("acctbal"),
+    )
+    scd = scd2_apply(
+        dim, updates, key_cols=["c_custkey"],
+        attr_cols=["c_mktsegment", "acctbal"], batch_ts="1998-06-01",
+    )
+    asof = scd.filter(
+        (F.col("valid_from") <= "1998-01-15")
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > "1998-01-15"))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-02-01")
+    )
+    j = orders.join(
+        F.broadcast(asof), orders.o_custkey == asof.c_custkey
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("acctbal_cents_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "order_price_percentile_ranks",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey, cents,
+       CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rnk,
+       (floor((percent_rank() OVER (ORDER BY cents, o_orderkey))
+              * 1000000 + 0.5) / 1000000) AS pr_r6
+FROM c ORDER BY o_orderkey
+""",
+)
+def q_order_price_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percentile rank of every order by price — the
+    score-normalization step (percent_rank = (rank-1)/(n-1)) computed
+    WITHOUT a single-partition window: ranks come from the
+    distributed global_rank assembly (range partition + triangular
+    offsets) and n rides in as a broadcast one-row count, while the
+    oracle runs the textbook percent_rank() OVER (ORDER BY ...) that
+    funnels the whole table through one WindowExec task.  Prices rank
+    as exact integer cents with the order key as total-order tiebreak,
+    so ranks are engine- and partitioning-independent."""
+    from ..operators.relational import global_rank, with_scalars
+
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    r = global_rank(c, ["cents", "o_orderkey"], rank_col="rnk")
+    n = r.agg(F.count("*").alias("__n"))
+    p6 = float(10**6)
+    return (
+        with_scalars(r, n)
+        .select(
+            "o_orderkey",
+            "cents",
+            F.col("rnk").cast("long").alias("rnk"),
+            (
+                F.floor(
+                    ((F.col("rnk") - 1) / (F.col("__n") - 1)) * p6 + F.lit(0.5)
+                )
+                / p6
+            ).alias("pr_r6"),
+        )
+        .orderBy("o_orderkey")
+    )
