@@ -206,6 +206,7 @@ _GATE_LAST = [
     "part_entity_golden_records",
     "customer_scd2_point_in_time",
     "order_price_percentile_ranks",
+    "incremental_star_join_maintenance",
 ]
 
 

@@ -3307,3 +3307,90 @@ def q_order_price_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderkey")
     )
+
+
+# content-hash delta split for the join-IVM query: the most recent ~10%
+# of line items play the "day that just landed"
+_IVM_U = (
+    "(CAST(('0x' || substr(md5(concat_ws(chr(1), 'ivm', "
+    "CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), "
+    "CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)"
+)
+
+
+@register(
+    "incremental_star_join_maintenance",
+    oracle=f"""
+WITH rev AS (
+  SELECT l.l_orderkey, l.l_partkey, l.l_linenumber,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev_cents,
+         n.n_name
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+SELECT n_name,
+       count(*) AS n_rows,
+       CAST(sum(CAST(rev_cents AS DECIMAL(38,2))) AS BIGINT) AS total_cents,
+       min(rev_cents) AS vmin, max(rev_cents) AS vmax,
+       CAST(sum(CAST(rev_cents AS DECIMAL(38,2))) AS DOUBLE) / count(*) AS mean
+FROM rev GROUP BY n_name ORDER BY n_name
+""",
+)
+def q_incremental_star_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a STAR-JOIN aggregate (revenue
+    per nation): history and the newly-landed delta are split by
+    content hash, the history's partial-aggregate state is computed
+    once (in production: persisted), and the delta alone joins the
+    dimensions and merges into that state — answering the view with
+    O(delta + |state|) work while the oracle recomputes from the FULL
+    fact table.  Because the monoid merge law is exact
+    (merge(state(A), state(B)) == state(A UNION B), DECIMAL sums), the
+    incrementally-maintained answer value-hashes identically to the
+    scratch recompute.  Dimensions here are join-static (orders /
+    customer / nation) — the precondition for delta-only join IVM; a
+    changing dimension would route through the SCD2/CDC operators
+    first."""
+    from ..functions.hashing import uniform_hash
+    from ..operators.incremental import finalize_state, merge_states, rollup_state
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    u = uniform_hash("l_orderkey", "l_partkey", "l_linenumber", salt="ivm")
+
+    def joined(fact):
+        return (
+            fact.join(orders, fact.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                "n_name",
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("rev_cents"),
+            )
+        )
+
+    hist = li.filter(u >= 0.1)
+    delta = li.filter(u < 0.1)
+    state_hist = rollup_state(joined(hist), ["n_name"], "rev_cents")
+    state_delta = rollup_state(joined(delta), ["n_name"], "rev_cents")
+    maintained = merge_states([state_hist, state_delta], ["n_name"])
+    fin = finalize_state(maintained, ["n_name"])
+    # the exact DECIMAL total renders engine-differently through the
+    # driver's pandas canon; integer cents carry the same exactness
+    return fin.select(
+        "n_name",
+        "n_rows",
+        F.col("total").cast("long").alias("total_cents"),
+        "vmin",
+        "vmax",
+        "mean",
+    ).orderBy("n_name")
