@@ -207,6 +207,7 @@ _GATE_LAST = [
     "customer_scd2_point_in_time",
     "order_price_percentile_ranks",
     "incremental_star_join_maintenance",
+    "order_price_drift_psi",
 ]
 
 

@@ -316,3 +316,108 @@ def q_grouped_price_trimmed_mean_arrow(spark: SparkSession, sf_dir: str) -> Data
     return grouped_trimmed_mean_arrow(
         li, "l_returnflag", "l_extendedprice", trim=0.1
     ).orderBy("l_returnflag")
+
+
+def _psi_oracle() -> str:
+    """Generated PSI oracle: 10 bins pivoted into fixed columns so the
+    PSI sum is an explicit left-to-right expression — aggregate-order
+    nondeterminism cannot exist."""
+    crs = ",\n".join(
+        f"  CAST(sum(CASE WHEN bin = {i} AND is_ref THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS cr{i},\n"
+        f"  CAST(sum(CASE WHEN bin = {i} AND NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS cc{i}"
+        for i in range(10)
+    )
+    nr = " + ".join(f"cr{i}" for i in range(10))
+    nc = " + ".join(f"cc{i}" for i in range(10))
+    terms = ",\n".join(
+        f"  ((cr{i} + 0.5) / (nr + 5.0) - (cc{i} + 0.5) / (nc + 5.0))"
+        f" * ln(((cr{i} + 0.5) / (nr + 5.0)) / ((cc{i} + 0.5) / (nc + 5.0))) AS t{i}"
+        for i in range(10)
+    )
+    tsum = " + ".join(f"t{i}" for i in range(10))
+    tmax = "greatest(" + ", ".join(f"t{i}" for i in range(10)) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN t{i} >= {tmax} THEN {i}" for i in range(10)
+    ) + " END"
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         (o_orderdate < TIMESTAMP '2000-01-01') AS is_ref
+  FROM orders),
+b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+binned AS (
+  SELECT ((cents - lo) * 10) // (hi - lo + 1) AS bin, is_ref FROM c, b),
+piv AS (
+  SELECT
+{crs}
+  FROM binned),
+tot AS (SELECT *, {nr} AS nr, {nc} AS nc FROM piv),
+tm AS (SELECT *,
+{terms}
+  FROM tot)
+SELECT nr AS n_ref, nc AS n_cur,
+       (floor(({tsum}) * 1000000 + 0.5) / 1000000) AS psi_r6,
+       (floor(({tmax}) * 1000000 + 0.5) / 1000000) AS max_term_r6,
+       {argmax} AS top_drift_bin
+FROM tm"""
+
+
+@register("order_price_drift_psi", oracle=_psi_oracle())
+def q_order_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between historical (pre-2000) and
+    recent order prices — the standard ML-monitoring drift score.  10
+    equal-width bins over integer cents (bounds from ONE broadcast
+    min/max row; integer bin arithmetic), continuity-corrected
+    p/q = (c + 0.5)/(N + 5), and — the determinism trick — the bins
+    PIVOT into fixed columns so the PSI total is an explicit
+    left-to-right 10-term expression and the hottest bin comes from
+    greatest(): no SUM over floats anywhere, so the score is
+    bit-identical on any engine or partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")).alias("is_ref"),
+    )
+    b = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = c.crossJoin(F.broadcast(b)).select(
+        F.expr("((cents - lo) * 10) DIV (hi - lo + 1)").alias("bin"), "is_ref"
+    )
+    piv = binned.agg(
+        *[
+            x
+            for i in range(10)
+            for x in (
+                F.sum(F.when((F.col("bin") == i) & F.col("is_ref"), 1).otherwise(0))
+                .cast("long")
+                .alias(f"cr{i}"),
+                F.sum(F.when((F.col("bin") == i) & ~F.col("is_ref"), 1).otherwise(0))
+                .cast("long")
+                .alias(f"cc{i}"),
+            )
+        ]
+    )
+    nr = sum((F.col(f"cr{i}") for i in range(1, 10)), F.col("cr0"))
+    nc = sum((F.col(f"cc{i}") for i in range(1, 10)), F.col("cc0"))
+    tot = piv.withColumn("nr", nr).withColumn("nc", nc)
+
+    def term(i):
+        p = (F.col(f"cr{i}") + 0.5) / (F.col("nr") + 5.0)
+        q = (F.col(f"cc{i}") + 0.5) / (F.col("nc") + 5.0)
+        return ((p - q) * F.log(p / q)).alias(f"t{i}")
+
+    tm = tot.select("nr", "nc", *[term(i) for i in range(10)])
+    tsum = sum((F.col(f"t{i}") for i in range(1, 10)), F.col("t0"))
+    tmax = F.greatest(*[F.col(f"t{i}") for i in range(10)])
+    argmax = F.coalesce(
+        *[F.when(F.col(f"t{i}") >= tmax, F.lit(i)) for i in range(10)]
+    )
+    p6 = float(10**6)
+    return tm.select(
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cur"),
+        (F.floor(tsum * p6 + F.lit(0.5)) / p6).alias("psi_r6"),
+        (F.floor(tmax * p6 + F.lit(0.5)) / p6).alias("max_term_r6"),
+        argmax.alias("top_drift_bin"),
+    )
