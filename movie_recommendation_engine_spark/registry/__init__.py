@@ -208,6 +208,7 @@ _GATE_LAST = [
     "order_price_percentile_ranks",
     "incremental_star_join_maintenance",
     "order_price_drift_psi",
+    "kfold_assignment",
 ]
 
 

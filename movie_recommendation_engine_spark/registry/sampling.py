@@ -199,3 +199,68 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "kfold_assignment",
+    oracle="""
+WITH f AS (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         CAST(CAST(('0x' || substr(md5(concat_ws(chr(1), 'kfold',
+              CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+              CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) % 5 AS INT)
+           AS fold
+  FROM lineitem)
+SELECT fold, count(*) AS n,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       (SELECT count(*) FROM f) AS n_total,
+       true AS folds_cover_all,
+       true AS balance_ok
+FROM f GROUP BY fold ORDER BY fold
+""",
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5) by
+    content hash (functions.hashing.hash_bucket) — reproducible on any
+    cluster size or partitioning, the property MLlib's rand()-based
+    splits lack.  Gated: per-fold counts and key fingerprints are
+    value-checked, coverage (folds partition the table exactly) and
+    balance (every fold within 5% of n/k) are pinned as booleans the
+    oracle sets true — a broken hash or a lost row flips the hash."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash_bucket
+    from ..operators.relational import with_scalars
+
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.select(
+        "l_orderkey",
+        hash_bucket(5, "l_orderkey", "l_partkey", "l_linenumber", salt="kfold").alias(
+            "fold"
+        ),
+    )
+    tot = f.agg(F.count("*").alias("n_total"))
+    g = (
+        f.groupBy("fold")
+        .agg(F.count("*").alias("n"), F.sum("l_orderkey").cast("long").alias("key_sum"))
+    )
+    return (
+        with_scalars(g, tot)
+        .select(
+            "fold",
+            "n",
+            "key_sum",
+            "n_total",
+            # coverage: the sum of per-fold counts (a window over the
+            # k-row fold table — bounded by k, not data) equals the
+            # table count; the oracle pins the boolean true
+            (F.sum("n").over(Window.partitionBy()) == F.col("n_total")).alias(
+                "folds_cover_all"
+            ),
+            (
+                F.abs(F.col("n") - F.col("n_total") / 5)
+                <= F.col("n_total") * 0.05
+            ).alias("balance_ok"),
+        )
+        .orderBy("fold")
+    )
