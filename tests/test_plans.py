@@ -42,7 +42,24 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# queries whose plans legitimately contain a GLOBAL-ORDER window (no
+# partition columns -> one WindowExec task) because the windowed frame
+# is bounded BY CONSTRUCTION, not by the data:
+GLOBAL_WINDOW_OK = {
+    "doc_vocab_coverage",  # row_number over the top-V vocab (<= 25 rows after TakeOrdered)
+    "revenue_mom_growth",  # lag/avg over the month table (bounded by calendar)
+    "brand_dense_ids",  # row_number over distinct brands (tiny domain)
+}
+
+
 def test_no_python_row_udfs_anywhere(spark):
+    """One sweep over every registered query's physical plan enforcing
+    the two repo-wide scale contracts: no Python outside the sanctioned
+    Arrow allowlist, and no data-sized single-partition window — a
+    global-order windowspec may appear only for frames that are bounded
+    by construction (GLOBAL_WINDOW_OK)."""
+    import re
+
     for name, fn in QUERIES.items():
         if name in SKIP:
             continue
@@ -54,6 +71,12 @@ def test_no_python_row_udfs_anywhere(spark):
                 and "MapInPandas" not in plan
                 and "FlatMapGroupsInPandas" not in plan
             ), f"{name} unexpectedly crosses into Python"
+        if name not in GLOBAL_WINDOW_OK:
+            for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+                first = spec.split(", ")[0]
+                assert "ASC" not in first and "DESC" not in first, (
+                    f"{name} runs a data-sized global-order window: {spec[:100]}"
+                )
 
 
 def test_flagship_uses_heap_topk_and_broadcast_scalars(spark):
