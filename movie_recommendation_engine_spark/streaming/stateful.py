@@ -76,3 +76,82 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("ewma", T.DoubleType(), False),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+    ]
+)
+
+
+def running_user_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming exponentially-weighted moving average per user — the
+    classic online smoother/anomaly baseline, as a SECOND custom
+    stateful operator (state = one (n, s) row per key; s_t = α·x_t +
+    (1-α)·s_{t-1}, seeded with the first value).
+
+    EWMA is ORDER-SENSITIVE, unlike the running-totals op: rows sort by
+    (ts, event_id) WITHIN each micro-batch before folding, and
+    cross-batch correctness requires in-order arrival (the file source
+    delivers files in modification-time order; pair with a watermark +
+    small reorder buffer when the transport can reorder).  Full
+    precision lives in state; emission rounds to 6 dp — the exact
+    discipline of the totals op, so the stream converges bit-for-bit to
+    the batch twin's JVM fold (same IEEE ops, same order).
+    """
+
+    def _update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, None)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["value"]:
+            x = float(x)
+            s = x if s is None else alpha * x + (1.0 - alpha) * s
+            n += 1
+        state.update((n, float(s)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ewma": [round(s, 6)]}
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_ewma_batch(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Batch twin: the same sequential fold as a JVM higher-order
+    ``aggregate`` over the (ts, event_id)-sorted value array — one
+    shuffle per user, the recursion itself runs inside codegen."""
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            F.lit(alpha) * x["value"] + F.lit(1.0 - alpha) * acc
+        ),
+    )
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    )

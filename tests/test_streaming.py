@@ -353,3 +353,57 @@ def test_streaming_day_hll_state_matches_batch(spark, events_dir):
     finally:
         shutil.rmtree(os.path.dirname(state), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def timeline_dir(spark):
+    """Events written as three TIME-SLICED files (arrival order == event
+    time order) — the in-order transport the order-sensitive EWMA op
+    documents as its requirement."""
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix="events_timeline_")
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1 + i % 2, "tick", float((i * 7) % 13), "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        df.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_ewma_converges_to_batch(spark, timeline_dir):
+    """Order-sensitive stateful op: the streamed EWMA (state folded
+    across three in-order micro-batches) must equal the batch twin's
+    JVM fold exactly — same IEEE ops in the same order."""
+    from movie_recommendation_engine_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+    )
+    from movie_recommendation_engine_spark.streaming.stateful import (
+        running_user_ewma,
+        user_ewma_batch,
+    )
+
+    stream = read_events_stream(spark, timeline_dir)
+    got_rows = _run_stream(spark, running_user_ewma(stream), "t_ewma", "update")
+    final = {}
+    for r in got_rows.collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.ewma)
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(timeline_dir)
+    want = {
+        r.user_id: (r.n_events, r.ewma) for r in user_ewma_batch(batch).collect()
+    }
+    assert final == want and len(want) == 2
