@@ -82,6 +82,7 @@ from . import breadth  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import e2e  # noqa: E402,F401
 from . import featurize  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 from .core import flagship  # noqa: E402,F401
 
@@ -209,6 +210,16 @@ _GATE_LAST = [
     "incremental_star_join_maintenance",
     "order_price_drift_psi",
     "kfold_assignment",
+    # round-3 session-3 additions
+    "basket_association_rules",
+    "customer_rfm_segments",
+    "customer_revenue_gini",
+    "returnflag_priority_chi2",
+    "brand_return_info_gain",
+    "monthly_seasonal_forecast",
+    "customer_order_history_features",
+    "order_price_mad_outliers",
+    "customer_repeat_survival",
 ]
 
 
