@@ -88,9 +88,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fan-out tracks the RARE end of the vocabulary.  Even on this
     adversarial corpus (931-bigram uniform-df vocab, where prefix
     pruning is weakest: index sum df^2 only drops 73.2M -> 33.2M) the
-    optimized prefix plan measures ~7 s at sf0.1 vs 14.8 s naive;
-    on real corpora the gap widens with scale.  The banded scale path
-    remains dedup_minhash_lsh (~6 s)."""
+    optimized prefix plan with PPJoin positional/length pruning
+    measures ~4-5 s warm at sf0.1 vs 14.8 s naive; on real corpora the
+    gap widens with scale.  The banded scale path remains
+    dedup_minhash_lsh (~6 s)."""
     docs = _t(spark, sf_dir, "documents")
     return prefix_filtered_jaccard_pairs(
         docs, "doc_id", "text", n=2, threshold=0.5
