@@ -220,6 +220,8 @@ _GATE_LAST = [
     "customer_order_history_features",
     "order_price_mad_outliers",
     "customer_repeat_survival",
+    "customer_negative_samples",
+    "monthly_revenue_decomposition",
 ]
 
 

@@ -776,3 +776,207 @@ def q_customer_repeat_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_m")
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-based negative sampling for recommender / contrastive training
+# --------------------------------------------------------------------------
+
+_NEG_H = (
+    "CAST(('0x' || substr(md5(concat_ws(chr(1), 'neg', "
+    "CAST(custkey AS VARCHAR), CAST(slot AS VARCHAR))), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "customer_negative_samples",
+    oracle=f"""
+WITH seen AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+items AS (
+  SELECT p_partkey AS partkey,
+         row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+  FROM part),
+n1 AS (SELECT count(*) AS n_items FROM items),
+probes AS (
+  SELECT u.custkey, s.slot,
+         {_NEG_H} % n1.n_items AS idx
+  FROM (SELECT DISTINCT custkey FROM seen) u
+  CROSS JOIN (SELECT unnest(range(8)) AS slot) s
+  CROSS JOIN n1),
+cand AS (
+  SELECT p.custkey, p.slot, i.partkey
+  FROM probes p JOIN items i ON p.idx = i.idx)
+SELECT c.custkey, c.slot, c.partkey AS neg_partkey
+FROM cand c ANTI JOIN seen s
+  ON c.custkey = s.custkey AND c.partkey = s.partkey
+ORDER BY c.custkey, c.slot
+""",
+)
+def q_customer_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    for every customer, 8 hash-drawn candidate parts with their positive
+    (purchased) parts anti-joined away — the negatives an ALS-implicit /
+    BPR / contrastive trainer consumes.
+
+    The draw is the engine-wide CONTENT-HASH construction (md5 of
+    (custkey, slot) mod |items|), not rand(): reproducible on any
+    partitioning or cluster size, and oracle-replayable in ANSI SQL.
+    Items map through a dense 0..n-1 index (window-free rank over the
+    dimension table, broadcast back); probes are |users| x 8 rows —
+    linear fan-out, never a cross join against the item space — and the
+    anti-join shuffles on (custkey, partkey) like any fact join.
+    Collision slots that land on a seen item are dropped, not re-probed
+    (documented contract: E[kept] = k * (1 - density); re-probing would
+    need data-dependent iteration for a ~2% fill gain at typical
+    sparsity)."""
+    from ..functions.hashing import md5_long
+    from ..operators.relational import global_rank, with_scalars
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    seen = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+        .localCheckpoint()  # consumed by the user list and the anti-join
+    )
+    items = global_rank(part, ["p_partkey"], rank_col="rnk").select(
+        F.col("p_partkey").alias("partkey"), (F.col("rnk") - 1).alias("idx")
+    )
+    n1 = items.agg(F.count("*").alias("n_items"))
+    users = seen.select("custkey").distinct()
+    probes = with_scalars(
+        users.select("custkey", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("slot")),
+        n1,
+    ).select(
+        "custkey",
+        "slot",
+        (md5_long("custkey", "slot", salt="neg") % F.col("n_items")).alias("idx"),
+    )
+    cand = probes.join(F.broadcast(items), "idx").select("custkey", "slot", "partkey")
+    return (
+        cand.join(seen, ["custkey", "partkey"], "left_anti")
+        .select("custkey", "slot", F.col("partkey").alias("neg_partkey"))
+        .orderBy("custkey", "slot")
+    )
+
+
+# --------------------------------------------------------------------------
+# Classical time-series decomposition (trend / seasonal / residual)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "monthly_revenue_decomposition",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS BIGINT) AS mi,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         month(o_orderdate) AS moy,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS actual_cents
+  FROM orders GROUP BY 1, 2, 3),
+tr AS (
+  SELECT c.mi, c.month, c.moy, c.actual_cents,
+         CAST(sum(w.actual_cents) AS BIGINT) AS trend_13x,
+         count(*) AS n_win
+  FROM m c JOIN m w ON w.mi BETWEEN c.mi - 6 AND c.mi + 6
+  GROUP BY 1, 2, 3, 4),
+full_tr AS (
+  SELECT mi, month, moy, actual_cents,
+         13 * actual_cents - trend_13x AS dev_13x
+  FROM tr WHERE n_win = 13),
+seas AS (
+  SELECT moy, CAST(sum(dev_13x) AS BIGINT) AS sum_dev_13x,
+         count(*) AS n_obs
+  FROM full_tr GROUP BY moy)
+SELECT f.month, f.actual_cents,
+       {duck_det_round6("(13.0 * f.actual_cents - f.dev_13x) / 13.0")} AS trend_r6,
+       {duck_det_round6("CAST(s.sum_dev_13x AS DOUBLE) / (13.0 * s.n_obs)")}
+         AS seasonal_r6,
+       {duck_det_round6(
+           "f.dev_13x / 13.0 - CAST(s.sum_dev_13x AS DOUBLE) / (13.0 * s.n_obs)"
+       )} AS residual_r6
+FROM full_tr f JOIN seas s ON f.moy = s.moy
+ORDER BY f.month
+""",
+)
+def q_monthly_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of monthly order revenue:
+    trend (13-month centered moving average), seasonal (per-calendar-
+    month mean deviation from trend), residual (the rest) — the
+    seasonality screen an analyst runs before forecasting.
+
+    All sums stay EXACT integers as long as possible: the moving-average
+    window is a BOUNDED self-join over the calendar-sized month table
+    (mi BETWEEN c.mi-6 AND c.mi+6 — never an ordered data window, and
+    the joined table is ~#months rows, so it broadcasts), the deviation
+    is kept as dev_13x = 13*actual - trend_13x (BIGINT, no division),
+    and seasonal means sum those integers before ONE double division.
+    Every emitted double is the same explicit left-to-right expression
+    on both engines under det_round6.  Months with an incomplete window
+    (first/last 6) are excluded from the backcast, the standard
+    centered-MA contract."""
+    orders = _t(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+            .cast("long")
+            .alias("mi"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+                "month"
+            ),
+            F.month("o_orderdate").alias("moy"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("actual_cents")
+        )
+        .localCheckpoint()  # both sides of the centered-MA join
+    )
+    c, w = m.alias("c"), m.alias("w")
+    tr = (
+        c.join(
+            F.broadcast(w),
+            F.col("w.mi").between(F.col("c.mi") - 6, F.col("c.mi") + 6),
+        )
+        .groupBy(
+            F.col("c.mi").alias("mi"),
+            F.col("c.month").alias("month"),
+            F.col("c.moy").alias("moy"),
+            F.col("c.actual_cents").alias("actual_cents"),
+        )
+        .agg(
+            F.sum("w.actual_cents").cast("long").alias("trend_13x"),
+            F.count("*").alias("n_win"),
+        )
+    )
+    full_tr = tr.filter(F.col("n_win") == 13).select(
+        "mi",
+        "month",
+        "moy",
+        "actual_cents",
+        (13 * F.col("actual_cents") - F.col("trend_13x")).alias("dev_13x"),
+    )
+    seas = full_tr.groupBy("moy").agg(
+        F.sum("dev_13x").cast("long").alias("sum_dev_13x"),
+        F.count("*").alias("n_obs"),
+    )
+    seasonal = F.col("sum_dev_13x").cast("double") / (13.0 * F.col("n_obs"))
+    return (
+        full_tr.join(F.broadcast(seas), "moy")
+        .select(
+            "month",
+            "actual_cents",
+            det_round((13.0 * F.col("actual_cents") - F.col("dev_13x")) / 13.0).alias(
+                "trend_r6"
+            ),
+            det_round(seasonal).alias("seasonal_r6"),
+            det_round(F.col("dev_13x") / 13.0 - seasonal).alias("residual_r6"),
+        )
+        .orderBy("month")
+    )

@@ -191,3 +191,57 @@ def test_survival_curve_monotone_and_exact(spark):
     assert by_gap[0]["n_ge"] == sum(
         r["n_gaps"] for r in rows if r["gap_m"] >= by_gap[0]["gap_m"]
     )
+
+
+def test_negative_samples_properties(spark):
+    rows = _rows(spark, "customer_negative_samples")
+    # no sampled negative may be a seen positive
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    seen = {
+        (r["c"], r["p"])
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .collect()
+    }
+    users = {c for c, _ in seen}
+    part_keys = {
+        r["p_partkey"] for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        assert (r["custkey"], r["neg_partkey"]) not in seen
+        assert r["neg_partkey"] in part_keys
+        assert 0 <= r["slot"] <= 7
+        per_user[r["custkey"]].append(r["slot"])
+    # every sampled user is a real user; at most 8 slots, no slot repeats
+    for u, slots in per_user.items():
+        assert u in users
+        assert len(slots) == len(set(slots)) <= 8
+    # draw is deterministic: a second invocation returns the same rows
+    again = _rows(spark, "customer_negative_samples")
+    assert rows == again
+
+
+def test_decomposition_reconstructs_and_centers(spark):
+    rows = _rows(spark, "monthly_revenue_decomposition")
+    assert rows, "sf0.001 spans years, the centered window must produce rows"
+    for r in rows:
+        # additive identity holds to rounding noise
+        recon = r["trend_r6"] + r["seasonal_r6"] + r["residual_r6"]
+        assert recon == pytest.approx(r["actual_cents"], abs=5e-6 * max(1, r["actual_cents"]) + 1e-3)
+    # seasonal component has (weighted) mean ~0 across observed months
+    from collections import defaultdict
+
+    by_moy = {}
+    cnt = defaultdict(int)
+    for r in rows:
+        moy = int(r["month"].split("-")[1])
+        by_moy[moy] = r["seasonal_r6"]
+        cnt[moy] += 1
+    wmean = sum(by_moy[m] * cnt[m] for m in by_moy) / sum(cnt.values())
+    scale = max(abs(v) for v in by_moy.values()) or 1.0
+    assert abs(wmean) <= 0.05 * scale + 1e-6
