@@ -222,6 +222,8 @@ _GATE_LAST = [
     "customer_repeat_survival",
     "customer_negative_samples",
     "monthly_revenue_decomposition",
+    "part_abc_classification",
+    "ab_test_urgent_orders",
 ]
 
 

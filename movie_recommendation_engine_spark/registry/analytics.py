@@ -1,7 +1,10 @@
 """Advanced-analytics queries: market-basket association rules, RFM
 customer segmentation, revenue-concentration (Gini / top-decile share),
-a chi-square independence test, information-gain feature ranking, and a
-seasonal-naive forecast backtest.
+a chi-square independence test, information-gain feature ranking,
+seasonal-naive forecast backtest, per-customer window-function features,
+exact-median MAD outliers, repeat-purchase survival, hash-based negative
+sampling, classical trend/seasonal/residual decomposition, ABC (Pareto)
+classification, and an A/B two-proportion z-test readout.
 
 These extend the engine past the reference's recommender workload
 (reference scope: als.py / popularity_model.py) into the classic
@@ -979,4 +982,168 @@ def q_monthly_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
             det_round(F.col("dev_13x") / 13.0 - seasonal).alias("residual_r6"),
         )
         .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto) classification of parts by revenue, window-free
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_abc_classification",
+    oracle="""
+WITH x AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS total FROM x),
+r AS (
+  SELECT partkey, cents,
+         CAST(row_number() OVER w AS BIGINT) AS rnk,
+         CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM x
+  WINDOW w AS (ORDER BY cents DESC, partkey))
+SELECT partkey, cents, rnk, cum_cents,
+       CASE WHEN cum_cents * 100 <= 80 * tot.total THEN 'A'
+            WHEN cum_cents * 100 <= 95 * tot.total THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r CROSS JOIN tot ORDER BY rnk
+""",
+)
+def q_part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    classed A (first 80% of cumulative revenue), B (to 95%), C (tail).
+
+    The cumulative revenue comes from the WINDOW-FREE global prefix sum
+    (operators.relational.global_cumsum — range partition + parallel
+    intra-partition running sums + triangular offset fold; descending
+    order encoded as ascending (-cents, partkey)), while the oracle runs
+    the textbook single-partition sum() OVER (ORDER BY ...).  Class
+    boundaries are the CROSS-MULTIPLIED integer tests cum*100 <= 80*total
+    — no share division, so boundary parts cannot flip on float noise
+    (cum*100 fits int64 through warehouse scale; at 100-TB cents totals
+    move both sides into DECIMAL(38,0)).  The total re-enters broadcast."""
+    from ..operators.relational import global_cumsum, global_rank, with_scalars
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("neg", -F.col("cents"))
+        .localCheckpoint()  # rank + cumsum + total read one aggregate
+    )
+    tot = x.agg(F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("total"))
+    r = global_rank(x, ["neg", "partkey"], rank_col="rnk")
+    c = global_cumsum(r, ["neg", "partkey"], "cents", cumsum_col="cum_cents")
+    return (
+        with_scalars(c, tot)
+        .select(
+            "partkey",
+            "cents",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.when(F.col("cum_cents") * 100 <= 80 * F.col("total"), F.lit("A"))
+            .when(F.col("cum_cents") * 100 <= 95 * F.col("total"), F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout: two-proportion z-test on a content-hash split
+# --------------------------------------------------------------------------
+
+_AB_H = (
+    "(CAST(('0x' || substr(md5(concat_ws(chr(1), 'ab', "
+    "CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)"
+)
+
+
+@register(
+    "ab_test_urgent_orders",
+    oracle=f"""
+WITH assigned AS (
+  SELECT CASE WHEN {_AB_H} < 0.5 THEN 'A' ELSE 'B' END AS arm,
+         (o_orderpriority = '1-URGENT') AS conv
+  FROM orders),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN arm = 'A' AND conv THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+    CAST(sum(CASE WHEN arm = 'B' AND conv THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+  FROM assigned)
+SELECT n_a, n_b, x_a, x_b,
+       (floor((CAST(x_a AS DOUBLE) / n_a) * 1000000 + 0.5) / 1000000) AS p_a_r6,
+       (floor((CAST(x_b AS DOUBLE) / n_b) * 1000000 + 0.5) / 1000000) AS p_b_r6,
+       (floor(((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+               / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) * 1000000 + 0.5) / 1000000)
+         AS z_r6,
+       abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+           / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))) > 1.959963985 AS significant_95
+FROM agg
+""",
+)
+def q_ab_test_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: orders split 50/50 by the engine's
+    content-hash assignment (md5 of the order key — the same
+    partitioning-independent construction every sampler here uses, so
+    arm membership is reproducible on any cluster), metric = URGENT-
+    priority rate, scored with the pooled two-proportion z-test.
+
+    The readout reduces to FOUR integers (n/x per arm) in one map-side-
+    combinable aggregate; every emitted double (rates, z, the 95%
+    verdict) is the same explicit expression of those integers on both
+    engines — division and sqrt are IEEE-correctly-rounded, so even the
+    significance BOOLEAN is engine-exact, not just det_round-stable."""
+    from ..functions.hashing import uniform_hash
+
+    orders = _t(spark, sf_dir, "orders")
+    assigned = orders.select(
+        F.when(uniform_hash("o_orderkey", salt="ab") < 0.5, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("conv"),
+    )
+    agg = assigned.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when((F.col("arm") == "A") & F.col("conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when((F.col("arm") == "B") & F.col("conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (pa - pb) / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "x_a",
+        "x_b",
+        det_round(pa).alias("p_a_r6"),
+        det_round(pb).alias("p_b_r6"),
+        det_round(z).alias("z_r6"),
+        (F.abs(z) > 1.959963985).alias("significant_95"),
     )

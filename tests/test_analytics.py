@@ -245,3 +245,38 @@ def test_decomposition_reconstructs_and_centers(spark):
     wmean = sum(by_moy[m] * cnt[m] for m in by_moy) / sum(cnt.values())
     scale = max(abs(v) for v in by_moy.values()) or 1.0
     assert abs(wmean) <= 0.05 * scale + 1e-6
+
+
+def test_abc_classification_boundaries(spark):
+    rows = _rows(spark, "part_abc_classification")
+    total = rows[-1]["cum_cents"]
+    # revenue is non-increasing along rank; cum telescopes exactly
+    cum = 0
+    prev = None
+    for r in sorted(rows, key=lambda r: r["rnk"]):
+        if prev is not None:
+            assert r["cents"] <= prev
+        prev = r["cents"]
+        cum += r["cents"]
+        assert r["cum_cents"] == cum
+        want = "A" if cum * 100 <= 80 * total else ("B" if cum * 100 <= 95 * total else "C")
+        assert r["abc_class"] == want
+    # classes appear in A, B, C order and all three exist
+    classes = [r["abc_class"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert classes == sorted(classes)
+    assert set(classes) == {"A", "B", "C"}
+
+
+def test_ab_test_math(spark):
+    r = _rows(spark, "ab_test_urgent_orders")[0]
+    na, nb, xa, xb = r["n_a"], r["n_b"], r["x_a"], r["x_b"]
+    assert xa <= na and xb <= nb and na > 0 and nb > 0
+    pa, pb = xa / na, xb / nb
+    pp = (xa + xb) / (na + nb)
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    assert r["p_a_r6"] == pytest.approx(pa, abs=1e-6)
+    assert r["p_b_r6"] == pytest.approx(pb, abs=1e-6)
+    assert r["z_r6"] == pytest.approx(z, abs=1e-6)
+    assert r["significant_95"] == (abs(z) > 1.959963985)
+    # a 50/50 content-hash split should be roughly balanced
+    assert abs(na - nb) < 0.1 * (na + nb)
