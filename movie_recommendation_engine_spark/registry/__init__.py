@@ -224,6 +224,7 @@ _GATE_LAST = [
     "monthly_revenue_decomposition",
     "part_abc_classification",
     "ab_test_urgent_orders",
+    "multimodal_audio_energy",
 ]
 
 

@@ -79,3 +79,41 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").alias("frame_len"),
         F.md5("frame").alias("frame_md5"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+w AS (SELECT doc_id, text, ln,
+             unnest(range(CAST(ceil(ln / 64.0) AS BIGINT))) AS wi
+      FROM d),
+s AS (SELECT doc_id, wi,
+             ascii(substr(text, CAST(wi * 64 + o.o + 1 AS INT), 1)) - 128 AS v
+      FROM w, (SELECT unnest(range(64)) AS o) o
+      WHERE wi * 64 + o.o < ln)
+SELECT doc_id, CAST(wi AS INT) AS window_idx,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS energy_sq,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio leg through the REAL Arrow mapInPandas path, value-
+    hash-gated: blobs decode as fake unsigned-8-bit PCM centered at 128
+    and every 64-sample window emits its EXACT integer energy
+    sum((b-128)^2) and peak — because the blob is the document's ASCII
+    bytes, DuckDB replays the whole thing with ascii(substr(...)), so
+    the Python-crossing windowed-energy pipeline gets a full value-hash
+    verdict (schema contract, batch shape, window arithmetic), with the
+    codec boundary honestly stubbed exactly like the image/video legs."""
+    from ..operators.multimodal import audio_window_energy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    e = audio_window_energy(docs, "doc_id", "media", window=64)
+    return e.select(
+        F.col("id").alias("doc_id"), "window_idx", "n_samples", "energy_sq", "peak"
+    ).orderBy("doc_id", "window_idx")

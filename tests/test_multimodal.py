@@ -68,3 +68,27 @@ def test_resize_rewrites_blob_and_meta(spark, media):
     for i, r in out.items():
         want = src[i][:12].ljust(12, b"\0")
         assert bytes(r.media) == want
+
+
+def test_audio_window_energy_exact(spark):
+    """Windowed energy matches a pure-Python recompute byte for byte."""
+    from movie_recommendation_engine_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+
+    data = [(1, b"abcd" * 40), (2, b"\x80" * 10), (3, b"x")]
+    df = spark.createDataFrame(data, "id long, media binary")
+    rows = {
+        (r["id"], r["window_idx"]): r
+        for r in audio_window_energy(df, "id", "media", window=64).collect()
+    }
+    for i, blob in data:
+        samples = [b - 128 for b in blob]
+        n_win = max((len(samples) + 63) // 64, 1)
+        for w in range(n_win):
+            chunk = samples[w * 64 : (w + 1) * 64]
+            r = rows[(i, w)]
+            assert r["n_samples"] == len(chunk)
+            assert r["energy_sq"] == sum(v * v for v in chunk)
+            assert r["peak"] == max(abs(v) for v in chunk)
+    assert len(rows) == sum(max((len(b) + 63) // 64, 1) for _, b in data)
