@@ -23,6 +23,8 @@ SF = "/root/testdata/sf0.001"
 ARROW_OK = {
     "multimodal_byte_features",
     "multimodal_frame_sample",
+    # deliberate Arrow path: windowed PCM audio energy (sanctioned mapInPandas)
+    "multimodal_audio_energy",
     # deliberate Arrow path: BLAS-matmul exact kNN (sanctioned mapInPandas)
     "knn_arrow_top5",
     # deliberate Arrow path: Misra-Gries per-partition summaries
@@ -450,3 +452,43 @@ def test_triangular_offsets_reuse_the_range_exchange(spark):
     # the localCheckpointed base appears as ONE scan reused by both
     # consumers: no more than one Exchange rangepartitioning node
     assert plan.count("Exchange rangepartitioning") <= 1, plan
+
+
+def test_association_rules_broadcast_marginals_no_cartesian(spark):
+    """The rule join must broadcast brand marginals and the pair
+    self-join must be a real equi-join — a CartesianProduct would mean
+    the brand-bounded rule space was built the O(n^2) way."""
+    plan = _plan(QUERIES["basket_association_rules"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_negative_samples_broadcast_items_and_anti_join(spark):
+    """Candidate probes join the dense item index BROADCAST (dimension-
+    sized) and positives leave via a broadcast/shuffle ANTI join — the
+    two shapes that keep the sampler linear in |users|*k."""
+    plan = _plan(QUERIES["customer_negative_samples"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decomposition_is_window_free(spark):
+    """The centered-MA self-join plan must contain NO WindowExec at all:
+    the 13-month window is a calendar-bounded join, not an ordered
+    window over data."""
+    plan = _plan(QUERIES["monthly_revenue_decomposition"](spark, SF))
+    assert "Window" not in plan
+
+
+def test_seasonal_forecast_is_window_free(spark):
+    plan = _plan(QUERIES["monthly_seasonal_forecast"](spark, SF))
+    assert "Window" not in plan
+
+
+def test_chi2_single_fact_scan_marginals_broadcast(spark):
+    """The 15-cell contingency plan reads the localCheckpointed cell
+    table for every marginal (one fact scan total) and broadcasts the
+    marginals back."""
+    plan = _plan(QUERIES["returnflag_priority_chi2"](spark, SF))
+    assert plan.count("Scan parquet") == 0  # checkpoint feeds everything
+    assert "BroadcastHashJoin" in plan
