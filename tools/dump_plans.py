@@ -39,6 +39,11 @@ SHOWCASE = [
     ("customer_hierarchy_depth", "pointer doubling: log-round self-joins, no recursive walk"),
     ("doc_bm25_search", "BM25: zero-shuffle HOF tf scan + one broadcast stats row + heap top-k"),
     ("item_item_cf_neighbors", "item CF: basket-key self-join, broadcast df table, per-item rank window"),
+    ("basket_association_rules", "association rules: okey-exchange reuse, vocab-bounded pair agg, broadcast marginals"),
+    ("part_abc_classification", "ABC Pareto: window-free global rank+prefix sum, integer class boundaries"),
+    ("customer_negative_samples", "negative sampling: broadcast item index, linear probe fan-out, anti-join"),
+    ("monthly_revenue_decomposition", "seasonal decomposition: calendar-bounded MA self-join, zero WindowExec"),
+    ("order_price_mad_outliers", "MAD outliers: two window-free median assemblies, struct-max top row"),
 ]
 
 
