@@ -65,10 +65,10 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, confidence, and lift, min-support 0.5% of baskets.
 
     Scale shape: the basket table dedupes to DISTINCT (orderkey, brand)
-    FIRST (one shuffle on orderkey), the pair self-join is co-partitioned
-    on that same orderkey exchange, and the rule space is bounded by the
-    brand vocabulary squared (|brands|^2, never row count), so the
-    pair aggregate's key space stays tiny no matter the corpus.  Brand
+    FIRST and is checkpointed once for all four consumers; the pair
+    self-join exchanges that slim table on orderkey, and the rule space
+    is bounded by the brand vocabulary squared (|brands|^2, never row
+    count), so the pair aggregate's key space stays tiny.  Brand
     marginals and the basket total ride in as broadcast joins.  Lift is
     ranked as an exact integer (parts-per-million via BIGINT DIV —
     n_ab * N * 1e6 fits int64 through sf1; beyond that move the product
@@ -80,8 +80,13 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )
-    # one exchange on okey serves both sides of the pair self-join
-    items = items.repartition("okey").localCheckpoint()
+    # localCheckpoint: the deduped basket table is computed ONCE and read
+    # by four consumers (both pair-join sides, brand marginals, total).
+    # The checkpoint scan reports UnknownPartitioning, so the self-join
+    # re-exchanges on okey at scale (AQE broadcasts it at gate sizes) —
+    # two exchanges over the slim (okey, brand) table, never a recompute
+    # of the lineitem-part dedup.
+    items = items.localCheckpoint()
     nb = items.groupBy("brand").agg(F.count("*").alias("n_brand"))
     tot = items.agg(F.countDistinct("okey").alias("n_baskets"))
     a, b = items.alias("a"), items.alias("b")
