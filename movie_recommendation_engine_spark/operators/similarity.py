@@ -633,3 +633,107 @@ def jl_project(
         ]
     )
     return out.select(id_col, proj.alias("jl"))
+
+
+def mmr_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98) — the diversified-retrieval step a RAG pipeline runs after
+    ANN recall: pick k items maximizing relevance to the query while
+    penalizing similarity to what is already selected.
+
+    score(c) = 2*rel(c) - max_{s in S} sim(c, s)   (lambda = 0.5, scaled
+    by 2 so the whole objective stays in integers.)
+
+    Determinism at the engine level: vectors quantize to integer
+    micro-units (floor(v*scale + 0.5) — float->double is exact, one
+    IEEE multiply each), every dot product is an exact BIGINT
+    array-fold, and the per-step argmax is a struct-max aggregate with
+    min-id tiebreak — so the k-step greedy trajectory is bit-identical
+    on any engine or partitioning and oracle-replayable as unrolled SQL
+    (the BPE/PCA gating pattern applied to retrieval).
+
+    Scale shape: k is FIXED and small, so the plan is k chained rounds;
+    each round = one anti-join against the (<= k-row, broadcast)
+    selected set, one crossJoin with those <= k broadcast vectors for
+    the max-sim, and one 1-row struct-max — data-sized work is k linear
+    passes, no pairwise blow-up.  Each winner row localCheckpoints so
+    round r+1's plan starts from a flat 1-row scan.
+    Output: (step, id, rel, score), step 1..k in selection order.
+    """
+    micro = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("m"),
+    ).localCheckpoint(eager=False)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    q = micro.filter(F.col("id") == query_id).select(F.col("m").alias("qm"))
+    cand = (
+        micro.filter(F.col("id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("id", "m", dot(F.col("m"), F.col("qm")).alias("rel"))
+        .localCheckpoint(eager=False)
+    )
+
+    sel = None
+    winners = []
+    for step in range(1, k + 1):
+        if sel is None:
+            scored = cand.select(
+                "id", "m", "rel", (2 * F.col("rel")).alias("score")
+            )
+        else:
+            pool = cand.join(
+                F.broadcast(sel.select(F.col("id").alias("sid"))),
+                F.col("id") == F.col("sid"),
+                "left_anti",
+            )
+            sims = pool.crossJoin(
+                F.broadcast(sel.select(F.col("m").alias("sm")))
+            ).select("id", dot(F.col("m"), F.col("sm")).alias("d"))
+            mx = sims.groupBy("id").agg(F.max("d").alias("maxsim"))
+            scored = pool.join(mx, "id").select(
+                "id", "m", "rel", (2 * F.col("rel") - F.col("maxsim")).alias("score")
+            )
+        w = (
+            scored.agg(
+                F.max(
+                    F.struct(
+                        F.col("score"),
+                        (-F.col("id")).alias("nid"),
+                        F.col("rel"),
+                        F.col("m"),
+                    )
+                ).alias("t")
+            )
+            .select(
+                F.lit(step).alias("step"),
+                (-F.col("t.nid")).cast("long").alias("id"),
+                F.col("t.rel").alias("rel"),
+                F.col("t.score").alias("score"),
+                F.col("t.m").alias("m"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sel = w if sel is None else sel.unionByName(w)
+        winners.append(w)
+
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out.select("step", "id", "rel", "score").orderBy("step")

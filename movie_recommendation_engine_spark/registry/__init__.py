@@ -225,6 +225,7 @@ _GATE_LAST = [
     "part_abc_classification",
     "ab_test_urgent_orders",
     "multimodal_audio_energy",
+    "embedding_mmr_top5",
 ]
 
 

@@ -630,3 +630,60 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Generated unrolled-CTE replay of the k-step MMR greedy: every
+    step's winner is reproduced with the same integer micro-unit dots
+    and (score DESC, vec_id) argmax — iterative retrieval under a full
+    value hash, the BPE/PCA gating pattern."""
+    parts = [
+        """mic AS (
+  SELECT vec_id, dims.i AS i,
+         CAST(floor(CAST(embedding[dims.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims),
+qv AS (SELECT i, m FROM mic WHERE vec_id = 0),
+rel AS (
+  SELECT c.vec_id, CAST(sum(c.m * qv.m) AS BIGINT) AS rel
+  FROM mic c JOIN qv ON c.i = qv.i WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+w1 AS (SELECT vec_id, rel, 2 * rel AS score FROM rel
+       ORDER BY score DESC, vec_id LIMIT 1)"""
+    ]
+    for s in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM w{j}" for j in range(1, s))
+        parts.append(
+            f"""sel{s} AS ({sel}),
+d{s} AS (
+  SELECT c.vec_id AS cid, sm.vec_id AS sid, CAST(sum(c.m * sm.m) AS BIGINT) AS dot
+  FROM mic c
+  JOIN mic sm ON c.i = sm.i
+  JOIN sel{s} s ON sm.vec_id = s.vec_id
+  WHERE c.vec_id <> 0 GROUP BY 1, 2),
+mx{s} AS (SELECT cid, max(dot) AS maxsim FROM d{s} GROUP BY cid),
+w{s} AS (
+  SELECT r.vec_id, r.rel, 2 * r.rel - mx.maxsim AS score
+  FROM rel r JOIN mx{s} mx ON r.vec_id = mx.cid
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{s})
+  ORDER BY score DESC, r.vec_id LIMIT 1)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {j} AS step, vec_id AS id, rel, score FROM w{j}"
+        for j in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY step"
+
+
+@register("embedding_mmr_top5", oracle=_mmr_oracle(5))
+def q_embedding_mmr_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: 5-step Maximal Marginal Relevance
+    selection against the vec_id=0 query (lambda=0.5 as the all-integer
+    objective 2*rel - maxsim).  The greedy trajectory — each step's
+    argmax depends on every previous winner — hashes identically against
+    the generated unrolled-SQL replay because all similarities are exact
+    BIGINT micro-unit dots and ties break on vec_id.  See
+    operators/similarity.py::mmr_select for the scale shape (k linear
+    passes, <= k-row broadcast state, no pairwise materialization)."""
+    from ..operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_select(emb, "vec_id", "embedding", query_id=0, k=5)

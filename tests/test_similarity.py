@@ -259,3 +259,42 @@ def test_jl_projection_finds_planted_neighbors(spark):
         if r.neighbor_id == (r.query_id ^ 1)  # its planted twin
     )
     assert hits >= 72, f"planted-twin top-1 hits too low: {hits}/80"
+
+
+def test_mmr_matches_bruteforce_greedy(spark):
+    """The distributed 5-step MMR trajectory equals a numpy greedy
+    recompute on the same micro-unit integers (including tiebreaks)."""
+    import numpy as np
+
+    from movie_recommendation_engine_spark.operators.similarity import mmr_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r["step"], r["id"], r["rel"], r["score"])
+        for r in mmr_select(emb, "vec_id", "embedding", query_id=0, k=5).collect()
+    ]
+
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    mic = {
+        i: np.floor(np.array(v, dtype=np.float64) * 1_000_000 + 0.5).astype(np.int64)
+        for i, v in rows.items()
+    }
+    q = mic[0]
+    rel = {i: int(m @ q) for i, m in mic.items() if i != 0}
+    selected: list[int] = []
+    want = []
+    for step in range(1, 6):
+        best = None
+        for i, r in sorted(rel.items()):
+            if i in selected:
+                continue
+            if selected:
+                score = 2 * r - max(int(mic[i] @ mic[s]) for s in selected)
+            else:
+                score = 2 * r
+            if best is None or score > best[1]:
+                best = (i, score)
+        selected.append(best[0])
+        want.append((step, best[0], rel[best[0]], best[1]))
+    assert got == want
+    assert len({i for _, i, _, _ in got}) == 5 and 0 not in {i for _, i, _, _ in got}
