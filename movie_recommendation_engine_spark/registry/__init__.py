@@ -226,6 +226,7 @@ _GATE_LAST = [
     "ab_test_urgent_orders",
     "multimodal_audio_energy",
     "embedding_mmr_top5",
+    "revenue_share_hierarchy",
 ]
 
 

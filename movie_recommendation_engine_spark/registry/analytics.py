@@ -1152,3 +1152,100 @@ def q_ab_test_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(z).alias("z_r6"),
         (F.abs(z) > 1.959963985).alias("significant_95"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical ratio-to-report: customer -> nation -> region revenue shares
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_share_hierarchy",
+    oracle=f"""
+WITH c AS (
+  SELECT cu.c_custkey AS custkey, n.n_name AS nation, r.r_name AS region,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3),
+nat AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS n_cents FROM c GROUP BY 1),
+reg AS (SELECT region, CAST(sum(n.n_cents) AS BIGINT) AS r_cents
+        FROM (SELECT DISTINCT nation, region FROM c) nr
+        JOIN nat n ON nr.nation = n.nation GROUP BY 1),
+tot AS (SELECT CAST(sum(r_cents) AS BIGINT) AS t_cents FROM reg)
+SELECT c.custkey, c.nation, c.region, c.cents,
+       {duck_det_round6("CAST(c.cents AS DOUBLE) / n.n_cents")} AS share_of_nation_r6,
+       {duck_det_round6("CAST(n.n_cents AS DOUBLE) / r.r_cents")} AS nation_share_of_region_r6,
+       {duck_det_round6("CAST(r.r_cents AS DOUBLE) / t.t_cents")} AS region_share_r6
+FROM c
+JOIN nat n ON c.nation = n.nation
+JOIN reg r ON c.region = r.region
+CROSS JOIN tot t
+ORDER BY c.custkey
+""",
+)
+def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ratio-to-report: every customer's share of their
+    nation's revenue, each nation's share of its region, and each
+    region's share of the total — the drill-down contribution block a
+    BI layer computes with three ratio_to_report windows.
+
+    Here there are NO windows at all: each level is a vocabulary-sized
+    re-aggregate of the level below (nation and region tables are
+    bounded), broadcast back onto the customer rows — one data-sized
+    aggregate total, everything above it bounded.  All level totals are
+    exact integer cents (sums telescope exactly across levels), and the
+    three shares are single divisions under det_round6."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    c = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()  # all three level rollups + final join, one pass
+    )
+    nat = c.groupBy("nation").agg(F.sum("cents").cast("long").alias("n_cents"))
+    reg = (
+        c.select("nation", "region")
+        .distinct()
+        .join(nat, "nation")
+        .groupBy("region")
+        .agg(F.sum("n_cents").cast("long").alias("r_cents"))
+    )
+    tot = reg.agg(F.sum("r_cents").cast("long").alias("t_cents"))
+    return (
+        c.join(F.broadcast(nat), "nation")
+        .join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "custkey",
+            "nation",
+            "region",
+            "cents",
+            det_round(F.col("cents").cast("double") / F.col("n_cents")).alias(
+                "share_of_nation_r6"
+            ),
+            det_round(F.col("n_cents").cast("double") / F.col("r_cents")).alias(
+                "nation_share_of_region_r6"
+            ),
+            det_round(F.col("r_cents").cast("double") / F.col("t_cents")).alias(
+                "region_share_r6"
+            ),
+        )
+        .orderBy("custkey")
+    )

@@ -280,3 +280,23 @@ def test_ab_test_math(spark):
     assert r["significant_95"] == (abs(z) > 1.959963985)
     # a 50/50 content-hash split should be roughly balanced
     assert abs(na - nb) < 0.1 * (na + nb)
+
+
+def test_revenue_shares_telescope(spark):
+    rows = _rows(spark, "revenue_share_hierarchy")
+    from collections import defaultdict
+
+    nat = defaultdict(int)
+    for r in rows:
+        nat[r["nation"]] += r["cents"]
+    # per-nation customer shares sum to ~1 and levels telescope
+    by_nation = defaultdict(float)
+    regions = {}
+    for r in rows:
+        by_nation[r["nation"]] += r["share_of_nation_r6"]
+        regions.setdefault(r["region"], r["region_share_r6"])
+        assert 0.0 <= r["share_of_nation_r6"] <= 1.0
+        assert 0.0 <= r["nation_share_of_region_r6"] <= 1.0
+    for n, s in by_nation.items():
+        assert s == pytest.approx(1.0, abs=1e-3)
+    assert sum(regions.values()) == pytest.approx(1.0, abs=1e-4)
