@@ -227,6 +227,7 @@ _GATE_LAST = [
     "multimodal_audio_energy",
     "embedding_mmr_top5",
     "revenue_share_hierarchy",
+    "order_price_drift_ks",
 ]
 
 

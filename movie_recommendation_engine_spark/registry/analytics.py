@@ -1249,3 +1249,93 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (exact integer ECDF distance)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "order_price_drift_ks",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         (o_orderdate < TIMESTAMP '2000-01-01') AS is_ref
+  FROM orders),
+g AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM c GROUP BY cents),
+t AS (SELECT CAST(sum(cr) AS BIGINT) AS n1, CAST(sum(cc) AS BIGINT) AS n2 FROM g),
+w AS (
+  SELECT CAST(sum(cr) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+         CAST(sum(cc) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+  FROM g),
+d AS (SELECT CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT) AS d_num
+      FROM w CROSS JOIN t)
+SELECT t.n1 AS n_ref, t.n2 AS n_cur, d.d_num,
+       {duck_det_round6("CAST(d.d_num AS DOUBLE) / (t.n1 * t.n2)")} AS d_r6,
+       (CAST(d.d_num AS DOUBLE) / (t.n1 * t.n2))
+         > 1.358 * sqrt((t.n1 + t.n2) / (CAST(t.n1 AS DOUBLE) * t.n2))
+         AS reject_95
+FROM d CROSS JOIN t
+""",
+)
+def q_order_price_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between historical (pre-2000)
+    and recent order prices — the nonparametric drift companion of the
+    PSI and chi-square screens: D = sup |ECDF_ref - ECDF_cur|.
+
+    The supremum is computed EXACTLY: per distinct price the two sample
+    counts aggregate once, cumulative counts come from the window-free
+    global prefix sum over the (distinct-cents-sized) table, and the
+    ECDF gap is the cross-multiplied integer |c1*n2 - c2*n1| — no float
+    ECDF anywhere, so D's argmax cannot flip on rounding (c1*n2 fits
+    int64 through ~3e9 rows/side; past that move the product into
+    DECIMAL).  The single division and the 95% Smirnov threshold
+    (1.358*sqrt((n1+n2)/(n1*n2))) are identical explicit expressions on
+    both engines, so even the reject boolean is engine-exact."""
+    from ..operators.relational import global_cumsum, with_scalars
+
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")).alias("is_ref"),
+    )
+    g = (
+        c.groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("cr"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("long").alias("cc"),
+        )
+        .localCheckpoint()  # totals + two prefix sums read one aggregate
+    )
+    t = g.agg(
+        F.sum("cr").cast("long").alias("n1"), F.sum("cc").cast("long").alias("n2")
+    )
+    w = global_cumsum(
+        global_cumsum(g, ["cents"], "cr", cumsum_col="c1"), ["cents"], "cc", cumsum_col="c2"
+    )
+    d = with_scalars(w, t).agg(
+        F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+        .cast("long")
+        .alias("d_num"),
+        F.max("n1").alias("n_ref"),
+        F.max("n2").alias("n_cur"),
+    )
+    d_stat = F.col("d_num").cast("double") / (F.col("n_ref") * F.col("n_cur"))
+    thresh = 1.358 * F.sqrt(
+        (F.col("n_ref") + F.col("n_cur"))
+        / (F.col("n_ref").cast("double") * F.col("n_cur"))
+    )
+    return d.select(
+        "n_ref",
+        "n_cur",
+        "d_num",
+        det_round(d_stat).alias("d_r6"),
+        (d_stat > thresh).alias("reject_95"),
+    )

@@ -300,3 +300,33 @@ def test_revenue_shares_telescope(spark):
     for n, s in by_nation.items():
         assert s == pytest.approx(1.0, abs=1e-3)
     assert sum(regions.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ks_statistic_bruteforce(spark):
+    row = _rows(spark, "order_price_drift_ks")[0]
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    import datetime
+
+    cutoff = datetime.datetime(2000, 1, 1)
+    ref = sorted(
+        int(r["o_totalprice"] * 100 + 0.5) for r in orders if r["o_orderdate"] < cutoff
+    )
+    cur = sorted(
+        int(r["o_totalprice"] * 100 + 0.5) for r in orders if r["o_orderdate"] >= cutoff
+    )
+    n1, n2 = len(ref), len(cur)
+    import bisect
+
+    vals = sorted(set(ref) | set(cur))
+    d_num = max(
+        abs(bisect.bisect_right(ref, v) * n2 - bisect.bisect_right(cur, v) * n1)
+        for v in vals
+    )
+    assert (row["n_ref"], row["n_cur"]) == (n1, n2)
+    assert row["d_num"] == d_num
+    assert row["d_r6"] == pytest.approx(d_num / (n1 * n2), abs=1e-6)
+    import math
+
+    assert row["reject_95"] == (
+        d_num / (n1 * n2) > 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
+    )
