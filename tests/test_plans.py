@@ -332,6 +332,18 @@ def test_sq8_ranges_fold_to_one_broadcast_row(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_jl_query_side_is_bounded_limit(spark):
+    """ann_jl_top5's broadcast/cross-join query side must be bounded by
+    a structural limit (TakeOrderedAndProject), not just a modulo filter
+    whose cardinality grows with the corpus — the round-3 verdict's
+    scale caveat.  The candidate side stays a full scan; only the query
+    relation is capped."""
+    plan = _plan(QUERIES["ann_jl_top5"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_cohort_retention_is_window_free(spark):
     """The retention triangle runs as hash aggregates only — a
     per-cohort window would serialize each cohort through one task."""
