@@ -228,6 +228,12 @@ _GATE_LAST = [
     "embedding_mmr_top5",
     "revenue_share_hierarchy",
     "order_price_drift_ks",
+    # round-4 additions (verdict task 7: invariant gates for the two
+    # remaining rows-only ALS/ANN exports) — they yield to every older
+    # pending query so the round-4 window stays the 50 the round-3
+    # verdict pre-verified; they gate in round 5 with the 10 leftovers.
+    "als_item_neighbors_invariants",
+    "ann_ivf_kmeans_invariants",
 ]
 
 

@@ -223,6 +223,75 @@ def q_als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.item_neighbors(k=5, items=probe).orderBy("l_partkey", "rank")
 
 
+@register(
+    "als_item_neighbors_invariants",
+    oracle=f"""
+WITH labeled AS ({_SPLIT_SQL}),
+train AS (SELECT * FROM labeled WHERE split = 'train'),
+probe AS (SELECT DISTINCT l_partkey FROM train WHERE l_partkey % 199 = 0)
+SELECT count(*) AS n_items,
+       count(*) * 5 AS n_rows,
+       true AS rows_per_item_ok,
+       true AS ranks_dense_ok,
+       true AS cosine_bounds_ok,
+       true AS cosine_nonincreasing_ok,
+       true AS no_self_ok,
+       true AS neighbors_in_catalog_ok
+FROM probe
+""",
+)
+def q_als_item_neighbors_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The item-item factor-similarity surface under the FULL value-hash
+    gate via its SQL-expressible serving contract (the round-3 verdict's
+    task 7; same recipe as ``als_recommend_invariants``): factor VALUES
+    are float/order-dependent, but the contract is not — exactly the
+    probe items (distinct train parts with l_partkey % 199 == 0) get
+    rows, exactly k=5 each, ranks dense 1..5, round-6 cosines inside
+    [-1, 1] and non-increasing in rank, no self-neighbors, and every
+    neighbor id drawn from the train catalog (ALS learns factors for
+    exactly the fit items — a broadcast dimension join, not a tautology:
+    it pins the factor table's id-space to the split).  Companion to the
+    rows-only ``als_item_neighbors`` (which exports the engine-specific
+    cosines themselves)."""
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    probe = train.select("l_partkey").distinct().filter(F.col("l_partkey") % 199 == 0)
+    rec = _fitted_als(spark, sf_dir)
+    out = rec.item_neighbors(k=5, items=probe)
+    catalog = train.select("l_partkey").distinct().select(
+        F.col("l_partkey").alias("neighbor_l_partkey"), F.lit(True).alias("__in_cat")
+    )
+    flagged = out.join(F.broadcast(catalog), "neighbor_l_partkey", "left")
+    per_item = flagged.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("rank")).alias("ranks"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "cosine"))),
+            lambda x: x["cosine"],
+        ).alias("cos_by_rank"),
+        F.max(F.abs("cosine")).alias("max_abs_cos"),
+        F.max(
+            (F.col("neighbor_l_partkey") == F.col("l_partkey")).cast("int")
+        ).alias("selfs"),
+        F.min(F.coalesce(F.col("__in_cat"), F.lit(False))).alias("all_in_cat"),
+    )
+    return per_item.agg(
+        F.count("*").alias("n_items"),
+        F.sum("n").alias("n_rows"),
+        F.expr("bool_and(n = 5)").alias("rows_per_item_ok"),
+        F.expr("bool_and(ranks = array(1, 2, 3, 4, 5))").alias("ranks_dense_ok"),
+        F.expr("bool_and(max_abs_cos <= 1.0d)").alias("cosine_bounds_ok"),
+        F.expr(
+            "bool_and(forall(zip_with("
+            "  slice(cos_by_rank, 1, size(cos_by_rank) - 1),"
+            "  slice(cos_by_rank, 2, size(cos_by_rank) - 1),"
+            "  (a, b) -> a >= b), x -> x))"
+        ).alias("cosine_nonincreasing_ok"),
+        F.expr("bool_and(selfs = 0)").alias("no_self_ok"),
+        F.expr("bool_and(all_in_cat)").alias("neighbors_in_catalog_ok"),
+    )
+
+
 @register("als_rmse_eval")
 def q_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS train/test RMSE (reference als.py:103). Rows-only check for

@@ -189,6 +189,75 @@ def q_ann_ivf_kmeans_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans_invariants",
+    oracle="""
+SELECT count(*) AS n_queries,
+       count(*) * 5 AS n_rows,
+       true AS coverage_ok,
+       true AS rows_per_query_ok,
+       true AS ranks_dense_ok,
+       true AS cosine_bounds_ok,
+       true AS cosine_nonincreasing_ok,
+       true AS no_self_ok
+FROM embeddings WHERE vec_id % 97 = 0
+""",
+)
+def q_ann_ivf_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means-quantizer ANN surface under the FULL value-hash gate
+    via its SQL-expressible serving contract (round-3 verdict task 7,
+    the ``als_recommend_invariants`` recipe): the learned centroids are
+    not SQL-reproducible, but the probe contract is — every query
+    (vec_id % 97 == 0) is covered, exactly k=5 rows each (16 cells over
+    the corpus leave >= 5 candidates in every nprobe=2 probe set; dense
+    ranks would shrink, and the hash flip, if a degenerate clustering
+    ever starved one), round-6 cosines inside [-1, 1] and non-increasing
+    in rank, and no self-matches.  Verified bit-stable across local[3]
+    vs local[32] partitionings at sf0.01 and sf0.1.  Companion to the
+    rows-only ``ann_ivf_kmeans_top5`` (which exports the
+    centroid-dependent neighbor lists themselves)."""
+    from ..operators.similarity import ivf_kmeans_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    out = ivf_kmeans_topk(queries, emb, k=5, n_cells=16, nprobe=2)
+    per_q = out.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list("rank")).alias("ranks"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "cosine"))),
+            lambda x: x["cosine"],
+        ).alias("cos_by_rank"),
+        F.max(F.abs("cosine")).alias("max_abs_cos"),
+        F.max((F.col("neighbor_id") == F.col("query_id")).cast("int")).alias("selfs"),
+    )
+    summary = per_q.agg(
+        F.count("*").alias("n_covered"),
+        F.sum("n").alias("n_rows"),
+        F.expr("bool_and(n = 5)").alias("rows_per_query_ok"),
+        F.expr("bool_and(ranks = array(1, 2, 3, 4, 5))").alias("ranks_dense_ok"),
+        F.expr("bool_and(max_abs_cos <= 1.0d)").alias("cosine_bounds_ok"),
+        F.expr(
+            "bool_and(forall(zip_with("
+            "  slice(cos_by_rank, 1, size(cos_by_rank) - 1),"
+            "  slice(cos_by_rank, 2, size(cos_by_rank) - 1),"
+            "  (a, b) -> a >= b), x -> x))"
+        ).alias("cosine_nonincreasing_ok"),
+        F.expr("bool_and(selfs = 0)").alias("no_self_ok"),
+    )
+    nq = queries.agg(F.count("*").alias("n_queries"))
+    return nq.crossJoin(summary).select(
+        "n_queries",
+        "n_rows",
+        (F.col("n_covered") == F.col("n_queries")).alias("coverage_ok"),
+        "rows_per_query_ok",
+        "ranks_dense_ok",
+        "cosine_bounds_ok",
+        "cosine_nonincreasing_ok",
+        "no_self_ok",
+    )
+
+
+@register(
     "embedding_neardup",
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
