@@ -210,7 +210,10 @@ def audio_window_energy(
             ids, idxs, ns, es, pk = [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[bin_col]):
                 samples = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64) - 128
-                for w in range(0, max(len(samples), 1), window):
+                # empty blob => zero windows (no sentinel row): matches
+                # the SQL replay, which generates ceil(len/window) = 0
+                # windows for empty input
+                for w in range(0, len(samples), window):
                     chunk = samples[w : w + window]
                     ids.append(i)
                     idxs.append(w // window)

@@ -110,16 +110,30 @@ def unigram_logprob(df, id_col: str, text_col: str):
     crosses executors.
 
     Returns (id_col, n_tokens, avg_logprob) with avg_logprob =
-    round(mean ln P(tok), 6).
+    det_round(mean ln P(tok), 6) where each ln P is quantized ONCE on
+    the model table to integer micro-units (floor(ln·1e6) — the
+    Adamic-Adar pattern): the per-doc aggregate then sums exact BIGINTs,
+    immune to partial-aggregation order, instead of a partitioning-
+    dependent float SUM.
     """
+    from ..functions.rounding import det_round
+
     toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = tf.agg(F.sum("n").alias("tot"))
-    scored = toks.join(F.broadcast(tf), "tok").crossJoin(F.broadcast(tot))
+    wt = tf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("tot").cast("double")) * 1000000
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    scored = toks.join(F.broadcast(wt), "tok")
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
-        F.round(
-            F.avg(F.log(F.col("n").cast("double") / F.col("tot").cast("double"))), 6
+        det_round(
+            F.sum("lp_micro").cast("double") / F.count("*") / F.lit(1000000.0), 6
         ).alias("avg_logprob"),
     )
 
@@ -529,8 +543,14 @@ def bigram_logprob(df, id_col: str, text_col: str, k: float = 0.5):
     bigram one).
 
     P(w|v) = (c(v,w) + k) / (c(v,.) + k*V)   with V = corpus vocabulary
-    size; score = round(mean ln P over the doc's bigrams, 6).  Documents
-    with fewer than two tokens have no bigrams and drop out.
+    size; score = det_round(mean ln P over the doc's bigrams, 6).
+    Documents with fewer than two tokens have no bigrams and drop out.
+
+    Each ln P is quantized ONCE on the bigram model table to integer
+    micro-units (floor(ln·1e6), the Adamic-Adar pattern — the round-3
+    ADVICE finding): the per-doc aggregate sums exact BIGINTs, immune
+    to partial-aggregation order, instead of a partitioning-dependent
+    float SUM.
 
     Physical plan: the bigram stream comes from a lead() window
     partitioned PER DOCUMENT (parallel, state bounded by one doc);
@@ -539,6 +559,8 @@ def bigram_logprob(df, id_col: str, text_col: str, k: float = 0.5):
     joins degrade gracefully to shuffle joins on the same keys.
     """
     from pyspark.sql import Window as W
+
+    from ..functions.rounding import det_round
 
     toks = df.select(
         F.col(id_col), F.posexplode(words(text_col)).alias("pos", "tok")
@@ -552,17 +574,29 @@ def bigram_logprob(df, id_col: str, text_col: str, k: float = 0.5):
     bc = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     cc = bc.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     vs = toks.agg(F.countDistinct("tok").alias("v_size"))
-    scored = (
-        pairs.join(F.broadcast(bc), ["a", "b"])
-        .join(F.broadcast(cc), "a")
+    wt = (
+        bc.join(cc, "a")
         .crossJoin(F.broadcast(vs))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.log(
+                    (F.col("c_ab") + F.lit(k))
+                    / (F.col("c_a") + F.lit(k) * F.col("v_size"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
     )
-    logp = F.log(
-        (F.col("c_ab") + F.lit(k)) / (F.col("c_a") + F.lit(k) * F.col("v_size"))
-    )
+    scored = pairs.join(F.broadcast(wt), ["a", "b"])
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.avg(logp), 6).alias("avg_logprob"),
+        det_round(
+            F.sum("lp_micro").cast("double") / F.count("*") / F.lit(1000000.0), 6
+        ).alias("avg_logprob"),
     )
 
 

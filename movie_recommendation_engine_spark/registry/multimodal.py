@@ -84,7 +84,8 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_energy",
     oracle="""
-WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents
+           WHERE strlen(text) = length(text)),
 w AS (SELECT doc_id, text, ln,
              unnest(range(CAST(ceil(ln / 64.0) AS BIGINT))) AS wi
       FROM d),
@@ -107,11 +108,20 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, DuckDB replays the whole thing with ascii(substr(...)), so
     the Python-crossing windowed-energy pipeline gets a full value-hash
     verdict (schema contract, batch shape, window arithmetic), with the
-    codec boundary honestly stubbed exactly like the image/video legs."""
+    codec boundary honestly stubbed exactly like the image/video legs.
+
+    The ascii()-replay equivalence only holds for single-byte (ASCII)
+    text, so BOTH sides restrict to docs whose byte length equals their
+    character length (octet_length = char_length <=> pure ASCII) — a
+    no-op on the all-ASCII fixtures, and the guard that keeps the hash
+    honest if a future fixture adds multi-byte text.  Empty docs emit
+    zero windows on both sides (the operator has no sentinel row)."""
     from ..operators.multimodal import audio_window_energy
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("media")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select("doc_id", F.col("text").cast("binary").alias("media"))
     )
     e = audio_window_energy(docs, "doc_id", "media", window=64)
     return e.select(

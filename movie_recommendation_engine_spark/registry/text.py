@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import text as X
 from ..functions.rounding import det_round
-from . import _t, register
+from . import _t, duck_det_round6, register
 
 # shared DuckDB fragments (keep in lockstep with operators.text)
 NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -62,10 +62,15 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH w AS (SELECT doc_id, unnest({WORDS}) AS tok FROM documents),
 tf AS (SELECT tok, count(*) AS n FROM w GROUP BY 1),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf)
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf),
+wt AS (SELECT tok,
+              CAST(floor(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS lp_micro
+       FROM tf, tot)
 SELECT doc_id, count(*) AS n_tokens,
-       round(avg(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS avg_logprob
-FROM w JOIN tf USING (tok), tot
+       {duck_det_round6('CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0')}
+         AS avg_logprob
+FROM w JOIN wt USING (tok)
 GROUP BY doc_id
 ORDER BY doc_id
 """,
@@ -646,10 +651,15 @@ p AS (
   FROM t QUALIFY b IS NOT NULL),
 bc AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2),
 cc AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bc GROUP BY 1),
-vs AS (SELECT count(DISTINCT tok) AS v_size FROM t)
+vs AS (SELECT count(DISTINCT tok) AS v_size FROM t),
+wt AS (SELECT a, b,
+              CAST(floor(ln((c_ab + 0.5) / (c_a + 0.5 * v_size)) * 1000000)
+                   AS BIGINT) AS lp_micro
+       FROM bc JOIN cc USING (a), vs)
 SELECT doc_id, count(*) AS n_bigrams,
-       round(avg(ln((c_ab + 0.5) / (c_a + 0.5 * v_size))), 6) AS avg_logprob
-FROM p JOIN bc USING (a, b) JOIN cc USING (a), vs
+       {duck_det_round6('CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0')}
+         AS avg_logprob
+FROM p JOIN wt USING (a, b)
 GROUP BY doc_id ORDER BY doc_id
 """,
 )

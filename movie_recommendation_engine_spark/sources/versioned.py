@@ -47,6 +47,15 @@ def write_snapshot(df: DataFrame, path: str) -> int:
 
     The parquet write lands in ``v=N.staging`` and is published with
     one atomic rename — a reader can never observe a partial snapshot.
+
+    Concurrent WRITERS race on the version claim (list-then-rename is
+    not atomic): when two writers compute the same next version, the
+    loser's rename finds the target already published and retries the
+    publish under the next free number — both snapshots land, with
+    distinct versions.  (The retry renames the already-written staging
+    directory, so the parquet job runs once per writer.)  On filesystems
+    whose rename does not fail on an existing non-empty target, prefer a
+    single writer per table path.
     """
     os.makedirs(path, exist_ok=True)
     ver = (versions(path)[-1] + 1) if versions(path) else 1
@@ -54,8 +63,15 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     staging = final + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
-    os.rename(staging, final)
-    return ver
+    while True:
+        try:
+            os.rename(staging, final)
+            return ver
+        except OSError:
+            if not os.path.exists(final):  # not a lost race — re-raise
+                raise
+            ver += 1
+            final = _vdir(path, ver)
 
 
 def read_snapshot(

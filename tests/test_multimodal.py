@@ -76,7 +76,7 @@ def test_audio_window_energy_exact(spark):
         audio_window_energy,
     )
 
-    data = [(1, b"abcd" * 40), (2, b"\x80" * 10), (3, b"x")]
+    data = [(1, b"abcd" * 40), (2, b"\x80" * 10), (3, b"x"), (4, b"")]
     df = spark.createDataFrame(data, "id long, media binary")
     rows = {
         (r["id"], r["window_idx"]): r
@@ -84,11 +84,14 @@ def test_audio_window_energy_exact(spark):
     }
     for i, blob in data:
         samples = [b - 128 for b in blob]
-        n_win = max((len(samples) + 63) // 64, 1)
+        n_win = (len(samples) + 63) // 64
         for w in range(n_win):
             chunk = samples[w * 64 : (w + 1) * 64]
             r = rows[(i, w)]
             assert r["n_samples"] == len(chunk)
             assert r["energy_sq"] == sum(v * v for v in chunk)
             assert r["peak"] == max(abs(v) for v in chunk)
-    assert len(rows) == sum(max((len(b) + 63) // 64, 1) for _, b in data)
+    # empty blob => zero windows, no sentinel row (aligned with the SQL
+    # replay's ceil(len/64) = 0 windows — the round-3 ADVICE finding)
+    assert not any(i == 4 for i, _ in rows)
+    assert len(rows) == sum((len(b) + 63) // 64 for _, b in data)

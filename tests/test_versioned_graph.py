@@ -34,6 +34,31 @@ def test_snapshot_versions_accumulate_and_time_travel(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_snapshot_write_retries_on_lost_version_race(spark, monkeypatch):
+    """Two writers can compute the same next version (list-then-rename
+    is not atomic); the loser must republish under the next free number
+    instead of crashing mid-publish (the round-3 ADVICE finding)."""
+    from movie_recommendation_engine_spark.sources import versioned as V
+
+    d = tempfile.mkdtemp(prefix="vsnap_")
+    try:
+        df = spark.range(5)
+        assert write_snapshot(df, d) == 1
+        # freeze the listing at [1], then publish v=2 "concurrently":
+        # the writer under test claims 2, loses the rename, retries as 3
+        monkeypatch.setattr(V, "versions", lambda p: [1])
+        winner = os.path.join(d, "v=000002")
+        os.makedirs(winner)
+        with open(os.path.join(winner, "part-0"), "w") as fh:
+            fh.write("x")  # non-empty: rename onto it must fail
+        assert V.write_snapshot(df, d) == 3
+        monkeypatch.undo()
+        assert versions(d) == [1, 2, 3]
+        assert read_snapshot(spark, d, 3).count() == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_snapshot_staging_never_published(spark):
     """A leftover staging dir (crashed writer) must not appear in
     versions() and must be reclaimed by the next write."""
