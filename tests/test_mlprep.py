@@ -109,9 +109,16 @@ def test_bigram_logprob_hand_computed(spark):
     p_ab = (2 + 0.5) / (3 + 0.5 * 3)
     p_ba = (1 + 0.5) / (1 + 0.5 * 3)
     p_aa = (1 + 0.5) / (3 + 0.5 * 3)
+
+    def micro(p):  # per-bigram integer micro-unit weight (model-table)
+        return math.floor(math.log(p) * 1_000_000)
+
+    def det6(x):  # functions.rounding.det_round mirror
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
     assert got[1].n_bigrams == 3
-    assert got[1].avg_logprob == round(
-        (2 * math.log(p_ab) + math.log(p_ba)) / 3, 6
+    assert got[1].avg_logprob == det6(
+        (2 * micro(p_ab) + micro(p_ba)) / 3 / 1_000_000
     )
-    assert got[2].avg_logprob == round(math.log(p_aa), 6)
+    assert got[2].avg_logprob == det6(micro(p_aa) / 1 / 1_000_000)
     assert 3 not in got  # single-token doc has no bigrams
