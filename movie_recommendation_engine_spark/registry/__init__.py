@@ -98,7 +98,13 @@ from .core import flagship  # noqa: E402,F401
 # must-gate queries ahead of later additions).
 _GATE_FIRST = [
     # Round-3 verdict tasks: the upgraded/new oracle-paired queries that
-    # MUST receive a driver hash verdict this round.
+    # MUST receive a driver hash verdict this round.  (Round-4 status:
+    # these are all driver-green; the round-4 window is the 50 oldest of
+    # the 62 pending, and the expected round-5 remainder is the 10
+    # round-3 leftovers listed at the end of _GATE_LAST plus the two
+    # round-4 *_invariants additions — 12 queries, well inside one
+    # window.  The rotation keeps itself correct as CORRECTNESS_r04
+    # lands; nothing to edit between rounds.)
     "movielens_e2e_cli",
     "als_recommend_invariants",
     "als_rmse_invariants",

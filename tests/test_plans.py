@@ -344,6 +344,28 @@ def test_jl_query_side_is_bounded_limit(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_item_neighbors_invariants_broadcast_shapes(spark):
+    """The factor-neighbor invariant gate must keep item_neighbors'
+    scale shape: probe ids and the train catalog attach via broadcast
+    hash joins (dimension-sized), the scoring join is the bounded-query
+    broadcast cross, and nothing crosses into Python."""
+    plan = _plan(QUERIES["als_item_neighbors_invariants"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_kmeans_invariants_cell_partitioned_scoring(spark):
+    """The k-means IVF invariant gate must keep the IVF probe shape:
+    centroids attach via broadcast (cross against a 16-row table), and
+    query-candidate scoring joins on cent_id — a cell-partitioned
+    equi-join, never an all-pairs corpus cross."""
+    plan = _plan(QUERIES["ann_ivf_kmeans_invariants"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "[cent_id" in plan  # equi-join keyed on the probe cell
+    assert "BatchEvalPython" not in plan
+
+
 def test_cohort_retention_is_window_free(spark):
     """The retention triangle runs as hash aggregates only — a
     per-cohort window would serialize each cohort through one task."""
