@@ -53,6 +53,16 @@ GLOBAL_WINDOW_OK = {
     "brand_dense_ids",  # row_number over distinct brands (tiny domain)
 }
 
+# Queries whose plan contains a CartesianProduct node INSIDE MLlib's
+# ALSModel.recommendForUserSubset: the intentional blocked user-block x
+# item-block matrix multiply with collect_top_k partial aggregation —
+# the standard batch top-k serving algorithm, cost bounded by the
+# served user subset.  No engine-authored cross product is allowed.
+CARTESIAN_OK = {
+    "als_recommend_top5",
+    "als_recommend_invariants",
+}
+
 
 def test_no_python_row_udfs_anywhere(spark):
     """One sweep over every registered query's physical plan enforcing
@@ -67,6 +77,16 @@ def test_no_python_row_udfs_anywhere(spark):
             continue
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} runs a row-at-a-time Python UDF"
+        # third repo-wide contract: every cross product must broadcast a
+        # BOUNDED side (scalar re-entry, capped query set, centroid
+        # table).  A CartesianProduct node means Spark judged NEITHER
+        # side broadcastable — an all-pairs shuffle that cannot survive
+        # scale-up — except inside MLlib's blocked ALS recommend
+        # (CARTESIAN_OK, a deliberate blocked matrix multiply).
+        if name not in CARTESIAN_OK:
+            assert "CartesianProduct" not in plan, (
+                f"{name} runs a non-broadcast cartesian product"
+            )
         if name not in ARROW_OK:
             assert (
                 "ArrowEvalPython" not in plan
