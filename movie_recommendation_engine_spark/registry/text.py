@@ -826,10 +826,15 @@ rel AS (
 toks AS (SELECT doc_id, unnest({WORDS}) AS tok FROM documents),
 tf AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf),
+wt AS (SELECT tok,
+              CAST(floor(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS lp_micro
+       FROM tf, tot),
 qual AS (
   SELECT doc_id,
-         round(avg(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS lp
-  FROM toks JOIN tf USING (tok), tot GROUP BY doc_id),
+         {duck_det_round6('CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0')}
+           AS lp
+  FROM toks JOIN wt USING (tok) GROUP BY doc_id),
 ra AS (SELECT doc_id, total_tf,
               CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id) AS BIGINT)
                 AS rank_rel
