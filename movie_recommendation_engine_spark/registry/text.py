@@ -57,19 +57,31 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", F.col("tf_idf").desc(), "term")
 
 
-@register(
-    "doc_unigram_logprob",
-    oracle=f"""
-WITH w AS (SELECT doc_id, unnest({WORDS}) AS tok FROM documents),
-tf AS (SELECT tok, count(*) AS n FROM w GROUP BY 1),
+# The unigram-LM micro-unit scoring CTEs, defined ONCE and spliced into
+# every oracle that replays operators.text.unigram_logprob (the direct
+# query below AND doc_rrf_fusion's quality leg) — an embedded replica
+# drifted from the operator in round 4 and flipped one sf0.1 rank; a
+# single shared fragment makes that class of bug impossible.  Input CTE
+# contract: `{{toks}}` must provide (doc_id, tok).
+_UNIGRAM_WT_SQL = """
+tf AS (SELECT tok, count(*) AS n FROM {toks} GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf),
 wt AS (SELECT tok,
               CAST(floor(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000)
                    AS BIGINT) AS lp_micro
-       FROM tf, tot)
+       FROM tf, tot)"""
+_UNIGRAM_AVG_SQL = duck_det_round6(
+    "CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0"
+)
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+WITH w AS (SELECT doc_id, unnest({WORDS}) AS tok FROM documents),
+{_UNIGRAM_WT_SQL.format(toks='w')}
 SELECT doc_id, count(*) AS n_tokens,
-       {duck_det_round6('CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0')}
-         AS avg_logprob
+       {_UNIGRAM_AVG_SQL} AS avg_logprob
 FROM w JOIN wt USING (tok)
 GROUP BY doc_id
 ORDER BY doc_id
@@ -824,16 +836,9 @@ rel AS (
             + len(list_filter(w, x -> x = 'window')) AS BIGINT) AS total_tf
   FROM base),
 toks AS (SELECT doc_id, unnest({WORDS}) AS tok FROM documents),
-tf AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf),
-wt AS (SELECT tok,
-              CAST(floor(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000)
-                   AS BIGINT) AS lp_micro
-       FROM tf, tot),
+{_UNIGRAM_WT_SQL.format(toks='toks')},
 qual AS (
-  SELECT doc_id,
-         {duck_det_round6('CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0')}
-           AS lp
+  SELECT doc_id, {_UNIGRAM_AVG_SQL} AS lp
   FROM toks JOIN wt USING (tok) GROUP BY doc_id),
 ra AS (SELECT doc_id, total_tf,
               CAST(row_number() OVER (ORDER BY total_tf DESC, doc_id) AS BIGINT)
