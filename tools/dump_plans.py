@@ -44,6 +44,8 @@ SHOWCASE = [
     ("customer_negative_samples", "negative sampling: broadcast item index, linear probe fan-out, anti-join"),
     ("monthly_revenue_decomposition", "seasonal decomposition: calendar-bounded MA self-join, zero WindowExec"),
     ("order_price_mad_outliers", "MAD outliers: two window-free median assemblies, struct-max top row"),
+    ("ann_jl_top5", "JL ANN: bounded query relation (TakeOrderedAndProject cap) broadcast-crossed against the reduced corpus"),
+    ("ann_ivf_kmeans_invariants", "invariant gate: 16-row centroid broadcast, cell equi-join scoring, one-row contract aggregate"),
 ]
 
 
