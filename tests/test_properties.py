@@ -213,6 +213,37 @@ def test_repetition_signal_bounds_any_corpus(spark_global, docs):
 
 
 @settings(max_examples=6, deadline=None)
+@given(docs=st.lists(words_strategy, min_size=1, max_size=6))
+def test_unigram_logprob_micro_units_partition_independent(spark_global, docs):
+    """The micro-unit LM convention (round-4): per-token ln P quantized
+    once on the model table, per-doc sums exact BIGINT — so the score is
+    (a) bit-identical under any repartitioning (the float-avg it
+    replaced was summation-order-dependent) and (b) equal to a pure-
+    Python recompute of the same integer arithmetic."""
+    from movie_recommendation_engine_spark.operators.text import unigram_logprob
+
+    spark = spark_global
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got1 = {r.doc_id: r for r in unigram_logprob(df.coalesce(1), "doc_id", "text").collect()}
+    got7 = {r.doc_id: r for r in unigram_logprob(df.repartition(7), "doc_id", "text").collect()}
+    assert {k: (v.n_tokens, v.avg_logprob) for k, v in got1.items()} == {
+        k: (v.n_tokens, v.avg_logprob) for k, v in got7.items()
+    }
+    # independent integer recompute
+    from collections import Counter
+
+    tf = Counter(w for ws in docs for w in ws)
+    tot = sum(tf.values())
+    micro = {w: math.floor(math.log(n / tot) * 1_000_000) for w, n in tf.items()}
+    for i, ws in enumerate(docs):
+        s = sum(micro[w] for w in ws)
+        want = math.floor(s / len(ws) / 1_000_000 * 1_000_000 + 0.5) / 1_000_000
+        assert got1[i].n_tokens == len(ws)
+        assert got1[i].avg_logprob == want
+
+
+@settings(max_examples=6, deadline=None)
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
