@@ -1237,13 +1237,17 @@ WITH norms AS (
   SELECT vec_id, label,
          sqrt((SELECT sum(x * x) FROM unnest(CAST(embedding AS DOUBLE[])) AS t(x)))
            AS l2
-  FROM embeddings)
+  FROM embeddings),
+q AS (SELECT label, l2,
+             CAST(floor(l2 * 1000000) AS BIGINT) AS l2_micro
+      FROM norms)
 SELECT label,
        count(*) AS n,
-       round(avg(l2), 6) AS avg_norm,
+       (floor((CAST(sum(l2_micro) AS DOUBLE) / count(*) / 1000000.0) * 1000000 + 0.5)
+         / 1000000) AS avg_norm,
        round(min(l2), 6) AS min_norm,
        round(max(l2), 6) AS max_norm
-FROM norms
+FROM q
 GROUP BY label
 ORDER BY label
 """,
@@ -1252,17 +1256,26 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm profile of the embedding column — the sanity
     pass before any cosine-based pipeline (un-normalized vectors break
     dot-product shortcuts).  Vectors are cast float->double BEFORE the
-    arithmetic so per-term squares match the oracle bit-for-bit."""
+    arithmetic so per-term squares match the oracle bit-for-bit; the
+    per-label MEAN quantizes each norm to integer micro-units first
+    (floor(l2·1e6), exact BIGINT sum — the repo's micro-unit convention)
+    because a raw float AVG folds in partial-aggregation order.  min/max
+    are order-independent and stay plain round-6."""
     from ..functions.arrays import l2_norm
+    from ..functions.rounding import det_round
 
     emb = _t(spark, sf_dir, "embeddings")
     vec_d = F.transform("embedding", lambda x: x.cast("double"))
-    norms = emb.select("label", l2_norm(vec_d).alias("l2"))
+    norms = emb.select("label", l2_norm(vec_d).alias("l2")).withColumn(
+        "l2_micro", F.floor(F.col("l2") * 1000000).cast("long")
+    )
     return (
         norms.groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("l2"), 6).alias("avg_norm"),
+            det_round(
+                F.sum("l2_micro").cast("double") / F.count("*") / F.lit(1000000.0), 6
+            ).alias("avg_norm"),
             F.round(F.min("l2"), 6).alias("min_norm"),
             F.round(F.max("l2"), 6).alias("max_norm"),
         )

@@ -1,0 +1,58 @@
+"""Static convention audit over every registered oracle's SQL.
+
+Two latent hash-flake classes were found (and fixed) in rounds 3-4 by
+scale sweeps; these greps keep them extinct without running a query:
+
+- ``round(avg(<double expr>))`` — a float SUM folds in partial-
+  aggregation order, so the 6th decimal can flip with partitioning
+  (doc_rrf_fusion's embedded unigram replica, embedding_norm_stats).
+  The convention is integer micro-units: quantize per-row/per-model-row
+  with floor(x*1e6), sum exact BIGINTs, det-round the final division.
+  avg over EXACT values (integers, 0.0/1.0 indicators) is safe — every
+  partial sum is an exactly-representable double — so the audit targets
+  avg whose argument contains an irrational producer (sqrt/ln/log) or
+  an inexact division.
+- engine ``rand()``/``random()`` — partition/run-dependent; all
+  sampling derives from md5 content hashes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from movie_recommendation_engine_spark.registry import ORACLES
+
+_IRRATIONAL = re.compile(r"sqrt|ln\s*\(|log\s*\(|/", re.I)
+_AVG = re.compile(r"\bavg\s*\(([^()]*(?:\([^()]*\))*[^()]*)\)", re.I)
+# exact-valued avg arguments that are explicitly safe (indicator means)
+_SAFE_AVG = re.compile(r"THEN\s+1\.0\s+ELSE\s+0\.0", re.I)
+
+
+def test_no_engine_rand_in_oracles():
+    for name, sql in ORACLES.items():
+        assert not re.search(r"\brandom\s*\(|\brand\s*\(", sql, re.I), (
+            f"{name} oracle uses engine RNG; derive from md5 content hashes"
+        )
+
+
+def test_no_float_avg_over_irrational_expressions():
+    offenders = []
+    for name, sql in ORACLES.items():
+        for m in _AVG.finditer(sql):
+            arg = m.group(1)
+            if _SAFE_AVG.search(arg):
+                continue
+            if _IRRATIONAL.search(arg):
+                offenders.append((name, arg.strip()[:80]))
+    assert not offenders, (
+        "float AVG over an order-sensitive double expression (quantize to "
+        f"integer micro-units instead): {offenders}"
+    )
+
+
+def test_no_engine_round_of_avg():
+    for name, sql in ORACLES.items():
+        assert not re.search(r"round\s*\(\s*avg\s*\(", sql, re.I), (
+            f"{name} oracle rounds a float AVG; use the micro-unit + "
+            "det_round convention"
+        )
