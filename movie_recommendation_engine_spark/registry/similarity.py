@@ -42,12 +42,30 @@ _COS = (
     "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
 )
 
+# Structural bound on every brute-force-crossed (or driver-collected)
+# ANN query relation, mirroring ann_jl_top5's round-4 fix: the `% 97`
+# filter alone defines ~1% of the corpus, which grows without bound at
+# scale; ORDER BY vec_id LIMIT _Q_CAP on BOTH engines makes the
+# broadcast/collect side a hard <=32-row ceiling.  Non-binding at every
+# test SF (6 queries at sf0.01, 21 at sf0.1) so all oracle hashes are
+# unchanged.  The LSH/IVF paths keep the uncapped set where the query
+# side only feeds bucketed equi-joins (linear, never broadcast-crossed);
+# ann_lsh_recall caps BOTH of its legs so exact and ANN score the same
+# query set.
+_Q_CAP = 32
+_Q_SQL = "ORDER BY vec_id LIMIT 32"
+
+
+def _capped_queries(emb):
+    return emb.filter(F.col("vec_id") % 97 == 0).orderBy("vec_id").limit(_Q_CAP)
+
 
 @register(
     "knn_bruteforce_top5",
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % 97 = 0 {_Q_SQL}),
 scored AS (
   SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv,
          {_COS} AS cosine
@@ -64,9 +82,11 @@ ORDER BY query_id, rank
 )
 def q_knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for a deterministic query subset (vec_id % 97
-    == 0) against all candidates — the ANN quality baseline."""
+    == 0, capped by the structural ``_Q_CAP`` sorted limit) against all
+    candidates — the ANN quality baseline.  The broadcast side is
+    bounded by construction, not just by contract."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    queries = _capped_queries(emb)
     return brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
 
 
@@ -74,7 +94,8 @@ def q_knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_arrow_top5",
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % 97 = 0 {_Q_SQL}),
 scored AS (
   SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv,
          {_COS} AS cosine
@@ -96,7 +117,7 @@ def q_knn_arrow_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the identical oracle to prove the two engines'
     physical strategies agree bit-for-bit after round-6."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    queries = _capped_queries(emb)
     return arrow_brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
 
 
@@ -326,7 +347,8 @@ def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_recall",
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % 97 = 0 {_Q_SQL}),
 exact_scored AS (
   SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv, {_COS} AS cosine
   FROM q, e c WHERE c.vec_id <> query_id),
@@ -337,7 +359,8 @@ exact_top AS (
                               ORDER BY cosine DESC, neighbor_id) AS rank
     FROM exact_scored) WHERE rank <= 5),
 sig AS (SELECT vec_id, v, {_planes_sql('v')} AS bucket FROM e),
-qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id % 97 = 0),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig
+       WHERE vec_id % 97 = 0 {_Q_SQL}),
 ann_scored AS (
   SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv, {_COS} AS cosine
   FROM qb JOIN sig c USING (bucket) WHERE c.vec_id <> query_id),
@@ -367,7 +390,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/cost dial made measurable as a query (both algorithms replay
     in the oracle, so even the quality NUMBER is hash-checked)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    queries = _capped_queries(emb)
     exact = brute_force_topk(queries, emb, k=5).select("query_id", "neighbor_id")
     ann = lsh_bucketed_topk(queries, emb, k=5, n_planes=_N_PLANES, dim=_DIM).select(
         "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
@@ -489,7 +512,8 @@ rec AS (
               ELSE lo + floor((x - lo) * 255 / (hi - lo) + 0.5) * (hi - lo) / 255
               END ORDER BY pos) AS v
   FROM dims JOIN rng USING (pos) GROUP BY vec_id),
-q AS (SELECT vec_id AS query_id, v AS qv FROM rec WHERE vec_id % 97 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv FROM rec
+      WHERE vec_id % 97 = 0 {_Q_SQL}),
 scored AS (
   SELECT query_id, c.vec_id AS neighbor_id, c.v AS cv, qv,
          {_COS} AS cosine
@@ -515,7 +539,7 @@ def q_ann_sq8_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     rec = sq8_reconstruct(emb)
-    queries = rec.filter(F.col("vec_id") % 97 == 0)
+    queries = rec.filter(F.col("vec_id") % 97 == 0).orderBy("vec_id").limit(_Q_CAP)
     return brute_force_topk(queries, rec, k=5, id_col="vec_id", vec_col="v").orderBy(
         "query_id", "rank"
     )

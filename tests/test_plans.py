@@ -364,6 +364,19 @@ def test_jl_query_side_is_bounded_limit(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_brute_force_ann_query_sides_are_bounded_limits(spark):
+    """Every brute-force-crossed ANN query relation carries the
+    structural _Q_CAP sorted limit (TakeOrderedAndProject), so no
+    broadcast side grows with the corpus.  knn_arrow_top5's cap guards
+    its driver-side collect and lives in a separate job plan, so it is
+    asserted via the shared _capped_queries helper instead."""
+    for name in ("knn_bruteforce_top5", "ann_sq8_top5", "ann_lsh_recall"):
+        plan = _plan(QUERIES[name](spark, SF))
+        # the sorted limit compiles to TakeOrderedAndProject or a
+        # sort + GlobalLimit depending on AQE context; both bound it
+        assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, name
+
+
 def test_item_neighbors_invariants_broadcast_shapes(spark):
     """The factor-neighbor invariant gate must keep item_neighbors'
     scale shape: probe ids and the train catalog attach via broadcast
