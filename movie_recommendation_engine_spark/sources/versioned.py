@@ -19,7 +19,7 @@ lists one.
 from __future__ import annotations
 
 import os
-import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,7 +34,7 @@ def versions(path: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(path):
-        if name.startswith("v=") and not name.endswith(".staging"):
+        if name.startswith("v=") and ".staging" not in name:
             try:
                 out.append(int(name[2:]))
             except ValueError:
@@ -52,16 +52,20 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     not atomic): when two writers compute the same next version, the
     loser's rename finds the target already published and retries the
     publish under the next free number — both snapshots land, with
-    distinct versions.  (The retry renames the already-written staging
-    directory, so the parquet job runs once per writer.)  On filesystems
-    whose rename does not fail on an existing non-empty target, prefer a
-    single writer per table path.
+    distinct versions.  The staging directory is UNIQUE PER WRITER
+    (pid + random suffix), so racing writers can never overwrite each
+    other's in-flight parquet job; the retry renames this writer's own
+    fully-written staging directory, so the parquet job runs once per
+    writer and a published version is always one writer's complete
+    output.  (A crashed writer can leave its staging directory behind;
+    ``versions()`` never lists staging paths, so readers are
+    unaffected.)  On filesystems whose rename does not fail on an
+    existing non-empty target, prefer a single writer per table path.
     """
     os.makedirs(path, exist_ok=True)
     ver = (versions(path)[-1] + 1) if versions(path) else 1
     final = _vdir(path, ver)
-    staging = final + ".staging"
-    shutil.rmtree(staging, ignore_errors=True)
+    staging = f"{final}.staging.{os.getpid()}-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(staging)
     while True:
         try:

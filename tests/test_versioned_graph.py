@@ -61,14 +61,56 @@ def test_snapshot_write_retries_on_lost_version_race(spark, monkeypatch):
 
 def test_snapshot_staging_never_published(spark):
     """A leftover staging dir (crashed writer) must not appear in
-    versions() and must be reclaimed by the next write."""
+    versions() — old-style (shared) and new-style (per-writer suffixed)
+    alike — and must not block the next write from publishing."""
     d = tempfile.mkdtemp(prefix="vsnap_")
     try:
         write_snapshot(spark.range(3), d)
         os.makedirs(os.path.join(d, "v=000002.staging", "junk"))
+        os.makedirs(os.path.join(d, "v=000002.staging.999-deadbeef", "junk"))
         assert versions(d) == [1]
         assert write_snapshot(spark.range(4), d) == 2
         assert read_snapshot(spark, d, 2).count() == 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_staging_unique_per_writer(spark, monkeypatch):
+    """Racing writers that claim the same version must stage to
+    DISTINCT paths (round-4 ADVICE: a shared `final + ".staging"` let
+    the loser rmtree/overwrite the winner's in-flight parquet job, so a
+    published version could be a clobbered partial).  With per-writer
+    staging, the loser's retry republishes its own complete output."""
+    import re
+
+    from movie_recommendation_engine_spark.sources import versioned as V
+
+    d = tempfile.mkdtemp(prefix="vsnap_")
+    try:
+        staged: set[str] = set()
+
+        write_snapshot(spark.range(2).withColumn("w", F.lit(0)), d)
+        # capture each writer's staging path via its rename attempts
+        orig_rename = os.rename
+
+        def spy_rename(src, dst):
+            if ".staging." in src:
+                staged.add(src)
+            return orig_rename(src, dst)
+
+        monkeypatch.setattr(V.os, "rename", spy_rename)
+        # both writers see [1] => both claim version 2
+        monkeypatch.setattr(V, "versions", lambda p: [1])
+        assert V.write_snapshot(spark.range(3).withColumn("w", F.lit(1)), d) == 2
+        assert V.write_snapshot(spark.range(4).withColumn("w", F.lit(2)), d) == 3
+        monkeypatch.undo()
+        # two writers => two DISTINCT staging directories, each suffixed
+        assert len(staged) == 2
+        for s in staged:
+            assert re.search(r"\.staging\.\d+-[0-9a-f]{32}$", s), s
+        # each published version is one writer's complete output
+        assert read_snapshot(spark, d, 2).count() == 3
+        assert read_snapshot(spark, d, 3).count() == 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
