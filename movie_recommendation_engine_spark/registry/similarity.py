@@ -53,7 +53,11 @@ _COS = (
 # ann_lsh_recall caps BOTH of its legs so exact and ANN score the same
 # query set.
 _Q_CAP = 32
-_Q_SQL = "ORDER BY vec_id LIMIT 32"
+# derived, never written out by hand: changing _Q_CAP alone must move
+# the Spark cap, the oracle cap, and the JL cap together (round-4
+# ADVICE: three independent 32s would desynchronize the engines' query
+# sets and flip every brute-force ANN hash)
+_Q_SQL = f"ORDER BY vec_id LIMIT {_Q_CAP}"
 
 
 def _capped_queries(emb):
@@ -558,8 +562,9 @@ _JL_OUT = 16
 # The limit is non-binding at every test SF (6 queries at sf0.01, 21 at
 # sf0.1), so the oracle hash is unchanged; at production scale it is the
 # hard ceiling a real ANN serving path would impose (a bounded query
-# batch, never "search for 1% of the corpus in one job").
-_JL_QCAP = 32
+# batch, never "search for 1% of the corpus in one job").  Derived from
+# _Q_CAP so the whole brute-force family moves as one knob.
+_JL_QCAP = _Q_CAP
 _JL_ROWS = jl_signs(_DIM, _JL_OUT)
 _JL_PROJ_SQL = "[" + ", ".join(
     "list_dot_product(u, [" + ", ".join(str(s) for s in row) + "])"
