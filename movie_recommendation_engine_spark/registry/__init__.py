@@ -240,6 +240,42 @@ _GATE_LAST = [
     # verdict pre-verified; they gate in round 5 with the 10 leftovers.
     "als_item_neighbors_invariants",
     "ann_ivf_kmeans_invariants",
+    # round-5 addition (round-4 verdict task 6: rank-1 neighbor VALUES).
+    # Appended at the END so it never displaces older pending queries
+    # from the 50-slot window (memory: unpinned pending sorts by
+    # registration order AHEAD of _GATE_LAST entries).
+    "als_rank1_item_neighbors",
+]
+
+
+# Already-green queries that lead the window's SPARE slots (round-4
+# verdict task 2): after the pending set, the driver's remaining slots
+# re-check previously-green queries — front the float/convention-
+# sensitive ones (logprob family, gini, RRF fusion, the arrow/median
+# pair, micro-unit and decimal-accumulation queries) whose hashes moved
+# during round-4 hardening, so every round's spare capacity re-verifies
+# the queries most likely to drift first.
+_RECHECK_FIRST = [
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "doc_rrf_fusion",
+    "doc_bm25_search",
+    "customer_revenue_gini",
+    "grouped_price_trimmed_mean_arrow",
+    "events_rolling_median5",
+    "embedding_norm_stats",
+    "popularity_eval_pipeline",
+    "customer_link_prediction_aa",
+    "part_pagerank",
+    "part_pagerank_weighted",
+    "als_rank1_rmse",
+    "returnflag_priority_chi2",
+    "brand_return_info_gain",
+    "order_price_drift_psi",
+    "embedding_top_pc_power",
+    "monthly_seasonal_forecast",
+    "label_centroid_similarity",
+    "lineitem_feature_scaling",
 ]
 
 
@@ -284,12 +320,17 @@ def _apply_gate_order() -> None:
     pending = [n for n in names if n not in green]
     done = [n for n in names if n in green]
     # pending first (pinned _GATE_FIRST order, then registration order),
-    # then the already-green remainder in registration order
+    # then the already-green remainder: float-sensitive re-checks first
+    # (_RECHECK_FIRST), then registration order
     last = {n: i for i, n in enumerate(_GATE_LAST)}
     pending.sort(
         key=lambda n: (0, prio[n])
         if n in prio
         else ((2, last[n]) if n in last else (1, names.index(n)))
+    )
+    recheck = {n: i for i, n in enumerate(_RECHECK_FIRST)}
+    done.sort(
+        key=lambda n: (0, recheck[n]) if n in recheck else (1, names.index(n))
     )
     reordered = {n: QUERIES[n] for n in [*pending, *done]}
     QUERIES.clear()

@@ -18,7 +18,8 @@ from ..operators.sampling import split_assign
 from ..plans.metrics import global_hit_ratio, per_user_ranking_metrics, summarize_ranking
 from ..plans.popularity import popularity_top_k
 from ..plans.recommender import AlsRecommender
-from . import _t, register
+from ..functions.rounding import det_round
+from . import _t, duck_det_round6, register
 from .sampling import _H_SPLIT, _KEYS
 
 # NOTE the l_quantity tiebreak: (l_orderkey, l_partkey, l_linenumber) is
@@ -491,4 +492,84 @@ def q_als_rank1_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.agg(
         F.round(F.sqrt(F.sum(se2).cast("double") / F.count("*")), 6).alias("rmse"),
         F.count("*").alias("n_scored"),
+    )
+
+
+# Structural probe cap, ann-family style (registry/similarity.py _Q_CAP):
+# `% 199` alone selects ~0.5% of the catalog — unbounded at scale; the
+# sorted LIMIT makes the broadcast query side a hard ceiling on BOTH
+# engines (binding at sf0.1: ~100 probe items -> 32).
+_R1N_PROBE_CAP = 32
+
+
+@register(
+    "als_rank1_item_neighbors",
+    oracle=f"""
+WITH labeled AS ({_SPLIT_SQL}),
+train AS (SELECT * FROM labeled WHERE split = 'train'),
+{_rank1_sweep_sql(_R1_SWEEPS, _R1_LAM)},
+probe AS (
+  SELECT i, f FROM v{_R1_SWEEPS} WHERE i % 199 = 0
+  ORDER BY i LIMIT {_R1N_PROBE_CAP}),
+scored AS (
+  SELECT p.i AS l_partkey, c.i AS neighbor_l_partkey,
+         round((0.0 + p.f * c.f)
+               / (sqrt(0.0 + p.f * p.f) * sqrt(0.0 + c.f * c.f)), 6) AS cosine,
+         {duck_det_round6("p.f * c.f")} AS affinity
+  FROM probe p JOIN v{_R1_SWEEPS} c ON c.i <> p.i),
+ranked AS (
+  SELECT l_partkey, neighbor_l_partkey, cosine, affinity,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY cosine DESC, neighbor_l_partkey) AS rank
+  FROM scored)
+SELECT l_partkey, neighbor_l_partkey, cosine, affinity, rank
+FROM ranked WHERE rank <= 5
+ORDER BY l_partkey, rank
+""",
+)
+def q_als_rank1_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item neighbor VALUES under the full hash gate (round-4
+    verdict task 6): exact rank-1 ALS factors (plans.recommender.
+    als_rank1_factors — the same closed-form DECIMAL ridge sweeps
+    ``als_rank1_rmse`` pins) fed through the engine's REAL serving
+    operator, ``operators.similarity.brute_force_topk`` — the exact path
+    ``AlsRecommender.item_neighbors`` uses (plans/recommender.py:193).
+    At rank 1 every cosine is analytically sign(f_i.f_j) = 1.0 (NNLS-
+    positive factors), so the oracle can replay the whole pipeline:
+    identical sweeps -> identical round-6 factors -> identical cosine
+    arithmetic (the 0.0 + x fold mirrors the engine's aggregate seed) ->
+    identical tie-break (cosine desc, neighbor id asc).  ``affinity``
+    (det-round-6 factor product, the rank-1 analogue of the factor dot
+    score MLlib serves) pins actual learned VALUES, not just structure —
+    the hash-gated companion the rows-only ``als_item_neighbors`` export
+    was still missing."""
+    from ..operators.similarity import brute_force_topk
+    from ..plans.recommender import als_rank1_factors
+
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    _, v = als_rank1_factors(
+        train, "l_orderkey", "l_partkey", "l_quantity",
+        sweeps=_R1_SWEEPS, reg_param=_R1_LAM,
+    )
+    factors = v.select(F.col("i").alias("id"), F.array(F.col("f")).alias("features"))
+    probe = (
+        factors.filter(F.col("id") % 199 == 0)
+        .orderBy("id")
+        .limit(_R1N_PROBE_CAP)
+    )
+    out = brute_force_topk(probe, factors, k=5, id_col="id", vec_col="features")
+    fq = v.select(F.col("i").alias("query_id"), F.col("f").alias("__fq"))
+    fc = v.select(F.col("i").alias("neighbor_id"), F.col("f").alias("__fc"))
+    return (
+        out.join(fq, "query_id")
+        .join(fc, "neighbor_id")
+        .select(
+            F.col("query_id").alias("l_partkey"),
+            F.col("neighbor_id").alias("neighbor_l_partkey"),
+            "cosine",
+            det_round(F.col("__fq") * F.col("__fc")).alias("affinity"),
+            "rank",
+        )
+        .orderBy("l_partkey", "rank")
     )
