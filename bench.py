@@ -45,28 +45,49 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     except Exception as ex:
         print(f"# bench warmup failed for {sf_dir}: {ex}", file=sys.stderr)
-    # warm the MLlib ALS code paths too: the first fit in a JVM pays
-    # ~10 s of JIT/codegen that would otherwise be billed to whichever
-    # ALS query runs first (verified: run0 17 s, run1 5.7 s same plan)
+    # warm the MLlib ALS code paths too: the first REAL fit in a JVM pays
+    # JIT/codegen that would otherwise be billed to whichever ALS query
+    # runs first (round-4 sweep billed ~28 s of it to movielens_e2e_cli:
+    # 82 s in-sweep vs 53.7 s standalone).  A toy 200-row rank-2 fit is
+    # NOT enough — the real fit exercises different block/solver/
+    # checkpoint paths — so warm with an actual sf0.001 ratings fit at
+    # the e2e query's own config (rank 8 / maxIter 4, NNLS), untimed.
     try:
+        from pyspark.ml.evaluation import RegressionEvaluator
         from pyspark.ml.recommendation import ALS
+        from pyspark.sql import functions as F
 
-        tiny = spark.createDataFrame(
-            [(u, i, float(u * i % 5)) for u in range(20) for i in range(10)],
-            "user int, item int, rating float",
-        )
+        try:
+            warm = (
+                spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+                .select(
+                    F.col("l_orderkey").cast("int").alias("user"),
+                    F.col("l_partkey").cast("int").alias("item"),
+                    F.col("l_quantity").cast("float").alias("rating"),
+                )
+                .dropDuplicates(["user", "item"])
+            )
+        except Exception:  # no sf0.001 checkout: synthesize a small one
+            warm = spark.createDataFrame(
+                [(u, i, float((u * i) % 5 + 1)) for u in range(200) for i in range(40) if (u + i) % 3],
+                "user int, item int, rating float",
+            )
         m = ALS(
-            rank=2,
-            maxIter=1,
+            rank=8,
+            maxIter=4,
+            regParam=0.15,
             userCol="user",
             itemCol="item",
             ratingCol="rating",
             seed=1,
             nonnegative=True,  # NNLS solver — the engine default; the
             coldStartStrategy="drop",  # vanilla solver is a different class
-        ).fit(tiny)
-        m.recommendForAllUsers(1).count()
-        m.transform(tiny).count()
+        ).fit(warm)
+        m.recommendForAllUsers(5).count()
+        pred = m.transform(warm)
+        RegressionEvaluator(
+            metricName="rmse", labelCol="rating", predictionCol="prediction"
+        ).evaluate(pred)
     except Exception as ex:
         print(f"# bench ALS warmup failed: {ex}", file=sys.stderr)
 
@@ -100,22 +121,79 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     ok = {k: v for k, v in timings.items() if v >= 0}
+    sweep_total = round(sum(ok.values()), 4)
+
+    # In-sweep timings bill first-run JIT and mid-run GC pressure to
+    # whichever query hits them (measured round 4: 2-5x on sub-3 s
+    # queries).  tools/bench_check.py adjudicates by retiming flagged
+    # queries steady-state — do that adjudication HERE too and store the
+    # steady figure in the committed per-query map, so BENCH_LOCAL.json
+    # matches what the guard actually adjudicates (round-4 verdict task:
+    # the raw sweep file gave readers a misleading per-query picture).
+    # The raw sweep figure of every retimed query is preserved in
+    # "sweep_queries"; the headline value stays the true sweep total.
+    steady: dict[str, float] = {}
+    try:
+        budget_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools", "bench_budget.json"
+        )
+        with open(budget_path) as fh:
+            budget = json.load(fh).get("queries", {})
+        ratio, floor = 1.5, 1.0  # keep in sync with tools/bench_check.py
+        flagged = sorted(
+            n
+            for n, t in ok.items()
+            if budget.get(n, -1) > 0 and t > ratio * max(budget[n], floor)
+        )[:15]  # bound the extra wall time; the guard retimes any rest
+        if flagged:
+            print(f"# bench retiming {len(flagged)} sweep-flagged queries: "
+                  f"{', '.join(flagged)}", file=sys.stderr)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            for name in flagged:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+                    gc.collect()
+                steady[name] = round(best, 4)
+    except Exception as ex:
+        print(f"# bench steady retime skipped: {ex}", file=sys.stderr)
+
+    adjudicated = dict(timings)
+    sweep_queries = {}
+    for name, s in steady.items():
+        sweep_queries[name] = timings[name]
+        adjudicated[name] = s
     full = {
         "metric": "total_query_wall_sec",
-        "value": round(sum(ok.values()), 4),
+        "value": sweep_total,
         "unit": "sec",
-        "queries": timings,
+        "queries": adjudicated,
+        "sweep_total_sec": sweep_total,
         "sf": sf_val,
     }
+    if sweep_queries:
+        full["sweep_queries"] = sweep_queries
+        full["sweep_queries_note"] = (
+            "queries[] holds the steady-state retime (min of 2, same "
+            "session) for these; sweep_queries[] holds their raw in-sweep "
+            "figure; value/sweep_total_sec always sum the raw sweep"
+        )
     full_line = json.dumps(full)
     # The caller's stdout capture stores only a bounded tail (BENCH_r02/
     # r03 recorded "parsed": null against the ~6 KB 203-query line), so
     # stdout gets a COMPACT line — totals + the top-20 slowest queries —
     # guaranteed to fit the capture, and the full per-query map goes to
     # BENCH_LOCAL.json next to this script (plus one stderr copy).
+    # compact per-query figures are the RAW in-sweep times (the driver's
+    # record of what this sweep actually did); the steady adjudication
+    # lives in the full map's queries[]/sweep_queries[] split
     top20 = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:20])
     errors = sorted(k for k, v in timings.items() if v < 0)
-    compact = dict(full)
+    compact = {k: v for k, v in full.items()
+               if k not in ("sweep_queries", "sweep_queries_note")}
     compact["queries"] = top20
     compact["queries_total"] = len(timings)
     compact["queries_note"] = "top-20 slowest; full map in BENCH_LOCAL.json"

@@ -48,10 +48,37 @@ def run_bench() -> dict:
 def _full(bench: dict) -> dict:
     """bench.py's stdout line is compact (top-20 slowest only, marked by
     ``queries_note``); the complete per-query map lives in
-    BENCH_LOCAL.json — swap it in so the guard covers every query."""
-    if "queries_note" in bench and os.path.exists(LOCAL_PATH):
+    BENCH_LOCAL.json — swap it in so the guard covers every query.
+
+    The swap is VALIDATED (round-4 ADVICE): BENCH_LOCAL.json must come
+    from the same run as the compact line (same sf, same query count,
+    same total within rounding), otherwise the guard would silently
+    adjudicate timings from a stale run.  On mismatch or a missing full
+    map, fall back to the compact line itself and mark it partial so
+    --update refuses to truncate the budget to 20 queries."""
+    if "queries_note" not in bench:
+        return bench
+    if os.path.exists(LOCAL_PATH):
         with open(LOCAL_PATH) as fh:
-            return json.load(fh)
+            full = json.load(fh)
+        same_run = (
+            full.get("sf") == bench.get("sf")
+            and len(full.get("queries", {})) == bench.get("queries_total")
+            and abs(float(full.get("value", -1)) - float(bench.get("value", -2)))
+            < 0.005
+        )
+        if same_run:
+            return full
+        print(
+            "# WARNING: BENCH_LOCAL.json does not match the compact bench line "
+            f"(sf {full.get('sf')}/{bench.get('sf')}, "
+            f"n {len(full.get('queries', {}))}/{bench.get('queries_total')}, "
+            f"total {full.get('value')}/{bench.get('value')}) — stale run? "
+            "Falling back to the compact top-20 line.",
+            file=sys.stderr,
+        )
+    bench = dict(bench)
+    bench["_partial"] = True
     return bench
 
 
@@ -114,20 +141,36 @@ def main(argv: list[str]) -> int:
     timings: dict[str, float] = bench["queries"]
 
     if update:
+        if bench.get("_partial"):
+            print(
+                "refusing --update: input is the compact top-20 line and no "
+                "matching full map is available (BENCH_LOCAL.json absent or "
+                "from a different run) — rewriting now would truncate the "
+                f"budget to {len(timings)} queries",
+                file=sys.stderr,
+            )
+            return 1
         with open(BUDGET_PATH) as fh:
             notes = json.load(fh).get("notes", {})
         with open(BUDGET_PATH, "w") as fh:
             json.dump(
-                {"sf": bench.get("sf"), "notes": notes, "queries": timings},
+                {
+                    "sf": bench.get("sf"),
+                    "notes": notes,
+                    "queries": timings,
+                    # sweep-level reference for the total-wall guard below
+                    "total_sweep_sec": bench.get("sweep_total_sec", bench.get("value")),
+                },
                 fh, indent=1, sort_keys=True,
             )
         print(f"budget rewritten: {len(timings)} queries -> {BUDGET_PATH}")
         return 0
 
     with open(BUDGET_PATH) as fh:
-        budget: dict[str, float] = json.load(fh)["queries"]
+        budget_doc = json.load(fh)
+    budget: dict[str, float] = budget_doc["queries"]
 
-    regressions, errors = [], []
+    regressions, errors, noise = [], [], []
     for name, t in sorted(timings.items()):
         if t < 0:
             errors.append(name)
@@ -163,14 +206,42 @@ def main(argv: list[str]) -> int:
             if s is None or s > RATIO * max(b, FLOOR):
                 confirmed.append((name, b, t, s))
             else:
+                noise.append(name)
                 print(f"# noise  {name}: sweep {t:.2f}s but steady-state "
                       f"{s:.2f}s vs budget {b:.2f}s")
         regressions = confirmed
     for name, b, t, s in regressions:
         ss = f", steady-state {s:.2f}s" if s is not None else ""
         print(f"REGRESSION  {name}: {t:.2f}s vs budget {b:.2f}s (>{RATIO}x{ss})")
-    if not regressions and not errors:
-        print(f"OK: {len(timings)} queries within {RATIO}x of budget")
+
+    # Secondary sweep-level guard (round-4 ADVICE): per-query retimes can
+    # adjudicate every exceedance as noise even when the SWEEP as a whole
+    # degraded (e.g. a new heavy query raises GC pressure for everyone).
+    # Compare the run's true sweep total against the budget's recorded
+    # one; new queries legitimately grow the total, so their sweep time
+    # is added to the reference before applying the ratio.
+    sweep_level = []
+    total_budget = budget_doc.get("total_sweep_sec")
+    sweep_total = bench.get("sweep_total_sec", bench.get("value"))
+    if total_budget and sweep_total and not bench.get("_partial"):
+        allowed = RATIO * (
+            float(total_budget)
+            + sum(t for n, t in timings.items() if n not in budget and t > 0)
+        )
+        if float(sweep_total) > allowed:
+            sweep_level.append(
+                f"SWEEP-LEVEL REGRESSION: total {float(sweep_total):.1f}s vs "
+                f"budgeted {float(total_budget):.1f}s (+new queries) — "
+                f"allowed {allowed:.1f}s"
+            )
+    for line in sweep_level:
+        print(line)
+    if not regressions and not errors and not sweep_level:
+        adjudicated = (
+            f" ({len(noise)} sweep exceedances adjudicated as noise: "
+            f"{', '.join(noise)})" if noise else ""
+        )
+        print(f"OK: {len(timings)} queries within {RATIO}x of budget{adjudicated}")
         return 0
     return 1
 
