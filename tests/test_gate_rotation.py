@@ -1,0 +1,92 @@
+"""Static guards on the driver-gate rotation lists (no Spark needed).
+
+The rotation in registry/__init__.py is driven by three hand-maintained
+name lists (_GATE_FIRST, _GATE_LAST, _RECHECK_FIRST).  A typo'd or
+renamed entry does not error — the sort just silently ignores it — so
+the window composition can rot without any test noticing.  These checks
+make list/registry drift loud.
+"""
+
+from __future__ import annotations
+
+from movie_recommendation_engine_spark.registry import QUERIES, ORACLES
+from movie_recommendation_engine_spark.registry import (
+    _GATE_FIRST,
+    _GATE_LAST,
+    _RECHECK_FIRST,
+    _driver_green,
+)
+
+WINDOW = 50  # the driver gates the first 50 registered queries per round
+
+
+def test_gate_list_names_are_registered():
+    names = set(QUERIES)
+    for lst, label in (
+        (_GATE_FIRST, "_GATE_FIRST"),
+        (_GATE_LAST, "_GATE_LAST"),
+        (_RECHECK_FIRST, "_RECHECK_FIRST"),
+    ):
+        unknown = [n for n in lst if n not in names]
+        assert not unknown, f"{label} references unregistered queries: {unknown}"
+
+
+def test_gate_lists_have_no_duplicates():
+    for lst, label in (
+        (_GATE_FIRST, "_GATE_FIRST"),
+        (_GATE_LAST, "_GATE_LAST"),
+        (_RECHECK_FIRST, "_RECHECK_FIRST"),
+    ):
+        dupes = sorted({n for n in lst if lst.count(n) > 1})
+        assert not dupes, f"{label} has duplicate entries: {dupes}"
+
+
+def test_pending_queries_lead_the_window():
+    """Every never-driver-green query must sort ahead of every green
+    one (the self-rotating window's core invariant), and the pending
+    set must fit the 50-slot window so all of them get a verdict."""
+    green = _driver_green()
+    order = list(QUERIES)
+    pending = [n for n in order if n not in green]
+    assert order[: len(pending)] == pending, (
+        "green queries interleaved into the pending block"
+    )
+    assert len(pending) <= WINDOW, (
+        f"{len(pending)} pending queries exceed the {WINDOW}-slot window; "
+        "some would miss this round's driver verdict"
+    )
+
+
+def test_recheck_block_follows_pending():
+    """The spare window slots re-check the float/convention-sensitive
+    queries first: green _RECHECK_FIRST entries must appear immediately
+    after the pending block, in list order."""
+    green = _driver_green()
+    order = list(QUERIES)
+    n_pending = sum(1 for n in order if n not in green)
+    expected = [n for n in _RECHECK_FIRST if n in green]
+    got = order[n_pending : n_pending + len(expected)]
+    assert got == expected
+
+
+def test_recheck_block_fits_inside_window():
+    """The pending block plus the float-sensitive re-checks must fit in
+    the 50-slot window, or the tail of _RECHECK_FIRST silently loses
+    its driver re-verification."""
+    green = _driver_green()
+    n_pending = sum(1 for n in QUERIES if n not in green)
+    n_recheck = sum(1 for n in _RECHECK_FIRST if n in green)
+    assert n_pending + n_recheck <= WINDOW
+
+
+def test_new_queries_carry_oracles_unless_rows_only_by_design():
+    """Every registered query has an oracle except the four documented
+    rows-only ML exports (engine-specific floats, each with a hash-
+    gated invariant companion)."""
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {
+        "als_recommend_top5",
+        "als_item_neighbors",
+        "als_rmse_eval",
+        "ann_ivf_kmeans_top5",
+    }, f"unexpected rows-only queries: {sorted(rows_only)}"

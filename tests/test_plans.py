@@ -377,6 +377,19 @@ def test_brute_force_ann_query_sides_are_bounded_limits(spark):
         assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, name
 
 
+def test_rank1_item_neighbors_probe_is_bounded_limit(spark):
+    """als_rank1_item_neighbors feeds rank-1 factors through the same
+    brute_force_topk broadcast-cross path as the ANN family, so it must
+    carry the same structural guarantee: a sorted-limit probe side
+    (TakeOrderedAndProject / GlobalLimit), broadcast cross join, no
+    Python row evaluation, and no CartesianProduct."""
+    plan = _plan(QUERIES["als_rank1_item_neighbors"](spark, SF))
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_item_neighbors_invariants_broadcast_shapes(spark):
     """The factor-neighbor invariant gate must keep item_neighbors'
     scale shape: probe ids and the train catalog attach via broadcast
