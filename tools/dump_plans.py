@@ -46,6 +46,7 @@ SHOWCASE = [
     ("order_price_mad_outliers", "MAD outliers: two window-free median assemblies, struct-max top row"),
     ("ann_jl_top5", "JL ANN: bounded query relation (TakeOrderedAndProject cap) broadcast-crossed against the reduced corpus"),
     ("ann_ivf_kmeans_invariants", "invariant gate: 16-row centroid broadcast, cell equi-join scoring, one-row contract aggregate"),
+    ("als_rank1_item_neighbors", "rank-1 neighbor value gate: DECIMAL ridge sweeps, capped probe (sorted limit) broadcast-crossed, rank window"),
 ]
 
 
