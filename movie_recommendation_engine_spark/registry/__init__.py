@@ -240,11 +240,13 @@ _GATE_LAST = [
     # verdict pre-verified; they gate in round 5 with the 10 leftovers.
     "als_item_neighbors_invariants",
     "ann_ivf_kmeans_invariants",
-    # round-5 addition (round-4 verdict task 6: rank-1 neighbor VALUES).
-    # Appended at the END so it never displaces older pending queries
-    # from the 50-slot window (memory: unpinned pending sorts by
-    # registration order AHEAD of _GATE_LAST entries).
+    # round-5 additions (round-4 verdict task 6: VALUE gates for both
+    # rows-only ALS exports — neighbor cosels/affinities and per-user
+    # recommend scores).  Appended at the END so they never displace
+    # older pending queries from the 50-slot window (memory: unpinned
+    # pending sorts by registration order AHEAD of _GATE_LAST entries).
     "als_rank1_item_neighbors",
+    "als_rank1_recommend_top5",
 ]
 
 

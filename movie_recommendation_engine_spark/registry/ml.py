@@ -573,3 +573,78 @@ def q_als_rank1_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "rank")
     )
+
+
+@register(
+    "als_rank1_recommend_top5",
+    oracle=f"""
+WITH labeled AS ({_SPLIT_SQL}),
+train AS (SELECT * FROM labeled WHERE split = 'train'),
+{_rank1_sweep_sql(_R1_SWEEPS, _R1_LAM)},
+probe AS (
+  SELECT u, f FROM u{_R1_SWEEPS} WHERE u % 199 = 0
+  ORDER BY u LIMIT {_R1N_PROBE_CAP}),
+scored AS (
+  SELECT p.u AS l_orderkey, v.i AS l_partkey, p.f * v.f AS raw
+  FROM probe p, v{_R1_SWEEPS} v
+  WHERE NOT EXISTS (SELECT 1 FROM train t
+                    WHERE t.l_orderkey = p.u AND t.l_partkey = v.i)),
+ranked AS (
+  SELECT l_orderkey, l_partkey, raw,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY raw DESC, l_partkey) AS rank
+  FROM scored)
+SELECT l_orderkey, l_partkey,
+       {duck_det_round6("raw")} AS score, rank
+FROM ranked WHERE rank <= 5
+ORDER BY l_orderkey, rank
+""",
+)
+def q_als_rank1_recommend_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation VALUES under the full hash gate — the symmetric
+    twin of ``als_rank1_item_neighbors`` for the other rows-only export
+    (``als_recommend_top5``, reference als.py:93): exact rank-1 factors,
+    per-user scores u_f*v_f over UNSEEN items (anti-join on train = the
+    serve-only-new contract), top-5 per user through the engine's W-topk
+    serving operator (``top_k_per_group`` — the same rank-window path
+    MLlib's flat recommend export uses).  Scores are REAL learned values
+    that differ per (user, item); the oracle replays sweeps, anti-join,
+    raw-double ordering (products of identical round-6 factors are
+    bit-identical cross-engine) and the item-id tie-break, then reports
+    the det-round-6 score.  The probe user set carries the ann-family
+    structural sorted cap on both engines."""
+    from ..operators.topk import top_k_per_group
+    from ..plans.recommender import als_rank1_factors
+
+    labeled = _split_ratings(spark, sf_dir)
+    train = labeled.filter(F.col("split") == "train")
+    u, v = als_rank1_factors(
+        train, "l_orderkey", "l_partkey", "l_quantity",
+        sweeps=_R1_SWEEPS, reg_param=_R1_LAM,
+    )
+    probe = (
+        u.filter(F.col("u") % 199 == 0)
+        .orderBy("u")
+        .limit(_R1N_PROBE_CAP)
+        .select(F.col("u").alias("l_orderkey"), F.col("f").alias("__uf"))
+    )
+    seen = train.select("l_orderkey", "l_partkey").distinct()
+    scored = (
+        F.broadcast(probe)
+        .crossJoin(v.select(F.col("i").alias("l_partkey"), F.col("f").alias("__vf")))
+        .join(seen, ["l_orderkey", "l_partkey"], "left_anti")
+        .withColumn("raw", F.col("__uf") * F.col("__vf"))
+    )
+    top = top_k_per_group(
+        scored,
+        ["l_orderkey"],
+        [F.col("raw").desc(), F.col("l_partkey").asc()],
+        k=5,
+        keep_rank=True,
+    )
+    return top.select(
+        "l_orderkey",
+        "l_partkey",
+        det_round(F.col("raw")).alias("score"),
+        "rank",
+    ).orderBy("l_orderkey", "rank")

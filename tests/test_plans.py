@@ -377,17 +377,19 @@ def test_brute_force_ann_query_sides_are_bounded_limits(spark):
         assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, name
 
 
-def test_rank1_item_neighbors_probe_is_bounded_limit(spark):
-    """als_rank1_item_neighbors feeds rank-1 factors through the same
-    brute_force_topk broadcast-cross path as the ANN family, so it must
-    carry the same structural guarantee: a sorted-limit probe side
-    (TakeOrderedAndProject / GlobalLimit), broadcast cross join, no
-    Python row evaluation, and no CartesianProduct."""
-    plan = _plan(QUERIES["als_rank1_item_neighbors"](spark, SF))
-    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "BatchEvalPython" not in plan
-    assert "CartesianProduct" not in plan
+def test_rank1_value_gate_probes_are_bounded_limits(spark):
+    """The two rank-1 VALUE-gate queries feed closed-form factors
+    through broadcast-cross serving paths (brute_force_topk for
+    neighbors, broadcast probe x item factors for recommend), so both
+    must carry the ANN family's structural guarantee: a sorted-limit
+    probe side (TakeOrderedAndProject / GlobalLimit), broadcast cross
+    join, no Python row evaluation, and no CartesianProduct."""
+    for name in ("als_rank1_item_neighbors", "als_rank1_recommend_top5"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_item_neighbors_invariants_broadcast_shapes(spark):
