@@ -6,6 +6,7 @@ from .schemas import (
     TAGS_SCHEMA,
     TESTDATA_TABLES,
 )
+from .pandas_compat import from_pandas, read_csv_pandas, to_pandas
 from .readers import (
     read_csv,
     read_json,
@@ -22,6 +23,9 @@ __all__ = [
     "LINKS_SCHEMA",
     "SPLIT_5COL_SCHEMA",
     "TESTDATA_TABLES",
+    "from_pandas",
+    "read_csv_pandas",
+    "to_pandas",
     "read_csv",
     "read_json",
     "read_parquet",

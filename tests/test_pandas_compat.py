@@ -1,0 +1,91 @@
+"""S5 pandas-interop source: output must be indistinguishable from the
+native CSV scan (SURVEY §2.1 S5; reference new_split_script.py:4,
+extension.py:129-132)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from movie_recommendation_engine_spark.sources import read_csv
+from movie_recommendation_engine_spark.sources.pandas_compat import (
+    from_pandas,
+    read_csv_pandas,
+    to_pandas,
+)
+from movie_recommendation_engine_spark.sources.schemas import RATINGS_SCHEMA
+
+CSV_HEADER = "userId,movieId,rating,timestamp\n"
+CSV_ROWS = "1,10,4.5,964982703\n2,20,3.0,964982931\n3,30,5.0,\n"
+
+
+def _write(tmpdir: str, name: str, text: str) -> str:
+    path = os.path.join(tmpdir, name)
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_read_csv_pandas_matches_native_scan(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = _write(d, "ratings.csv", CSV_HEADER + CSV_ROWS)
+        native = read_csv(spark, path, RATINGS_SCHEMA, header=True)
+        compat = read_csv_pandas(spark, path, RATINGS_SCHEMA, header=True)
+        assert compat.schema == native.schema
+        assert _sorted_rows(compat) == _sorted_rows(native)
+        # the empty timestamp cell must land as SQL NULL on both paths
+        assert compat.filter("timestamp IS NULL").count() == 1
+
+
+def test_read_csv_pandas_headerless_positional_names(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = _write(d, "ratings_nohdr.csv", CSV_ROWS)
+        native = read_csv(spark, path, RATINGS_SCHEMA, header=False)
+        compat = read_csv_pandas(spark, path, RATINGS_SCHEMA, header=False)
+        assert compat.schema == native.schema
+        assert _sorted_rows(compat) == _sorted_rows(native)
+
+
+def test_from_pandas_declared_types_override_inference(spark):
+    pdf = pd.DataFrame({"userId": [1, 2], "rating": [4, 5]})  # ints in a float col
+    schema = T.StructType(
+        [
+            T.StructField("userId", T.IntegerType(), False),
+            T.StructField("rating", T.FloatType(), False),
+        ]
+    )
+    df = from_pandas(spark, pdf, schema)
+    assert df.schema == schema
+    assert _sorted_rows(df) == [(1, 4.0), (2, 5.0)]
+
+
+def test_from_pandas_rejects_missing_column_and_exotic_type(spark):
+    pdf = pd.DataFrame({"a": [1]})
+    with pytest.raises(ValueError, match="missing column"):
+        from_pandas(
+            spark, pdf, T.StructType([T.StructField("b", T.IntegerType())])
+        )
+    with pytest.raises(TypeError, match="unsupported interop type"):
+        from_pandas(
+            spark,
+            pd.DataFrame({"a": [[1]]}),
+            T.StructType([T.StructField("a", T.ArrayType(T.IntegerType()))]),
+        )
+
+
+def test_to_pandas_roundtrip_and_guard(spark):
+    pdf = pd.DataFrame({"userId": pd.array([1, 2, 3], dtype="Int32")})
+    schema = T.StructType([T.StructField("userId", T.IntegerType(), False)])
+    df = from_pandas(spark, pdf, schema)
+    back = to_pandas(df, max_rows=10).sort_values("userId").reset_index(drop=True)
+    assert list(back["userId"]) == [1, 2, 3]
+    with pytest.raises(ValueError, match="max_rows=2"):
+        to_pandas(df, max_rows=2)
