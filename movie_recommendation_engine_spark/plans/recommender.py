@@ -110,6 +110,7 @@ class AlsRecommender:
     reg_param: float = 0.15
     nonnegative: bool = True
     implicit_prefs: bool = False
+    alpha: float = 1.0  # implicit-feedback confidence scale c = 1 + alpha*r
     cold_start_strategy: str = "drop"
     seed: int = 42
     num_blocks: int | None = None
@@ -128,6 +129,7 @@ class AlsRecommender:
             ratingCol=self.rating_col,
             nonnegative=self.nonnegative,
             implicitPrefs=self.implicit_prefs,
+            alpha=self.alpha,
             coldStartStrategy=self.cold_start_strategy,
             seed=self.seed,
             checkpointInterval=self.checkpoint_interval,
