@@ -441,7 +441,10 @@ def triangle_count(
     stats = e.agg(F.count("*").alias("n_edges")).crossJoin(
         deg.agg(
             F.count("*").alias("n_vertices"),
-            F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+            # coalesce: SUM over an edgeless graph is NULL, the count is 0
+            F.coalesce(
+                F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0).cast("long")
+            ).alias("n_wedges"),
         )
     )
     return stats.crossJoin(F.broadcast(tri)).select(
