@@ -67,7 +67,8 @@ def test_ppjoin_equals_bruteforce_any_corpus(spark_global, docs, threshold):
 
     assert set(got) == set(want)
     for pair, j in want.items():
-        assert abs(got[pair] - j) < 1e-9, (pair, got[pair], j)
+        # the operator det-rounds jaccard to 6 dp
+        assert abs(got[pair] - j) < 1e-6, (pair, got[pair], j)
 
 
 @settings(max_examples=6, deadline=None)
