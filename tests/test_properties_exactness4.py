@@ -31,8 +31,8 @@ events_strategy = st.lists(
 def test_sessionize_dynamic_equals_interval_merge(spark_global, events):
     """sessionize_dynamic == the per-user interval-merge replay: each
     event holds its session open for its OWN type's gap (error 5 s,
-    default 30 s); sessions merge while the next event starts before
-    the current merged end; session_start is the first event's ts,
+    default 30 s); sessions merge while the next event starts at or
+    before the current merged end; session_start is the first event's ts,
     n_events/sum_value aggregate the merged run."""
     from movie_recommendation_engine_spark.streaming.events import (
         sessionize_dynamic,
@@ -65,7 +65,9 @@ def test_sessionize_dynamic_equals_interval_merge(spark_global, events):
         sess = None
         for off, et, v in evs:
             end = off + gap_s[et]
-            if sess is None or off >= sess["end"]:
+            # session_window's boundary is inclusive: an event landing
+            # exactly at the current session end still extends it
+            if sess is None or off > sess["end"]:
                 if sess is not None:
                     want.append(sess)
                 sess = {"u": u, "start": off, "end": end, "n": 1, "s": v}
