@@ -34,8 +34,14 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL-safe-ish (0-norm vectors yield NULL)."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; 0-norm vectors yield NULL.
+
+    ``try_divide`` not ``/``: Spark 4 runs ANSI mode by default, where
+    a plain division RAISES on a zero denominator instead of returning
+    NULL — the randomized property (test_properties_exactness10) caught
+    exactly that on the all-zeros vector.
+    """
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def split_genres(genres: Column | str) -> Column:
