@@ -88,8 +88,13 @@ def power_iteration_top_pc(
             y.crossJoin(F.broadcast(m))
             .select(
                 "dim",
+                # try_divide: an all-zero data matrix gives m = 0, which
+                # under Spark 4's default ANSI mode would RAISE here;
+                # the degenerate matrix instead yields NULL components
+                # (found by the degenerate-input probe suite)
                 F.floor(
-                    F.col("y").cast("double") / F.col("m") * VSCALE + F.lit(0.5)
+                    F.try_divide(F.col("y").cast("double"), F.col("m")) * VSCALE
+                    + F.lit(0.5)
                 )
                 .cast("long")
                 .alias("vq"),

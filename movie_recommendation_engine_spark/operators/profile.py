@@ -27,7 +27,11 @@ def table_profile(df: DataFrame, cols: list[str], approx: bool = False) -> DataF
     for c in cols:
         aggs += [
             F.count(c).alias(f"__{c}_n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__{c}_nulls"),
+            # coalesce: sum over ZERO rows is NULL, but an empty table
+            # has 0 nulls, not unknown-many (degenerate-input contract)
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__{c}_nulls"),
             ndv(c).alias(f"__{c}_ndv"),
             F.min(c).cast("string").alias(f"__{c}_min"),
             F.max(c).cast("string").alias(f"__{c}_max"),
