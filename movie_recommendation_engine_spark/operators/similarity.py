@@ -136,6 +136,14 @@ def arrow_brute_force_topk(
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).collect()  # bounded query set
+    if not qrows:
+        # no queries -> no rows; short-circuit before the numpy matrix
+        # build, where a zero-row array is 1-D and axis-1 reductions
+        # raise (degenerate-input contract: empty in, empty out)
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))

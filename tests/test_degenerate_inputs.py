@@ -169,3 +169,56 @@ def test_dedup_stack_on_empty_corpus(spark):
     edocs = spark.createDataFrame([], "doc_id long, body string")
     assert exact_dedup(edocs, "doc_id", "body").count() == 0
     assert minhash_lsh_pairs(edocs, "doc_id", "body").count() == 0
+
+
+# -- repo-level contract: the whole registry survives an empty star schema --
+
+#: The ONLY queries allowed to raise on zero-row inputs: each fits an
+#: MLlib model (ALS / KMeans), and MLlib itself enforces the "training
+#: set must be non-empty" precondition.  A silent empty model output
+#: would be worse than the loud failure, so the precondition is the
+#: contract — everything else must return (an empty or sentinel frame).
+FIT_REQUIRED = {
+    "als_item_neighbors_invariants",
+    "ann_ivf_kmeans_invariants",
+    "als_recommend_top5",
+    "als_item_neighbors",
+    "als_rmse_eval",
+    "als_recommend_invariants",
+    "als_rmse_invariants",
+    "ann_ivf_kmeans_top5",
+    "movielens_e2e_cli",
+}
+
+
+def test_registry_survives_empty_star_schema(spark, tmp_path_factory):
+    """Run EVERY registered query against a zero-row copy of the star
+    schema (same schemas, no data) — the 'filter matched nothing /
+    empty day' scenario at pipeline level.  Only the documented MLlib
+    fit queries may raise."""
+    from movie_recommendation_engine_spark.registry import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("emptysf"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        schema = spark.read.parquet(f"{src}/{t}.parquet").schema
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+
+    failures = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, dst).count()
+        except Exception as ex:  # noqa: BLE001 - recorded and asserted below
+            failures[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:90]}"
+
+    unexpected = {n: e for n, e in failures.items() if n not in FIT_REQUIRED}
+    assert not unexpected, unexpected
+    assert set(failures) == FIT_REQUIRED, (
+        "fit-required set drifted",
+        sorted(set(failures) ^ FIT_REQUIRED),
+    )
