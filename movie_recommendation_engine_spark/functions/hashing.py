@@ -37,6 +37,13 @@ def md5_long(*cols: Column | str, salt: str = "") -> Column:
 
     Key columns should be string/integer typed — float/timestamp
     renderings differ across engines.
+
+    NULL hazard (pinned in tests/test_null_semantics.py): concat_ws
+    SKIPS NULL arguments, so ('x', NULL), (NULL, 'x') and the
+    single-column key ('x',) all produce the SAME hash, and an
+    all-NULL key hashes as the empty string.  Coalesce nullable key
+    columns before hashing; every registry key is non-null by
+    construction.
     """
     key = F.concat_ws(_SEP, *[F.col(c) if isinstance(c, str) else c for c in cols])
     if salt:
