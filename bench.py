@@ -138,7 +138,16 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "tools", "bench_budget.json"
         )
         with open(budget_path) as fh:
-            budget = json.load(fh).get("queries", {})
+            budget_doc = json.load(fh)
+        budget = budget_doc.get("queries", {})
+        # budgets are recorded at one scale factor: adjudicating a
+        # different-SF sweep against them would flag nearly every query
+        # and silently re-run the heaviest ones twice each
+        budget_sf = budget_doc.get("sf")
+        if budget_sf is not None and sf_val != budget_sf:
+            raise ValueError(
+                f"budget sf={budget_sf} != run sf={sf_val}; skipping retime"
+            )
         ratio, floor = 1.5, 1.0  # keep in sync with tools/bench_check.py
         # worst excess first: the 15-entry wall-time bound must keep the
         # biggest offenders (an alphabetical cap once dropped a 228 s

@@ -30,8 +30,18 @@ def _cos(va: str, vb: str, na: str, nb: str, round_to: int):
     """Cosine from a precomputed-norm pair: norms are per-vector, so
     every scoring join attaches them BEFORE the join and divides the
     per-pair dot by the product — cosine_similarity inline would re-run
-    both HOF norm folds for every candidate pair."""
-    return F.round(dot_product(va, vb) / (F.col(na) * F.col(nb)), round_to)
+    both HOF norm folds for every candidate pair.
+
+    ``try_divide`` not ``/`` — the same ANSI contract as
+    ``functions.arrays.cosine_similarity``: Spark 4 runs ANSI mode by
+    default, where a plain division RAISES on a zero-norm vector.  A
+    0-norm pair yields NULL cosine, which the serving comparators
+    (``cosine DESC`` = NULLS LAST) rank after every real neighbor —
+    degenerate vectors degrade to worst-ranked instead of aborting a
+    100 TB serving job."""
+    return F.round(
+        F.try_divide(dot_product(va, vb), F.col(na) * F.col(nb)), round_to
+    )
 
 
 def _dvec(col: Column | str) -> Column:
@@ -158,8 +168,14 @@ def arrow_brute_force_topk(
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-            # oracle formula exactly: dot / (|q| * |c|), float64 matmul
-            s = np.round(cmat @ qm.T / np.outer(cnorm, qn), round_to)
+            # oracle formula exactly: dot / (|q| * |c|), float64 matmul.
+            # A 0-norm pair divides 0/0 -> NaN: np.lexsort sorts NaN
+            # last (matching the JVM comparator's NULLS LAST), and the
+            # Arrow return path converts float NaN to SQL NULL — so a
+            # degenerate vector lands exactly like the JVM path's
+            # try_divide NULL, worst-ranked, never an exception.
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.round(cmat @ qm.T / np.outer(cnorm, qn), round_to)
             out_q, out_n, out_c = [], [], []
             for j in range(len(ids_q)):
                 col = s[:, j]
@@ -513,8 +529,14 @@ def semdedup(
             & (F.col("a.__vid") > F.col("b.__vid")),
         )
         .filter(
+            # try_divide: a 0-norm member yields NULL cosine, and
+            # NULL >= tau is NULL -> filtered out — a degenerate vector
+            # is never marked duplicate instead of raising under ANSI
             F.round(
-                dot_product("a.v", "b.v") / (F.col("a.vn") * F.col("b.vn")), round_to
+                F.try_divide(
+                    dot_product("a.v", "b.v"), F.col("a.vn") * F.col("b.vn")
+                ),
+                round_to,
             )
             >= F.lit(tau)
         )

@@ -40,7 +40,7 @@ story — nothing here collects more than the final per-split scalar rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .metrics import per_user_ranking_metrics, summarize_ranking
@@ -123,32 +123,52 @@ def precision_at_k_by_split(
     One ``recommendForAllUsers`` serves every split (the reference
     re-ranks per call; the model is identical, so sharing the ranking
     is a pure plan saving), and the recs frame is cached across the
-    per-split metric jobs.
+    per-split metric jobs (unpersisted before returning — the result
+    rows are tiny and fully materialized per split, so the cache must
+    not outlive the harness in a long-lived session).
+
+    Every user with positives in the split is SCORED, like LightFM's
+    ``precision_at_k`` mean: ALS has no factors for users absent from
+    train (``recommendForAllUsers`` omits them), so truth left-joins
+    recs and a cold user scores with an empty list (precision 0,
+    counted in the mean) instead of silently dropping out of
+    ``n_users`` — the cross-engine comparison must average over the
+    same user set the reference does.
     """
     recs = ranker.recommendation_lists(k).cache()
-    out: DataFrame | None = None
-    for name, split in splits.items():
-        truth = (
-            binary_interactions(split, user_col, item_col)
-            .groupBy(user_col)
-            .agg(F.collect_set(item_col).alias("truth"))
-        )
-        per_user = per_user_ranking_metrics(
-            recs, truth, k=k, user_col=user_col, recs_col="recs", truth_col="truth"
-        )
-        row = summarize_ranking(per_user).select(
-            F.lit(name).alias("split"),
-            F.col("mean_precision").alias("precision_at_k"),
-            "map_at_k",
-            "n_users",
-        )
-        out = row if out is None else out.unionByName(row)
-    assert out is not None, "no splits given"
-    return out
+    try:
+        rows: list = []
+        for name, split in splits.items():
+            truth = (
+                binary_interactions(split, user_col, item_col)
+                .groupBy(user_col)
+                .agg(F.collect_set(item_col).alias("truth"))
+            )
+            covered = truth.select(user_col).join(recs, user_col, "left").select(
+                user_col,
+                F.coalesce(
+                    "recs", F.array().cast(recs.schema["recs"].dataType)
+                ).alias("recs"),
+            )
+            per_user = per_user_ranking_metrics(
+                covered, truth, k=k, user_col=user_col, recs_col="recs", truth_col="truth"
+            )
+            row = summarize_ranking(per_user).select(
+                F.lit(name).alias("split"),
+                F.col("mean_precision").alias("precision_at_k"),
+                "map_at_k",
+                "n_users",
+            )
+            # materialize inside the cache's lifetime (one tiny row)
+            rows.append(row.collect()[0])
+        assert rows, "no splits given"
+        spark = recs.sparkSession
+        return spark.createDataFrame(rows, schema=row.schema)
+    finally:
+        recs.unpersist()
 
 
 def warp_style_comparison(
-    spark: SparkSession,
     splits: dict[str, DataFrame],
     train_name: str = "train",
     k: int = 100,

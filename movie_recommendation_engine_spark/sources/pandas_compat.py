@@ -97,14 +97,25 @@ def read_csv_pandas(
     header)`` (reference new_split_script.py:4, extension.py:129-132).
 
     Driver-local by design — see the module docstring's scale contract.
-    Headerless files take their names positionally from ``schema``
-    (SURVEY §2.1 S2/S3, same contract as the native scan).
+    Columns bind POSITIONALLY, exactly like the native scan: Spark's
+    CSV source with a user schema ignores header names entirely
+    (``enforceSchema`` default — the header row is only skipped), takes
+    the first ``len(schema)`` tokens, and null-fills short rows.  So:
+    parse with NO name binding (``names=`` on a wider file would shift
+    leading columns into the index), skip the header row if present,
+    truncate extra columns, null-pad missing ones, then rename by
+    position (SURVEY §2.1 S2/S3, same contract as the native scan).
     """
     names = [f.name for f in schema.fields]
-    if header:
-        pdf = pd.read_csv(path, usecols=names)
-    else:
-        pdf = pd.read_csv(path, header=None, names=names)
+    try:
+        pdf = pd.read_csv(path, header=None, skiprows=1 if header else 0)
+    except pd.errors.EmptyDataError:
+        # header-only or empty file: the native scan lands 0 rows
+        pdf = pd.DataFrame(columns=range(len(names)))
+    pdf = pdf.iloc[:, : len(names)]
+    for i in range(pdf.shape[1], len(names)):
+        pdf[i] = pd.NA
+    pdf.columns = names
     # Spark file scans land every field nullable regardless of the
     # declared StructType (FileSourceStrategy's asNullable contract);
     # mirror that so the two paths are schema-identical.

@@ -57,25 +57,68 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     other's in-flight parquet job; the retry renames this writer's own
     fully-written staging directory, so the parquet job runs once per
     writer and a published version is always one writer's complete
-    output.  (A crashed writer can leave its staging directory behind;
+    output.  (A KILLED writer can leave its staging directory behind;
     ``versions()`` never lists staging paths, so readers are
-    unaffected.)  On filesystems whose rename does not fail on an
-    existing non-empty target, prefer a single writer per table path.
+    unaffected — reclaim the space with ``vacuum_staging``.  A writer
+    that FAILS in-process removes its own staging before re-raising.)
+    On filesystems whose rename does not fail on an existing non-empty
+    target, prefer a single writer per table path.
     """
     os.makedirs(path, exist_ok=True)
     ver = (versions(path)[-1] + 1) if versions(path) else 1
     final = _vdir(path, ver)
     staging = f"{final}.staging.{os.getpid()}-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(staging)
-    while True:
+    published = False
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        while True:
+            try:
+                os.rename(staging, final)
+                published = True
+                return ver
+            except OSError:
+                if not os.path.exists(final):  # not a lost race — re-raise
+                    raise
+                ver += 1
+                final = _vdir(path, ver)
+    finally:
+        # a failed write/publish must not leak a snapshot-sized staging
+        # directory (only SIGKILL-class crashes can — see vacuum_staging)
+        if not published and os.path.isdir(staging):
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+def vacuum_staging(path: str, min_age_sec: float = 24 * 3600.0) -> list[str]:
+    """Remove orphaned staging directories left by KILLED writers.
+
+    Every crashed-writer staging dir is a full snapshot's worth of
+    parquet; nothing else ever deletes them (``write_snapshot`` cleans
+    up in-process failures, but a SIGKILL/OOM leaves the directory).
+    Only directories older than ``min_age_sec`` (by mtime, default 24 h)
+    are removed so an in-flight writer's staging is never pulled out
+    from under it.  Returns the removed paths.
+    """
+    import shutil
+    import time
+
+    if not os.path.isdir(path):
+        return []
+    removed = []
+    now = time.time()
+    for name in os.listdir(path):
+        if not (name.startswith("v=") and ".staging" in name):
+            continue
+        full = os.path.join(path, name)
         try:
-            os.rename(staging, final)
-            return ver
+            if now - os.path.getmtime(full) < min_age_sec:
+                continue
+            shutil.rmtree(full)
+            removed.append(full)
         except OSError:
-            if not os.path.exists(final):  # not a lost race — re-raise
-                raise
-            ver += 1
-            final = _vdir(path, ver)
+            continue
+    return removed
 
 
 def read_snapshot(

@@ -93,6 +93,17 @@ def test_full_marks_partial_when_local_missing(bc):
     assert out.get("_partial") is True
 
 
+def test_full_falls_back_on_corrupt_local(bc, capsys):
+    """A truncated/mid-write BENCH_LOCAL.json is exactly the degraded
+    input the fallback exists for: warn + compact-partial, never a
+    JSONDecodeError crash (round-5 review)."""
+    with open(bc.LOCAL_PATH, "w") as fh:
+        fh.write('{"metric": "total_query_wall_sec", "queri')  # truncated
+    out = bc._full(_compact())
+    assert out.get("_partial") is True
+    assert "unreadable" in capsys.readouterr().err
+
+
 def test_update_refuses_partial_input(bc, tmp_path, capsys):
     # budget exists with many queries; input is compact with no local map
     _write(bc.BUDGET_PATH, {"notes": {}, "queries": {f"q{i}": 1.0 for i in range(40)}})

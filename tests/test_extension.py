@@ -55,7 +55,7 @@ def test_assert_split_disjoint_raises_on_overlap(spark):
 def test_warp_style_comparison_contract(spark):
     s = _splits(spark)
     out = warp_style_comparison(
-        spark, s, k=4, rank=4, max_iter=5, alpha=10.0, seed=7
+        s, k=4, rank=4, max_iter=5, alpha=10.0, seed=7
     ).collect()
     by_split = {r["split"]: r for r in out}
     # one row per split, dict order preserved
@@ -89,6 +89,27 @@ def test_full_catalog_ranking_does_not_exclude_train_positives(spark):
         .collect()[0][0]
     )
     assert train_hits > 0
+
+
+def test_cold_user_scored_zero_not_dropped(spark):
+    """LightFM parity: a split user absent from train has no ALS factors
+    (recommendForAllUsers omits them) but MUST still be averaged into
+    precision@k — as a zero, via the truth-side left join — or the
+    cross-engine mean is inflated and n_users undercounted."""
+    s = _splits(spark)
+    cold = spark.createDataFrame(
+        [(7, 10, 4.0)], "userId int, movieId int, rating float"
+    )
+    s["val"] = s["val"].unionByName(cold)
+    out = warp_style_comparison(s, k=4, rank=4, max_iter=5, alpha=10.0, seed=7)
+    by_split = {r["split"]: r for r in out.collect()}
+    assert by_split["val"]["n_users"] == 3  # 2 warm + 1 cold, not 2
+    # the cold user contributes 0 hits: mean precision <= warm-only mean
+    warm = warp_style_comparison(
+        _splits(spark), k=4, rank=4, max_iter=5, alpha=10.0, seed=7
+    )
+    warm_val = {r["split"]: r for r in warm.collect()}["val"]
+    assert by_split["val"]["precision_at_k"] <= warm_val["precision_at_k"]
 
 
 def test_precision_at_k_by_split_requires_splits(spark):

@@ -54,6 +54,63 @@ def test_read_csv_pandas_headerless_positional_names(spark):
         assert _sorted_rows(compat) == _sorted_rows(native)
 
 
+def test_read_csv_pandas_extra_columns_match_native_scan(spark):
+    """A file WIDER than the schema must bind positionally like the
+    native scan (first len(schema) tokens), not shift values left —
+    pandas' names= on a wider file silently promotes leading columns to
+    the index (round-5 review finding)."""
+    wide = "1,10,4.5,964982703,777\n2,20,3.0,964982931,778\n"
+    with tempfile.TemporaryDirectory() as d:
+        for header, text in (
+            (True, CSV_HEADER.rstrip("\n") + ",extra\n" + wide),
+            (False, wide),
+        ):
+            path = _write(d, f"wide_{header}.csv", text)
+            native = read_csv(spark, path, RATINGS_SCHEMA, header=header)
+            compat = read_csv_pandas(spark, path, RATINGS_SCHEMA, header=header)
+            assert compat.schema == native.schema
+            assert _sorted_rows(compat) == _sorted_rows(native)
+            # sanity: userId really is the FIRST file column
+            assert compat.filter("userId = 1").count() == 1
+
+
+def test_read_csv_pandas_missing_columns_null_fill_like_native(spark):
+    """A file NARROWER than the schema null-fills trailing fields, same
+    as Spark's PERMISSIVE scan."""
+    narrow = "1,10,4.5\n2,20,3.0\n"
+    with tempfile.TemporaryDirectory() as d:
+        path = _write(d, "narrow.csv", narrow)
+        native = read_csv(spark, path, RATINGS_SCHEMA, header=False)
+        compat = read_csv_pandas(spark, path, RATINGS_SCHEMA, header=False)
+        assert compat.schema == native.schema
+        assert _sorted_rows(compat) == _sorted_rows(native)
+        assert compat.filter("timestamp IS NULL").count() == 2
+
+
+def test_read_csv_pandas_binds_positionally_not_by_header_name(spark):
+    """Spark's CSV source with a user schema IGNORES header names
+    (enforceSchema default — the header row is only skipped); the
+    interop path must do the same, or a reordered header would silently
+    produce different frames on the two claimed-identical paths."""
+    reordered = "movieId,userId,rating,timestamp\n1,10,4.5,964982703\n"
+    with tempfile.TemporaryDirectory() as d:
+        path = _write(d, "reordered.csv", reordered)
+        native = read_csv(spark, path, RATINGS_SCHEMA, header=True)
+        compat = read_csv_pandas(spark, path, RATINGS_SCHEMA, header=True)
+        assert _sorted_rows(compat) == _sorted_rows(native)
+        # positional: first column binds to userId regardless of header
+        assert compat.collect()[0]["userId"] == 1
+
+
+def test_read_csv_pandas_header_only_file_is_empty(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = _write(d, "empty.csv", CSV_HEADER)
+        native = read_csv(spark, path, RATINGS_SCHEMA, header=True)
+        compat = read_csv_pandas(spark, path, RATINGS_SCHEMA, header=True)
+        assert compat.schema == native.schema
+        assert compat.count() == native.count() == 0
+
+
 def test_from_pandas_declared_types_override_inference(spark):
     pdf = pd.DataFrame({"userId": [1, 2], "rating": [4, 5]})  # ints in a float col
     schema = T.StructType(

@@ -156,6 +156,39 @@ def test_arrow_topk_equals_jvm_bruteforce(spark, vectors):
     assert arw2 == jvm2
 
 
+def test_zero_norm_vectors_rank_last_never_raise(spark):
+    """Degenerate-input contract on the SERVING path (round-5 review):
+    an all-zero embedding must not abort the job under Spark 4's ANSI
+    divide — both engines yield NULL cosine for 0-norm pairs, ranked
+    LAST (cosine DESC = NULLS LAST), and the two paths stay equal."""
+    from movie_recommendation_engine_spark.operators.similarity import (
+        arrow_brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    vec = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    jvm = brute_force_topk(vec, vec, k=3).collect()
+    by_q = {}
+    for r in jvm:
+        by_q.setdefault(r.query_id, []).append(r)
+    # query 1: the real neighbor (3) outranks the zero-norm one (2)
+    q1 = sorted(by_q[1], key=lambda r: r.rank)
+    assert [r.neighbor_id for r in q1] == [3, 2]
+    assert q1[0].cosine is not None and q1[1].cosine is None
+    # query 2 (itself zero-norm): all cosines NULL, ties by id asc
+    q2 = sorted(by_q[2], key=lambda r: r.rank)
+    assert [r.neighbor_id for r in q2] == [1, 3]
+    assert all(r.cosine is None for r in q2)
+    # the Arrow path (NaN -> SQL NULL via the Arrow return) matches
+    arw = {tuple(r) for r in arrow_brute_force_topk(vec, vec, k=3).collect()}
+    assert arw == {tuple(r) for r in jvm}
+    # the LSH serving path shares _cos — must not raise either
+    lsh_bucketed_topk(vec, vec, k=3, n_planes=2, dim=2).collect()
+
+
 def test_semdedup_drop_policy(spark):
     """Within a cluster, every cosine>=tau pair drops its HIGHER id; the
     lowest id of a duplicate chain always survives."""

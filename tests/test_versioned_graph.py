@@ -115,6 +115,56 @@ def test_snapshot_staging_unique_per_writer(spark, monkeypatch):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_snapshot_failed_write_cleans_its_staging(spark, monkeypatch):
+    """An in-process write failure must not leak a snapshot-sized
+    staging directory (round-5 review: per-writer staging removed the
+    old shared-path cleanup and nothing reclaimed the orphans)."""
+    import pytest
+
+    from movie_recommendation_engine_spark.sources import versioned as V
+
+    d = tempfile.mkdtemp(prefix="vsnap_")
+    try:
+        write_snapshot(spark.range(2), d)
+        # make the publish rename fail mid-write with NO lost race
+        def boom(src, dst):
+            raise OSError("disk gone")
+
+        monkeypatch.setattr(V.os, "rename", boom)
+        with pytest.raises(OSError, match="disk gone"):
+            V.write_snapshot(spark.range(3), d)
+        monkeypatch.undo()
+        assert [n for n in os.listdir(d) if ".staging" in n] == []
+        assert versions(d) == [1]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_vacuum_staging_reclaims_old_orphans_only(spark):
+    """vacuum_staging removes killed-writer staging dirs older than
+    min_age_sec, never a fresh (possibly in-flight) one, never a
+    published version."""
+    from movie_recommendation_engine_spark.sources.versioned import vacuum_staging
+
+    d = tempfile.mkdtemp(prefix="vsnap_")
+    try:
+        write_snapshot(spark.range(3), d)
+        old = os.path.join(d, "v=000002.staging.111-aa")
+        fresh = os.path.join(d, "v=000002.staging.222-bb")
+        os.makedirs(old)
+        os.makedirs(fresh)
+        past = os.path.getmtime(old) - 48 * 3600
+        os.utime(old, (past, past))
+        removed = vacuum_staging(d, min_age_sec=24 * 3600)
+        assert removed == [old]
+        assert not os.path.exists(old)
+        assert os.path.exists(fresh)  # too young: maybe in-flight
+        assert versions(d) == [1]
+        assert read_snapshot(spark, d, 1).count() == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_ancestor_roots_deep_chain_log_rounds(spark):
     """A depth-100 path must resolve with only 7 doubling rounds
     (2^7 = 128 >= 100) — the log-round contract."""

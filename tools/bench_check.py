@@ -58,9 +58,20 @@ def _full(bench: dict) -> dict:
     --update refuses to truncate the budget to 20 queries."""
     if "queries_note" not in bench:
         return bench
+    full = None
     if os.path.exists(LOCAL_PATH):
-        with open(LOCAL_PATH) as fh:
-            full = json.load(fh)
+        try:
+            with open(LOCAL_PATH) as fh:
+                full = json.load(fh)
+        except (json.JSONDecodeError, OSError) as ex:
+            # a truncated/mid-write full map is exactly the degraded
+            # input this fallback exists for — warn, don't crash
+            print(
+                f"# WARNING: BENCH_LOCAL.json unreadable ({ex}) — "
+                "falling back to the compact top-20 line.",
+                file=sys.stderr,
+            )
+    if full is not None:
         same_run = (
             full.get("sf") == bench.get("sf")
             and len(full.get("queries", {})) == bench.get("queries_total")
