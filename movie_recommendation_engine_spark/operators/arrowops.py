@@ -41,15 +41,31 @@ def grouped_value_stats_arrow(
     """
     import pandas as pd
 
+    # group column keeps ITS OWN type (a hardcoded `long` broke string-
+    # keyed groups at the Arrow boundary)
+    gtype = df.schema[group_col].dataType.simpleString()
     out_schema = (
-        f"{group_col} long, n long, median_value double, "
+        f"{group_col} {gtype}, n long, median_value double, "
         "min_value double, max_value double"
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value_col].to_numpy()
+        # SQL aggregate semantics: NULLs (NaN through Arrow) are excluded
+        # from n/median/min/max — without the dropna they'd count into n,
+        # sort to the end, and corrupt median/max (round-5 review)
+        v = pdf[value_col].dropna().to_numpy()
         v.sort()
         n = len(v)
+        if n == 0:  # all-NULL group: n=0, NULL stats, like SQL
+            return pd.DataFrame(
+                {
+                    group_col: [pdf[group_col].iloc[0]],
+                    "n": [0],
+                    "median_value": [None],
+                    "min_value": [None],
+                    "max_value": [None],
+                }
+            )
         mid = n // 2
         median = float(v[mid]) if n % 2 else (float(v[mid - 1]) + float(v[mid])) / 2.0
         return pd.DataFrame(
@@ -105,6 +121,12 @@ def grouped_trimmed_mean_arrow(
     cols = [group_col, value_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def tmean(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exclude NULLs before quantizing: floor(NaN) -> NaN and its
+        # int64 cast is undefined (a silent huge negative), which would
+        # corrupt the trim boundaries and the exact sum.  Group key is
+        # captured first — an all-NULL group must still emit its row.
+        gval = str(pdf[group_col].iloc[0])
+        pdf = pdf.dropna(subset=[value_col])
         cents = np.floor(pdf[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
         if tiebreak_col:
             order = np.lexsort((pdf[tiebreak_col].to_numpy(), cents))
@@ -122,7 +144,7 @@ def grouped_trimmed_mean_arrow(
             r6 = 0.0
         return pd.DataFrame(
             {
-                group_col: [str(pdf[group_col].iloc[0])],
+                group_col: [gval],
                 "n": [n],
                 "n_trimmed_each": [k],
                 "trimmed_mean_r6": [r6],

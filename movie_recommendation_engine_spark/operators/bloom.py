@@ -53,7 +53,14 @@ def build_bloom(
 ) -> list[int]:
     """Distributed bloom build: k bit positions per key, OR-folded into
     64-bit words by a partial-aggregating groupBy; only populated words
-    reach the driver.  Returns the bitmap as a list of longs."""
+    reach the driver.  Returns the bitmap as a list of longs.
+
+    ``num_bits`` is rounded UP to a multiple of 64: the probe side
+    (``bloom_might_contain``) can only recover the modulus as
+    ``len(bitmap) * 64``, and a build/probe modulus mismatch turns the
+    filter's false positives into FALSE NEGATIVES — rows silently
+    dropped before the exact semi join (round-5 review finding)."""
+    num_bits = ((num_bits + 63) // 64) * 64
     pos = F.explode(F.array(*_positions(key_col, num_bits, num_hashes, salt))).alias(
         "pos"
     )

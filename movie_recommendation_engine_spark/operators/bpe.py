@@ -177,6 +177,17 @@ def bpe_encode(
     Returns (id_col, n_words, n_chars, n_bpe_tokens, compression_r6)
     with compression = bpe_tokens / chars (det-rounded) — all counts
     exact integers.
+
+    Out-of-vocabulary words (absent from the train-time state — the
+    normal case when serving a DIFFERENT corpus) are NOT dropped: the
+    join is a LEFT join and an OOV word falls back to character-level
+    tokens (n_syms = word length), the no-merge-applies baseline.  The
+    old inner join silently excluded OOV words from every count and
+    dropped all-OOV documents entirely (round-5 review finding).  The
+    fallback OVERCOUNTS tokens for an OOV word that contains learned
+    pairs; exact OOV encoding would replay the merge table per distinct
+    unseen word — acceptable for a tokenizer-stats operator, wrong to
+    silently omit.
     """
     from ..functions.rounding import det_round
 
@@ -184,8 +195,10 @@ def bpe_encode(
         F.col(id_col), F.explode(words(text_col)).alias("word")
     ).filter(F.col("word") != "")
     enc = toks.join(
-        F.broadcast(state.select("word", F.size("syms").alias("n_syms"))), "word"
-    )
+        F.broadcast(state.select("word", F.size("syms").alias("n_syms"))),
+        "word",
+        "left",
+    ).withColumn("n_syms", F.coalesce("n_syms", F.length("word")))
     return enc.groupBy(id_col).agg(
         F.count("*").alias("n_words"),
         F.sum(F.length("word")).cast("long").alias("n_chars"),

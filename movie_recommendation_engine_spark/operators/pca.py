@@ -28,9 +28,12 @@ every iteration), and per iteration one broadcast join against the
 v state that crosses iterations is 64 rows.
 
 Magnitude bounds (documented, not assumed): |x| < 1.05 keeps every
-intermediate within BIGINT and the normalization inputs within 2^53 up
-to ~1e7 rows; for a larger corpus raise the 2^26 shift — the dial is
-the ``row_shift`` argument.
+PER-ROW intermediate within BIGINT; the cross-corpus accumulators
+(per-dim y, num, ssq) are DECIMAL(38,0) — exact at any realistic
+corpus size (a BIGINT ssq would overflow at ~131k 64-dim vectors).
+The normalization inputs stay within 2^53 up to ~1e7 rows; for a
+larger corpus raise the 2^26 shift — the dial is the ``row_shift``
+argument.
 """
 
 from __future__ import annotations
@@ -81,7 +84,10 @@ def power_iteration_top_pc(
         y = (
             ex.join(d, "id")
             .groupBy("dim")
-            .agg(F.sum(F.col("x") * F.col("d")).alias("y"))
+            # per-term product fits BIGINT (~1.1e12) but the cross-corpus
+            # SUM does not past ~8e6 rows — accumulate in DECIMAL(38,0)
+            # (exact, overflow-safe to 38 digits) like `num` below
+            .agg(F.sum((F.col("x") * F.col("d")).cast("decimal(38,0)")).alias("y"))
         )
         m = y.agg(F.max(F.abs("y")).cast("double").alias("m"))
         v = (
@@ -113,7 +119,10 @@ def power_iteration_top_pc(
         F.sum(F.col("dotf").cast("decimal(38,0)") * F.col("dotf")).alias("num")
     )
     den = v.agg(F.sum(F.col("vq") * F.col("vq")).alias("den"))
-    ssq = ex.agg(F.sum(F.col("x") * F.col("x")).alias("ssq"))
+    # x*x is ~1.1e12 per term: a BIGINT sum overflows (ANSI raise) at
+    # ~131k 64-dim vectors, far below the documented ~1e7-row bound —
+    # DECIMAL(38,0) keeps the sum exact at any realistic corpus size
+    ssq = ex.agg(F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("ssq"))
     lam = F.col("num").cast("double") / F.col("den").cast("double")
     p6 = float(10**6)
 

@@ -71,8 +71,12 @@ def value_histogram(df: DataFrame, col: str, n_bins: int = 20) -> DataFrame:
     bin_id = F.when(width > 0, F.least(
         F.floor((F.col(col) - F.col("__lo")) / width).cast("int"), F.lit(n_bins - 1)
     )).otherwise(F.lit(0))  # all-equal column: one bin, no 0/0
+    # NULLs are excluded, the standard SQL-histogram convention (min/max
+    # already ignore them).  Without the filter they'd land in the TOP
+    # bin: floor(NULL/width) is NULL and least(NULL, n-1) skips nulls,
+    # returning n-1 (round-5 review finding).
     return (
-        with_scalars(df.select(col), bounds)
+        with_scalars(df.select(col).filter(F.col(col).isNotNull()), bounds)
         .select(bin_id.alias("bin"), "__lo", "__hi")
         .groupBy("bin", "__lo", "__hi")
         .agg(F.count("*").alias("n"))

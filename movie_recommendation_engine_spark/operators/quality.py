@@ -125,6 +125,12 @@ def audit(df: DataFrame, rules: list[Rule]) -> DataFrame:
             )
             parts.append(orphans)
 
+    if not parts:
+        # degenerate-input contract: an empty (or fully filtered) rule
+        # list yields an empty (rule, violations) frame, never IndexError
+        return df.sparkSession.createDataFrame(
+            [], "rule string, violations long"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

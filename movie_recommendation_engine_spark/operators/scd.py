@@ -42,9 +42,32 @@ def scd2_apply(
       ``eff_col = batch_ts``;
     - current rows with no update or a no-op update: unchanged;
     - brand-new keys: inserted as current rows effective ``batch_ts``.
+
+    ``batch_ts`` stamps are cast to the dimension's OWN eff/end column
+    types — a timestamp/date-typed dimension must not have its history
+    columns silently widened to string by the union (round-5 review).
+
+    One row per key per batch: exact duplicate update rows (a retried
+    message) are collapsed; CONFLICTING updates for the same key in one
+    batch raise — applying them in one merge would fan the current row
+    out into multiple concurrently-open rows, breaking the one-NULL-
+    ``end_col``-row-per-key invariant every consumer depends on.  Order
+    the batches (or pre-aggregate to last-write-wins) upstream instead.
     """
+    eff_t = dim.schema[eff_col].dataType
+    end_t = dim.schema[end_col].dataType
     hist = dim.filter(F.col(end_col).isNotNull())
     cur = dim.filter(F.col(end_col).isNull())
+    updates = updates.select(*key_cols, *attr_cols).dropDuplicates()
+    n_conflict = (
+        updates.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+    )
+    if n_conflict:
+        raise ValueError(
+            f"scd2_apply: {n_conflict} key(s) have conflicting updates in one "
+            "batch — split the batch into ordered loads or pre-aggregate to "
+            "one row per key"
+        )
     upd = updates.select(
         *key_cols,
         *[F.col(a).alias(f"__u_{a}") for a in attr_cols],
@@ -62,19 +85,19 @@ def scd2_apply(
         *key_cols,
         *attr_cols,
         F.col(eff_col),
-        F.lit(batch_ts).alias(end_col),
+        F.lit(batch_ts).cast(end_t).alias(end_col),
     )
     reopened = changed.select(
         *key_cols,
         *[F.col(f"__u_{a}").alias(a) for a in attr_cols],
-        F.lit(batch_ts).alias(eff_col),
-        F.lit(None).cast("string").alias(end_col),
+        F.lit(batch_ts).cast(eff_t).alias(eff_col),
+        F.lit(None).cast(end_t).alias(end_col),
     )
     new_keys = upd.join(cur.select(*key_cols), key_cols, "left_anti").select(
         *key_cols,
         *[F.col(f"__u_{a}").alias(a) for a in attr_cols],
-        F.lit(batch_ts).alias(eff_col),
-        F.lit(None).cast("string").alias(end_col),
+        F.lit(batch_ts).cast(eff_t).alias(eff_col),
+        F.lit(None).cast(end_t).alias(end_col),
     )
     return hist.unionByName(unchanged).unionByName(closed).unionByName(
         reopened

@@ -108,7 +108,11 @@ def read_csv_pandas(
     """
     names = [f.name for f in schema.fields]
     try:
-        pdf = pd.read_csv(path, header=None, skiprows=1 if header else 0)
+        # dtype=str: NO pandas inference — a StringType column holding
+        # '007' or '1.50' must keep its raw text exactly like the native
+        # scan (inference would land 7 / 1.5); typed columns are
+        # converted per-field below instead
+        pdf = pd.read_csv(path, header=None, skiprows=1 if header else 0, dtype=str)
     except pd.errors.EmptyDataError:
         # header-only or empty file: the native scan lands 0 rows
         pdf = pd.DataFrame(columns=range(len(names)))
@@ -116,6 +120,12 @@ def read_csv_pandas(
     for i in range(pdf.shape[1], len(names)):
         pdf[i] = pd.NA
     pdf.columns = names
+    for field in schema.fields:
+        s = pdf[field.name]
+        if isinstance(field.dataType, T.BooleanType):
+            pdf[field.name] = s.str.lower().map({"true": True, "false": False})
+        elif not isinstance(field.dataType, T.StringType):
+            pdf[field.name] = pd.to_numeric(s)
     # Spark file scans land every field nullable regardless of the
     # declared StructType (FileSourceStrategy's asNullable contract);
     # mirror that so the two paths are schema-identical.

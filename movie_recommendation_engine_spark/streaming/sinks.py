@@ -14,11 +14,30 @@ table, so each epoch's cost is one |table|+|batch| window pass.
 Run with ``trigger(availableNow=True)`` + a checkpoint dir for the
 production shape: bounded catch-up runs that resume from the last
 committed epoch after failure.
+
+Durability: the state table is committed with a two-directory rename
+protocol (write new state to a tmp dir, demote the old state to
+``.prev``, promote tmp) so there is NO window where a crash leaves the
+only copy of the state half-deleted — the old in-place overwrite
+(delete-then-write of ``state_dir`` itself) silently replaced all
+accumulated state with just the current micro-batch if the driver died
+mid-rewrite (round-5 review finding).  Replaying an epoch against
+already-merged state is safe because the keyed upsert is idempotent for
+identical batch rows.  The rename protocol uses driver-visible
+filesystem paths (local/NFS); an object-store deployment should swap
+this callback for a table format with native atomic commit
+(Delta/Iceberg MERGE).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
+
+
+def _committed(d: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(d, "_SUCCESS"))
 
 
 def foreach_batch_upsert(
@@ -33,24 +52,34 @@ def foreach_batch_upsert(
     table at ``state_dir``.  Returns the StreamingQuery (availableNow
     trigger: processes everything currently available, then stops)."""
     import os
+    import shutil
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         from ..operators.upsert import upsert
 
         spark = batch.sparkSession
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            base = spark.read.parquet(state_dir)
+        base_dir = state_dir.rstrip("/")
+        prev = base_dir + ".prev"
+        tmp = base_dir + f".epoch{epoch_id}"
+        # live state: the committed current dir, else the committed prev
+        # (recovers a crash that happened between the two commit renames)
+        live = next((d for d in (base_dir, prev) if _committed(d)), None)
+        if live is not None:
+            base = spark.read.parquet(live)
             merged = upsert(base, batch.select(base.columns), keys)
         else:
             merged = batch
-        # rewrite via a staging collect-free cycle: parquet cannot be
-        # read and overwritten in one job, so land to a tmp dir and swap
-        tmp = state_dir.rstrip("/") + f".epoch{epoch_id}"
+        # materialize the new state BEFORE touching the old one (the
+        # write executes the lazy read of `live`)
         merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        # commit: demote current -> prev, promote tmp -> current.  Every
+        # crash point leaves at least one committed copy reachable by
+        # the `live` probe above.
+        if os.path.isdir(base_dir):
+            if os.path.isdir(prev):
+                shutil.rmtree(prev)
+            os.rename(base_dir, prev)
+        os.rename(tmp, base_dir)
 
     return (
         stream_df.writeStream.foreachBatch(_apply)

@@ -46,3 +46,42 @@ def test_arrow_median_matches_duckdb(spark):
     for g, n, m in want:
         assert out[g].n == n
         assert out[g].median_value == m
+
+
+def test_grouped_stats_null_values_excluded_like_sql(spark):
+    """NULLs arrive in the Arrow batch as NaN: they must be excluded
+    from n/median/min/max (SQL aggregate semantics) — the old path
+    counted them into n and let them sort past max (round-5 review).
+    An all-NULL group still emits its row with n=0 and NULL stats."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", None)],
+        "g string, v double",
+    )
+    got = {r.g: r for r in grouped_value_stats_arrow(df, "g", "v").collect()}
+    a = got["a"]
+    assert (a.n, a.median_value, a.min_value, a.max_value) == (2, 2.0, 1.0, 3.0)
+    b = got["b"]
+    assert b.n == 0
+    assert b.median_value is None and b.min_value is None and b.max_value is None
+    # DuckDB agrees on the non-degenerate group
+    duck = duckdb.sql(
+        "SELECT count(v), median(v), min(v), max(v) FROM "
+        "(VALUES (1.0::DOUBLE), (3.0::DOUBLE), (NULL::DOUBLE)) t(v)"
+    ).fetchone()
+    assert (a.n, a.median_value, a.min_value, a.max_value) == duck
+
+
+def test_grouped_trimmed_mean_ignores_nulls(spark):
+    from movie_recommendation_engine_spark.operators.arrowops import (
+        grouped_trimmed_mean_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None), ("b", None)],
+        "g string, v double",
+    )
+    got = {
+        r.g: r for r in grouped_trimmed_mean_arrow(df, "g", "v", trim=0.0).collect()
+    }
+    assert got["a"].n == 3 and got["a"].trimmed_mean_r6 == 2.0
+    assert got["b"].n == 0 and got["b"].trimmed_mean_r6 == 0.0

@@ -62,3 +62,23 @@ def test_empty_build_side_filters_all(spark):
     bm = build_bloom(empty, "j", num_bits=1 << 10)
     assert all(w == 0 for w in bm)
     assert large.filter(bloom_might_contain(bm, "k")).count() == 0
+
+
+def test_non_word_multiple_num_bits_stays_exact(spark):
+    """Build/probe modulus parity (round-5 review): num_bits not a
+    multiple of 64 is rounded UP at build so the probe's
+    len(bitmap)*64 derivation equals the build modulus — a mismatch
+    turned false positives into FALSE NEGATIVES (silently dropped
+    matching rows, even with exact=True)."""
+    large, small = _tables(spark)
+    want = sorted(
+        r.k
+        for r in large.join(
+            small.select(F.col("j").alias("k")), "k", "left_semi"
+        ).collect()
+    )
+    for bits in (1000, 65, 127):  # all non-multiples of 64
+        got = sorted(
+            r.k for r in bloom_semi_join(large, small, "k", "j", num_bits=bits).collect()
+        )
+        assert got == want, f"num_bits={bits} lost rows"

@@ -90,3 +90,27 @@ def test_bpe_encode_applies_trained_state(spark):
     # every word's token count = len of its trained symbol sequence
     st = {r.word: len(r.syms) for r in state.collect()}
     assert enc[2].n_bpe_tokens == st["low"] + st["slow"]
+
+
+def test_bpe_encode_oov_words_fall_back_to_chars_not_dropped(spark):
+    """Serving a DIFFERENT corpus: out-of-vocabulary words count as
+    character-level tokens via the left join's fallback — the old inner
+    join undercounted n_words/n_chars and dropped all-OOV documents
+    entirely (round-5 review)."""
+    from movie_recommendation_engine_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_state,
+    )
+
+    train = spark.createDataFrame([("low lower",)], "text string")
+    _, state = bpe_train_state(train, "text", n_merges=2)
+    serve = spark.createDataFrame(
+        [(1, "low unseen"), (2, "zzz qqq")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in bpe_encode(serve, "doc_id", "text", state).collect()}
+    assert set(out) == {1, 2}  # the all-OOV doc 2 is present
+    assert out[1].n_words == 2 and out[1].n_chars == len("low") + len("unseen")
+    # OOV fallback: 'unseen' contributes one token per char
+    in_vocab_syms = out[1].n_bpe_tokens - len("unseen")
+    assert 1 <= in_vocab_syms <= len("low")
+    assert out[2].n_bpe_tokens == out[2].n_chars == 6

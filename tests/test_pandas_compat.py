@@ -146,3 +146,35 @@ def test_to_pandas_roundtrip_and_guard(spark):
     assert list(back["userId"]) == [1, 2, 3]
     with pytest.raises(ValueError, match="max_rows=2"):
         to_pandas(df, max_rows=2)
+
+
+def test_read_csv_pandas_string_column_keeps_raw_text(spark):
+    """No pandas dtype inference: a StringType column holding numeric-
+    looking text ('007', '1.50') must land the raw text exactly like
+    the native scan (round-5 review: inference rendered 7 / 1.5)."""
+    schema = T.StructType(
+        [
+            T.StructField("code", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = _write(d, "codes.csv", "code,qty\n007,1\n1.50,2\nabc,\n")
+        native = read_csv(spark, path, schema, header=True)
+        compat = read_csv_pandas(spark, path, schema, header=True)
+        assert _sorted_rows(compat) == _sorted_rows(native)
+        assert {r.code for r in compat.collect()} == {"007", "1.50", "abc"}
+
+
+def test_read_csv_pandas_boolean_column(spark):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = _write(d, "flags.csv", "1,true\n2,false\n3,\n")
+        native = read_csv(spark, path, schema, header=False)
+        compat = read_csv_pandas(spark, path, schema, header=False)
+        assert _sorted_rows(compat) == _sorted_rows(native)

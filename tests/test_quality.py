@@ -108,3 +108,28 @@ def test_partition_sizes_sums_to_total_and_flags_skew(spark):
     # single-partition skew is visible
     skewed = partition_sizes(spark.range(1000).coalesce(1)).collect()
     assert len(skewed) == 1 and skewed[0].n_rows == 1000
+
+
+def test_value_histogram_excludes_nulls(spark):
+    """NULL values must not be binned: least(NULL, n-1) skips nulls, so
+    the old binning silently counted every NULL row into the TOP bin
+    (round-5 review)."""
+    from movie_recommendation_engine_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (10.0,), (None,), (None,), (None,)], "v double"
+    )
+    got = {r.bin: r.n for r in value_histogram(df, "v", 20).collect()}
+    assert sum(got.values()) == 2  # only the non-null rows
+    assert got.get(19, 0) == 1  # the max value alone, not max + 3 NULLs
+
+
+def test_audit_empty_rule_list_returns_empty_frame(spark):
+    """Degenerate-input contract: no rules -> 0-row (rule, violations)
+    frame, never IndexError (round-5 review)."""
+    from movie_recommendation_engine_spark.operators.quality import audit
+
+    df = spark.createDataFrame([(1,)], "a int")
+    out = audit(df, [])
+    assert out.columns == ["rule", "violations"]
+    assert out.count() == 0

@@ -125,6 +125,57 @@ def test_foreach_batch_upsert_converges_to_batch(spark, events_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_foreach_batch_upsert_recovers_state_from_prev_after_crash(
+    spark, events_dir
+):
+    """Crash window of the rename commit (round-5 review: the old
+    in-place overwrite could silently replace ALL accumulated state with
+    one micro-batch): if the current state dir vanished mid-commit, the
+    next epoch must merge into the committed ``.prev`` copy, not start
+    from scratch."""
+    import os
+
+    from movie_recommendation_engine_spark.streaming.sinks import (
+        foreach_batch_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="upsert_crash_")
+    state = root + "/table"
+    ckpt = tempfile.mkdtemp(prefix="upsert_crash_ckpt_")
+    try:
+        # pre-existing accumulated state from "before the crash", left
+        # only at .prev (the crash happened between the two renames)
+        prior = spark.createDataFrame(
+            [(999_999, 7, 123.0)], "user_id long, n long, total double"
+        )
+        prior.write.parquet(state + ".prev")
+        assert not os.path.exists(state)
+
+        stream = read_events_stream(spark, events_dir)
+        totals = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+        q = foreach_batch_upsert(totals, state, ["user_id"], ckpt)
+        q.awaitTermination(120)
+        got = {r.user_id: (r.n, r.total) for r in spark.read.parquet(state).collect()}
+        # the crashed-epoch state survived the recovery...
+        assert got[999_999] == (7, 123.0)
+        # ...and the stream's own keys merged in on top
+        batch = spark.read.parquet(events_dir)
+        want = {
+            r.user_id: (r.n, r.total)
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        for k, v in want.items():
+            assert got[k] == v
+        assert os.path.exists(os.path.join(state, "_SUCCESS"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def attribution_dir(spark):
     """Views in one file, clicks in another — the stream-stream join must
