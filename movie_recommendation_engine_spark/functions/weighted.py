@@ -36,8 +36,6 @@ def exp_decay(value, age_days, half_life_days: float = 365.0):
     """Half-life decay weight: ``value * 0.5 ** (age/half_life)`` — the
     standard recency weighting for interaction scores (an event one
     half-life old counts half).  Pure column arithmetic (pow), no UDF."""
-    from pyspark.sql import functions as F
-
     v = F.col(value) if isinstance(value, str) else value
     a = F.col(age_days) if isinstance(age_days, str) else age_days
     return v * F.pow(F.lit(0.5), a / F.lit(half_life_days))

@@ -46,7 +46,14 @@ def asof_join(
     renamed with ``suffix``); rows with no prior right row get nulls.
     ``tiebreak``: right-side column ordering ties among right rows with
     identical ``on`` (the max wins); defaults to the first payload col.
+
+    Right rows with a NULL ``on`` value are dropped up front: NULLs
+    sort FIRST ascending, so an un-timestamped right row would carry
+    its payload forward as a phantom "prior" match for every left row
+    (round-5 review) — a row with no event time can never satisfy
+    ``right.on <= left.on``.
     """
+    right = right.filter(F.col(on).isNotNull())
     tiebreak = tiebreak or right_cols[0]
     lcols = left.columns
     payload = F.struct(*[F.col(c) for c in right_cols])

@@ -441,14 +441,19 @@ def simhash_fingerprint(
     engines.
 
     ``packed=True`` (default) folds the per-bit one-counts into
-    ``bits/4`` lane-packed sums — four 16-bit counters per 64-bit
+    ``bits/3`` lane-packed sums — three 21-bit counters per 64-bit
     aggregate — instead of ``bits`` independent sums: the hash-aggregate
-    row shrinks 4x and the agg-update work per shingle drops
+    row shrinks ~3x and the agg-update work per shingle drops
     accordingly (the vote aggregates were the bulk of this operator's
     cost in BENCH_r01).  The sign test ``votes_j > 0`` becomes
     ``2*ones_j > n_shingles``, which is the same predicate exactly.
-    Lane budget: a document may have at most 65535 distinct shingles;
-    pass ``packed=False`` for corpora beyond that (identical output).
+    Lane budget: a document may have at most 2_097_151 (2^21 - 1)
+    distinct shingles; pass ``packed=False`` for corpora beyond that
+    (identical output).  21-bit lanes, not 16: with four 16-bit lanes
+    the TOP lane's partial sum (count * 2^48) overflowed SIGNED 64 at
+    just 32768 shingles — half the budget the old docstring claimed —
+    raising under ANSI or silently corrupting the fingerprint without
+    it (round-5 review finding).
     """
     ex = _shingled(df, id_col, text_col, n).select(
         F.col(id_col).alias("id"), F.explode("shingles").alias("g")
@@ -470,7 +475,9 @@ def simhash_fingerprint(
             )
             fp = term if fp is None else fp + term
         return votes.select(F.col("id").alias(id_col), fp.alias("simhash"))
-    n_lanes = 4
+    n_lanes = 3
+    lane_bits = 21  # 3 x 21-bit: top lane sums to < 2^63 at full budget
+    lane_mask = (1 << lane_bits) - 1
     n_packs = -(-bits // n_lanes)  # ceil
     packs = []
     for k in range(n_packs):
@@ -480,7 +487,7 @@ def simhash_fingerprint(
             if j >= bits:
                 break
             one = F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long"))
-            term = one * F.lit(1 << (16 * lane)).cast("long")
+            term = one * F.lit(1 << (lane_bits * lane)).cast("long")
             lanes = term if lanes is None else lanes + term
         packs.append(F.sum(lanes).alias(f"p{k}"))
     votes = ex.groupBy("id").agg(F.count("*").alias("__n"), *packs)
@@ -490,7 +497,9 @@ def simhash_fingerprint(
             j = k * n_lanes + lane
             if j >= bits:
                 break
-            ones = F.shiftright(F.col(f"p{k}"), 16 * lane).bitwiseAND(F.lit(0xFFFF).cast("long"))
+            ones = F.shiftright(F.col(f"p{k}"), lane_bits * lane).bitwiseAND(
+                F.lit(lane_mask).cast("long")
+            )
             term = F.when(ones * 2 > F.col("__n"), F.lit(2**j).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )

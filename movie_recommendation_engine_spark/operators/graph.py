@@ -93,7 +93,13 @@ def connected_components(
         labels.unpersist()
         labels = flagged.drop("__changed")
         if changed == 0:
-            return labels
+            # hand back a ContextCleaner-managed copy and release the
+            # loop cache — returning the cached frame itself leaked one
+            # storage entry per call into long-lived sessions (module
+            # policy: localCheckpoint, freed when the py4j ref drops)
+            out = labels.localCheckpoint(eager=True)
+            flagged.unpersist()
+            return out
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
@@ -470,7 +476,10 @@ def ancestor_roots(
     ``parents`` is (node_col, parent_col) with parent NULL for roots;
     every parent value must itself appear as a node.  ``rounds`` must
     satisfy 2^rounds >= max depth (raise for deeper forests — the dial
-    is logarithmic, so 40 covers depth 1e12).
+    is logarithmic, so 40 covers depth 1e12).  A forest DEEPER than
+    2^rounds raises RuntimeError instead of silently returning a
+    non-root ancestor with a truncated depth (round-5 review; same
+    contract as connected_components' non-convergence guard).
 
     Returns (node_col, root, depth) — exact integers, partitioning-
     independent.
@@ -501,6 +510,13 @@ def ancestor_roots(
                 .alias("done"),
             )
             .localCheckpoint(eager=False)
+        )
+    unresolved = state.filter(~F.col("done")).count()
+    if unresolved:
+        raise RuntimeError(
+            f"ancestor_roots: {unresolved} node(s) unresolved after "
+            f"{rounds} doubling rounds (forest deeper than 2^{rounds}); "
+            "raise `rounds`"
         )
     return state.select(
         F.col("v").alias(node_col), F.col("r").alias("root"), F.col("d").alias("depth")

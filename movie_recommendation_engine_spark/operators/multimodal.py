@@ -100,7 +100,13 @@ def extract_features(
                 {"id": pdf[id_col], "n_bytes": n.astype("int64"), "features": feats}
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batch_features, FEATURE_SCHEMA)
+    # NULL media rows are excluded (SQL aggregate convention): len(None)
+    # inside the Python worker would abort the whole job (round-5 review)
+    return (
+        df.filter(F.col(bin_col).isNotNull())
+        .select(id_col, bin_col)
+        .mapInPandas(batch_features, FEATURE_SCHEMA)
+    )
 
 
 def frame_sample(
@@ -131,7 +137,11 @@ def frame_sample(
                     frames.append(bytes(blob[j * step : (j + 1) * step]))
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select(id_col, bin_col).mapInPandas(sample, schema)
+    return (
+        df.filter(F.col(bin_col).isNotNull())  # NULL media: excluded, never a worker crash
+        .select(id_col, bin_col)
+        .mapInPandas(sample, schema)
+    )
 
 
 def resize_media(
@@ -173,7 +183,11 @@ def resize_media(
             ]
             yield pd.DataFrame({"id": pdf[id_col], bin_col: blobs, meta_col: metas})
 
-    return df.select(id_col, bin_col, meta_col).mapInPandas(resize, schema)
+    return (
+        df.filter(F.col(bin_col).isNotNull())  # NULL media: excluded, never a worker crash
+        .select(id_col, bin_col, meta_col)
+        .mapInPandas(resize, schema)
+    )
 
 
 def audio_window_energy(
@@ -230,4 +244,8 @@ def audio_window_energy(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(energies, schema)
+    return (
+        df.filter(F.col(bin_col).isNotNull())  # NULL media: excluded, never a worker crash
+        .select(id_col, bin_col)
+        .mapInPandas(energies, schema)
+    )

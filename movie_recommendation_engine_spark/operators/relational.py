@@ -148,6 +148,11 @@ def global_cumsum(
     ``order_cols`` must be a total order.  This is the sequence-packing
     primitive: token offsets over a corpus ordered by doc id, at any
     corpus size.
+
+    The output column keeps integral inputs as BIGINT and everything
+    else (double/decimal) in its window-sum type — the old
+    unconditional long cast silently truncated fractional running sums
+    (round-5 review).
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -172,11 +177,19 @@ def global_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    from pyspark.sql import types as T
+
+    total = F.col("__off") + F.col("__run")
+    if isinstance(
+        df.schema[value_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        total = total.cast("long")
     return (
         base.withColumn("__run", F.sum(value_col).over(w))
         .withColumn("__pid", pid)
         .join(F.broadcast(offsets), "__pid")
-        .withColumn(cumsum_col, (F.col("__off") + F.col("__run")).cast("long"))
+        .withColumn(cumsum_col, total)
         .drop("__pid", "__mid", "__run", "__off")
     )
 

@@ -116,9 +116,13 @@ def unigram_logprob(df, id_col: str, text_col: str):
     immune to partial-aggregation order, instead of a partitioning-
     dependent float SUM.
     """
-    from ..functions.rounding import det_round
-
-    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
+    # the exploded token stream feeds BOTH the model build (tf) and the
+    # scoring join: truncate once so the corpus scan + normalization +
+    # explode runs once, not twice (the module-wide policy dedup/
+    # shingle_novelty already follow)
+    toks = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("tok")
+    ).localCheckpoint(eager=False)
     tf = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = tf.agg(F.sum("n").alias("tot"))
     wt = tf.crossJoin(F.broadcast(tot)).select(
@@ -190,7 +194,11 @@ def tf_idf(
     """
     from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
 
-    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    # consumed by both the tf aggregate and the document-frequency
+    # distinct — truncate once, scan once
+    toks = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("term")
+    ).localCheckpoint(eager=False)
     tf = (
         toks.groupBy(id_col, "term")
         .agg(F.count("*").alias("n"))
@@ -334,9 +342,6 @@ def repetition_signals(df, id_col: str, text_col: str):
         word_ngrams(text_col, 2).alias("bg"),
     )
     toks, bg = F.col("toks"), F.col("bg")
-    top_bg = F.array_max(
-        F.transform(F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x)))
-    )
     init = F.struct(
         F.lit("\x00").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
@@ -346,6 +351,15 @@ def repetition_signals(df, id_col: str, text_col: str):
         return F.struct(
             x.alias("prev"), run2.alias("run"), F.greatest(acc["best"], run2).alias("best")
         )
+
+    # top bigram multiplicity = longest equal-adjacent run in the SORTED
+    # bigram array: O(B log B) per row.  The previous distinct x filter
+    # double loop was O(B^2) string comparisons — ~2.5e9 for one 50k-token
+    # crawl document, a single-task straggler (round-5 review).  Empty
+    # bigram arrays keep the old NULL result (array_max of [] was NULL).
+    top_bg = F.when(F.size(bg) == 0, F.lit(None).cast("int")).otherwise(
+        F.aggregate(F.array_sort(bg), init, step, lambda acc: acc["best"])
+    )
 
     return base.select(
         F.col(id_col),
@@ -370,8 +384,6 @@ def shingle_novelty(df, id_col: str, text_col: str, n: int = 3):
     stream itself (linear, unskewed).  Nothing ever ships document
     bodies.  Returns (id_col, n_shingles, n_seen_before, novelty_frac).
     """
-    from ..functions.hashing import word_shingles
-
     ex = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n=n)).alias("g")
     ).localCheckpoint(eager=False)
@@ -560,16 +572,20 @@ def bigram_logprob(df, id_col: str, text_col: str, k: float = 0.5):
     """
     from pyspark.sql import Window as W
 
-    from ..functions.rounding import det_round
-
-    toks = df.select(
-        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "tok")
-    ).filter(F.col("tok") != "")
+    # toks feeds the vocab-size aggregate AND the pair stream; pairs
+    # feeds the model build AND the scoring join — truncate each once so
+    # the corpus scan/explode and the per-doc lead() window run once
+    toks = (
+        df.select(F.col(id_col), F.posexplode(words(text_col)).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+        .localCheckpoint(eager=False)
+    )
     w = W.partitionBy(id_col).orderBy("pos")
     pairs = (
         toks.withColumn("nxt", F.lead("tok").over(w))
         .filter(F.col("nxt").isNotNull())
         .select(id_col, F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .localCheckpoint(eager=False)
     )
     bc = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     cc = bc.groupBy("a").agg(F.sum("c_ab").alias("c_a"))

@@ -24,10 +24,17 @@ def top_k_per_group(
     ``order_by`` must be a *total* order (add a key tiebreaker) for
     deterministic output.  Physical plan: one hash exchange on
     ``group_cols`` + per-partition sort — no global sort, no driver.
+
+    With ``keep_rank=False`` the rank is computed under a collision-proof
+    internal name, so an input column that happens to be called ``rank``
+    passes through untouched (the old withColumn/drop pair silently
+    destroyed it — round-5 review).  With ``keep_rank=True`` the output
+    column ``rank_col`` intentionally replaces any same-named input.
     """
+    col = rank_col if keep_rank else "__tkpg_rank"
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
-    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
-    return out if keep_rank else out.drop(rank_col)
+    out = df.withColumn(col, F.row_number().over(w)).filter(F.col(col) <= k)
+    return out if keep_rank else out.drop(col)
 
 
 def top_k_global(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:

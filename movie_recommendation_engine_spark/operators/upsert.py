@@ -32,6 +32,11 @@ def upsert(
     ``updates`` resolve to the greatest ``order_col`` (tie: arbitrary
     but deterministic only with order_col — pass one when updates can
     collide).  Output schema = input schema.
+
+    PRECONDITION: ``base`` is a KEYED table — at most one row per key.
+    The per-key window keeps exactly one winner, so duplicate-key base
+    rows would be collapsed even for keys no update touches (a MERGE
+    over such a base is ill-defined; Delta/Iceberg MERGE errors on it).
     """
     cols = base.columns
     assert set(cols) == set(updates.columns), "upsert requires matching schemas"

@@ -34,17 +34,32 @@ def rmse(predictions: DataFrame, label_col: str = "rating", pred_col: str = "pre
     return predictions.agg(F.sqrt(F.avg(d * d)).alias("rmse"))
 
 
+def _pos_seq(recs: str, k: int) -> str:
+    """1-based position sequence over the top-k slice, SAFE on empty
+    recs: ``sequence(1, 0)`` auto-descends to ``[1, 0]`` (not ``[]``),
+    so without the guard every position-indexed metric would
+    ``element_at(recs, 1)`` into an empty array — an ANSI
+    INVALID_ARRAY_INDEX crash.  The empty-recs row is a real serving
+    shape (a cold user's recommendations left-joined to empty — see
+    plans/extension.py), found by the round-5 review; it stayed latent
+    because aggregate-side column pruning usually drops the crashing
+    columns before evaluation."""
+    n = f"size(slice({recs}, 1, {k}))"
+    return f"if({n} < 1, array(), sequence(1, {n}))"
+
+
 def _ap_at_k(recs: str, truth: str, k: int) -> Column:
     """Standard average precision @ k over two array columns.
 
     AP = (1/min(k,|truth|)) * sum_{i<=k, rec_i in truth} precision@i.
     Computed with a single aggregate over (position, hit) pairs — stays
-    in the JVM, no explode.
+    in the JVM, no explode.  Empty recs score 0; empty truth yields
+    NULL (try_divide), the degenerate no-relevants case.
     """
     return F.expr(
         f"""
         aggregate(
-          zip_with(sequence(1, size(slice({recs}, 1, {k}))),
+          zip_with({_pos_seq(recs, k)},
                    transform(slice({recs}, 1, {k}),
                              x -> if(array_contains({truth}, x), 1, 0)),
                    (p, h) -> struct(p as p, h as h)),
@@ -53,7 +68,7 @@ def _ap_at_k(recs: str, truth: str, k: int) -> Column:
                              acc.s + if(x.h = 1,
                                         cast(acc.c + x.h as double) / cast(x.p as double),
                                         cast(0.0 as double))),
-          acc -> acc.s / least({k}, size({truth}))
+          acc -> try_divide(acc.s, least({k}, size({truth})))
         )
         """
     )
@@ -66,16 +81,19 @@ def _ndcg_at_k(recs: str, truth: str, k: int) -> Column:
     position sequence — JVM-side, no explode."""
     return F.expr(
         f"""
-        aggregate(
-          sequence(1, size(slice({recs}, 1, {k}))),
-          cast(0.0 as double),
-          (acc, i) -> acc + if(array_contains({truth}, element_at({recs}, i)),
-                               1.0 / log2(cast(i + 1 as double)),
-                               cast(0.0 as double))
-        ) / aggregate(
-          sequence(1, least({k}, size({truth}))),
-          cast(0.0 as double),
-          (acc, i) -> acc + 1.0 / log2(cast(i + 1 as double))
+        try_divide(
+          aggregate(
+            {_pos_seq(recs, k)},
+            cast(0.0 as double),
+            (acc, i) -> acc + if(array_contains({truth}, element_at({recs}, i)),
+                                 1.0 / log2(cast(i + 1 as double)),
+                                 cast(0.0 as double))
+          ),
+          aggregate(
+            if(size({truth}) < 1, array(), sequence(1, least({k}, size({truth})))),
+            cast(0.0 as double),
+            (acc, i) -> acc + 1.0 / log2(cast(i + 1 as double))
+          )
         )
         """
     )
@@ -87,7 +105,7 @@ def _mrr_at_k(recs: str, truth: str, k: int) -> Column:
         f"""
         coalesce(
           1.0 / array_min(filter(
-            transform(sequence(1, size(slice({recs}, 1, {k}))),
+            transform({_pos_seq(recs, k)},
                       i -> if(array_contains({truth}, element_at({recs}, i)), i, null)),
             x -> x is not null)),
           cast(0.0 as double))
@@ -101,14 +119,17 @@ def _ref_map(recs: str, truth: str) -> Column:
     (1 + 1/p) / size(recs); divide the sum by size(truth)."""
     return F.expr(
         f"""
-        aggregate(
-          {truth},
-          cast(0.0 as double),
-          (acc, m) -> acc + if(array_position({recs}, m) > 0,
-                               (1.0 + 1.0 / cast(array_position({recs}, m) as double))
-                                 / size({recs}),
-                               cast(0.0 as double))
-        ) / size({truth})
+        try_divide(
+          aggregate(
+            {truth},
+            cast(0.0 as double),
+            (acc, m) -> acc + if(array_position({recs}, m) > 0,
+                                 (1.0 + 1.0 / cast(array_position({recs}, m) as double))
+                                   / size({recs}),
+                                 cast(0.0 as double))
+          ),
+          size({truth})
+        )
         """
     )
 
@@ -136,7 +157,10 @@ def per_user_ranking_metrics(
         user_col,
         _ap_at_k(r, t, k).alias("ap"),
         (n_hits / F.lit(k)).cast("double").alias("precision"),
-        (n_hits / F.size(F.col(t))).cast("double").alias("recall"),
+        # try_divide: an empty truth array (degenerate, but reachable
+        # through the public signature) yields NULL recall, not an ANSI
+        # divide-by-zero abort
+        F.try_divide(n_hits, F.size(F.col(t))).cast("double").alias("recall"),
         (n_hits > 0).cast("double").alias("hit"),
         _ndcg_at_k(r, t, k).alias("ndcg"),
         _mrr_at_k(r, t, k).alias("rr"),

@@ -306,7 +306,8 @@ SELECT strftime(time_bucket(INTERVAL 1 HOUR, e.ts), '%Y-%m-%d %H:%M:%S') AS wind
        n.n_name,
        count(*) AS n_events,
        round(sum(e.value), 2) AS sum_value
-FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+FROM events e JOIN nation n
+  ON n.n_nationkey = ((e.user_id % 25) + 25) % 25  -- pmod, mirrors the engine
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
@@ -370,7 +371,7 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH keyed AS (
   SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS b, event_type, value,
-         printf('%016d-%010d', epoch_us(ts), event_id) AS ord
+         printf('%019d-%019d', epoch_us(ts), event_id) AS ord
   FROM events)
 SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
        round(arg_min(value, ord), 6) AS open,

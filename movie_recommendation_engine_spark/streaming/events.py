@@ -123,8 +123,11 @@ def enriched_nation_rollup(
     serves batch mode (withWatermark no-ops)."""
     df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
     dim = nation.select(F.col("n_nationkey").cast("long").alias("__nk"), "n_name")
+    # pmod, not %: Spark's % keeps the sign, so a negative user_id would
+    # route outside 0..24 and silently vanish in the inner join (NULL
+    # user_ids are likewise dropped by the join — the SQL convention)
     return (
-        df.withColumn("__nk", F.col("user_id") % 25)
+        df.withColumn("__nk", F.pmod(F.col("user_id"), F.lit(25)))
         .join(F.broadcast(dim), "__nk")
         .groupBy(F.window("ts", window).alias("w"), "n_name")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -138,9 +141,16 @@ def enriched_nation_rollup(
 
 
 def dedup_events(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
-    """Streaming exact dedup on event_id: state is bounded by the
-    watermark horizon (duplicates arriving later than the watermark are
-    not caught — that is the documented streaming contract)."""
+    """Streaming exact dedup on event_id.
+
+    State contract (round-5 review corrected the old claim): with the
+    event-time column NOT in the dedup keys, Structured Streaming keeps
+    one state entry per distinct event_id FOREVER — the watermark does
+    not evict dropDuplicates state unless the watermarked column is
+    part of the keys.  This variant is for BOUNDED id spaces (replayed
+    catch-up runs, sessions with a known key universe); for unbounded
+    production streams use ``dedup_events_within_watermark``, whose
+    state really is bounded by the horizon."""
     df = events.withWatermark("ts", watermark) if events.isStreaming else events
     return df.dropDuplicates(["event_id"])
 
@@ -167,6 +177,12 @@ def gap_filled_counts(events: DataFrame, window: str = "30 minutes") -> DataFram
     events landed — time-series resampling for downstream models that
     need a gapless grid.
 
+    NULL event_type rows are EXCLUDED up front (round-5 review): left
+    alone they poisoned the grid — the equality join can never match a
+    NULL key, so their real counts vanished while the grid still showed
+    a zero-filled NULL row.  Excluding them is the SQL-join convention
+    and makes the drop explicit instead of silent.
+
     Batch-only (the dense grid needs global bounds).  The grid itself is
     generated distributively: a one-row bounds aggregate is broadcast
     onto the distinct event types (operators.relational.with_scalars
@@ -177,6 +193,7 @@ def gap_filled_counts(events: DataFrame, window: str = "30 minutes") -> DataFram
     """
     from ..operators.relational import with_scalars
 
+    events = events.filter(F.col("event_type").isNotNull())
     actual = (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -312,8 +329,14 @@ def ohlc_buckets(
     streaming the watermark closes buckets and bounds state to
     #open-buckets x #types."""
     df = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    # %019d covers the FULL non-negative long range (19 digits): the old
+    # %016d/%010d widths overflowed for event_ids past 10 digits, where
+    # lexical order no longer matched numeric order and min_by/max_by
+    # picked the wrong open/close row (round-5 review).  Pre-1970
+    # timestamps and negative ids remain out of contract (the sign char
+    # breaks zero-padding) — both engines share this key verbatim.
     ordk = F.format_string(
-        "%016d-%010d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+        "%019d-%019d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
     )
     return (
         df.select(

@@ -82,14 +82,15 @@ EWMA_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("ewma", T.DoubleType(), False),
+        # nullable: a user whose every value so far is NULL has no EWMA
+        T.StructField("ewma", T.DoubleType(), True),
     ]
 )
 
 EWMA_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType(), False),
-        T.StructField("s", T.DoubleType(), False),
+        T.StructField("s", T.DoubleType(), True),  # NULL until a non-NULL value
     ]
 )
 
@@ -118,12 +119,22 @@ def running_user_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         pdf = pd.concat(list(batches), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
         for x in pdf["value"]:
+            n += 1
+            # NULL values (NaN through Arrow) SKIP the accumulator —
+            # the engine-wide monoid skip rule, mirrored in the batch
+            # twin's fold.  Without the guard one NULL poisoned the
+            # EWMA to NaN for every later emission (round-5 review).
+            if pd.isna(x):
+                continue
             x = float(x)
             s = x if s is None else alpha * x + (1.0 - alpha) * s
-            n += 1
-        state.update((n, float(s)))
+        state.update((n, None if s is None else float(s)))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "ewma": [round(s, 6)]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "ewma": [None if s is None else round(s, 6)],
+            }
         )
 
     return (
@@ -144,11 +155,17 @@ def user_ewma_batch(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     ``aggregate`` over the (ts, event_id)-sorted value array — one
     shuffle per user, the recursion itself runs inside codegen."""
     arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    # NULL values skip the fold (monoid skip rule, same as the stream's
+    # state update) — the unguarded recurrence nulled the accumulator at
+    # a NULL element and silently RE-SEEDED at the next value, a third
+    # semantics that matched neither the stream (NaN-poisoned) nor SQL
     fold = F.aggregate(
         arr,
         F.lit(None).cast("double"),
-        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
-            F.lit(alpha) * x["value"] + F.lit(1.0 - alpha) * acc
+        lambda acc, x: F.when(x["value"].isNull(), acc).otherwise(
+            F.when(acc.isNull(), x["value"]).otherwise(
+                F.lit(alpha) * x["value"] + F.lit(1.0 - alpha) * acc
+            )
         ),
     )
     return events.groupBy("user_id").agg(

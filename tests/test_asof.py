@@ -48,3 +48,17 @@ def test_asof_payload_carried_atomically(spark):
     row = asof_join(left, right, on="t", by=["k"], right_cols=["rid", "rv"]).collect()[0]
     # latest right row wins wholesale — rid is its null, not 11
     assert (row.rid_right, row.rv_right) == (None, 2.0)
+
+
+def test_asof_null_right_on_never_matches(spark):
+    """A right row with NULL `on` sorted first ascending and used to be
+    carried forward as a phantom prior match (round-5 review); it can
+    never satisfy right.on <= left.on, so it is dropped up front."""
+    from movie_recommendation_engine_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k int, ts int, px double"
+    )
+    [r] = asof_join(left, right, on="ts", by=["k"], right_cols=["px"]).collect()
+    assert r.px_right is None

@@ -93,3 +93,36 @@ def test_mrr_hand_computed(spark, recs_truth):
     recs, truth = recs_truth
     out = {r.userId: r.rr for r in per_user_ranking_metrics(recs, truth, k=4).collect()}
     assert out == {1: 0.5, 2: 0.0, 3: 1.0}
+
+
+def test_empty_recs_scores_zero_never_raises(spark):
+    """Cold-user serving shape (round-5 review): an EMPTY recs array
+    must score 0 across every metric, not crash — sequence(1, 0)
+    auto-descends to [1, 0] and element_at(recs, 1) on an empty array
+    is an ANSI INVALID_ARRAY_INDEX abort; the bug stayed latent because
+    column pruning usually drops the crashing ndcg/rr columns."""
+    recs = spark.createDataFrame(
+        [(1, []), (2, [5, 9])], "userId int, recs array<int>"
+    )
+    truth = spark.createDataFrame(
+        [(1, [5, 6]), (2, [5])], "userId int, truth array<int>"
+    )
+    out = {
+        r.userId: r
+        for r in per_user_ranking_metrics(recs, truth, k=3).collect()
+    }
+    cold = out[1]
+    assert (cold.ap, cold.precision, cold.recall, cold.hit) == (0.0, 0.0, 0.0, 0.0)
+    assert (cold.ndcg, cold.rr, cold.ref_ap) == (0.0, 0.0, 0.0)
+    warm = out[2]
+    assert warm.hit == 1.0 and warm.rr == 1.0  # untouched by the guard
+
+
+def test_empty_truth_yields_null_metrics_never_raises(spark):
+    """Degenerate no-relevants truth: NULL ratio metrics (try_divide),
+    zero hit/rr — never an ANSI divide-by-zero abort."""
+    recs = spark.createDataFrame([(1, [5])], "userId int, recs array<int>")
+    truth = spark.createDataFrame([(1, [])], "userId int, truth array<int>")
+    [r] = per_user_ranking_metrics(recs, truth, k=3).collect()
+    assert r.ap is None and r.recall is None and r.ndcg is None and r.ref_ap is None
+    assert (r.precision, r.hit, r.rr) == (0.0, 0.0, 0.0)

@@ -95,3 +95,37 @@ def test_audio_window_energy_exact(spark):
     # replay's ceil(len/64) = 0 windows — the round-3 ADVICE finding)
     assert not any(i == 4 for i, _ in rows)
     assert len(rows) == sum((len(b) + 63) // 64 for _, b in data)
+
+
+def test_null_media_rows_excluded_not_crashed(spark):
+    """A NULL binary blob used to TypeError inside every mapInPandas
+    worker (len(None)) and abort the job (round-5 review); NULL media
+    rows are now excluded up front, SQL-style."""
+    from movie_recommendation_engine_spark.operators.multimodal import (
+        audio_window_energy,
+        extract_features,
+        frame_sample,
+        resize_media,
+    )
+
+    from movie_recommendation_engine_spark.operators.multimodal import (
+        with_media_meta,
+    )
+
+    df = with_media_meta(
+        spark.createDataFrame(
+            [(1, bytearray(b"abcd")), (2, None)], "id long, media binary"
+        ),
+        "media",
+        mime="image/fake",
+    )
+    feats = extract_features(df, "id", "media").collect()
+    assert [r.id for r in feats] == [1]
+    frames = frame_sample(df, "id", "media", n_frames=2).collect()
+    assert {r.id for r in frames} == {1}
+    resized = resize_media(
+        df, "id", "media", meta_col="media_meta", target_w=2, target_h=1
+    ).collect()
+    assert [r.id for r in resized] == [1]
+    energy = audio_window_energy(df, "id", "media", window=2).collect()
+    assert {r.id for r in energy} == {1}

@@ -458,3 +458,110 @@ def test_stateful_ewma_converges_to_batch(spark, timeline_dir):
         r.user_id: (r.n_events, r.ewma) for r in user_ewma_batch(batch).collect()
     }
     assert final == want and len(want) == 2
+
+
+def test_ewma_null_values_skip_on_both_engines(spark):
+    """NULL-skip monoid rule for EWMA (round-5 review): one NULL used to
+    NaN-poison the stream's accumulator forever while the batch fold
+    silently RESET and re-seeded — three-way divergence.  Both twins now
+    skip NULLs: [1.0, NULL, 2.0] folds to a*2 + (1-a)*1."""
+    import os
+
+    from movie_recommendation_engine_spark.streaming.events import (
+        read_events_stream,
+    )
+    from movie_recommendation_engine_spark.streaming.stateful import (
+        running_user_ewma,
+        user_ewma_batch,
+    )
+
+    d = tempfile.mkdtemp(prefix="ewma_null_")
+    try:
+        rows = [
+            (1, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:02:00", 1, "click", None, "{}"),
+            (3, "2024-01-01 00:03:00", 1, "click", 2.0, "{}"),
+            (4, "2024-01-01 00:01:00", 2, "view", None, "{}"),  # all-NULL user
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.parquet(os.path.join(d, "batch0"))
+        batch = {r.user_id: r for r in user_ewma_batch(df, alpha=0.3).collect()}
+        expect = round(0.3 * 2.0 + 0.7 * 1.0, 6)
+        assert batch[1].ewma == expect and batch[1].n_events == 3
+        assert batch[2].ewma is None and batch[2].n_events == 1
+
+        stream = read_events_stream(spark, os.path.join(d, "batch0"))
+        got = _run_stream(
+            spark, running_user_ewma(stream, alpha=0.3), "t_ewma_null", "update"
+        )
+        final = {}
+        for r in got.collect():  # keep the last (largest-n) emission
+            if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+                final[r.user_id] = r
+        assert final[1].ewma == expect and final[1].n_events == 3
+        assert final[2].ewma is None and final[2].n_events == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gap_filled_excludes_null_event_type(spark):
+    from movie_recommendation_engine_spark.streaming.events import gap_filled_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:02:00", 1, None, 5.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    rows = gap_filled_counts(df, "30 minutes").collect()
+    assert all(r.event_type is not None for r in rows)
+    assert sum(r.n_events for r in rows) == 1  # NULL-type row excluded, visibly
+
+
+def test_ohlc_order_key_survives_wide_event_ids(spark):
+    """%019d key (round-5 review): event_ids past 10 digits used to
+    compare lexically out of numeric order, flipping open/close on
+    timestamp ties."""
+    from movie_recommendation_engine_spark.streaming.events import ohlc_buckets
+
+    df = spark.createDataFrame(
+        [
+            (9_999_999_999, "2024-01-01 00:01:00", 1, "t", 10.0, "{}"),
+            (10_000_000_000, "2024-01-01 00:01:00", 1, "t", 20.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    [r] = ohlc_buckets(df, "15 minutes", watermark=None).collect()
+    assert r.open == 10.0 and r.close == 20.0  # numeric id order, not lexical
+
+
+def test_nation_rollup_routes_negative_user_ids(spark):
+    """pmod routing (round-5 review): Spark % keeps the sign, so a
+    negative user_id routed outside 0..24 and vanished from the rollup."""
+    from movie_recommendation_engine_spark.streaming.events import (
+        enriched_nation_rollup,
+    )
+
+    nation = spark.createDataFrame(
+        [(i, f"N{i}") for i in range(25)], "n_nationkey int, n_name string"
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", -3, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    [r] = enriched_nation_rollup(df, nation).collect()
+    assert r.n_name == "N22" and r.n_events == 1  # pmod(-3, 25) = 22

@@ -374,3 +374,55 @@ def test_ngram_pack_guard_rejects_out_of_range_ids(spark):
         threshold=0.5,
     ).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in ok] == [(1, 2, 1.0)]
+
+
+def test_simhash_packed_survives_33k_shingles(spark):
+    """Lane-packing budget (round-5 review): with four 16-bit lanes the
+    TOP lane's sum overflowed signed 64 at 32768 shingles — half the
+    documented budget.  Three 21-bit lanes hold to ~2.1M; a 33k-distinct-
+    shingle document must fingerprint identically packed and unpacked."""
+    from movie_recommendation_engine_spark.operators.dedup import (
+        simhash_fingerprint,
+    )
+
+    text = " ".join(f"w{i}" for i in range(33_000))
+    df = spark.createDataFrame([(1, text)], "doc_id int, body string")
+    packed = simhash_fingerprint(df, "doc_id", "body", packed=True).collect()
+    plain = simhash_fingerprint(df, "doc_id", "body", packed=False).collect()
+    assert packed == plain
+
+
+def test_repetition_top_bigram_linear_fold_matches_counting(spark):
+    """The sorted-run fold must equal the bigram mode count exactly,
+    including the empty-bigram NULL (single-word doc)."""
+    from movie_recommendation_engine_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a c"),   # bigrams: ab ba ab ba ac -> top 'a b' x2 of 5
+            (2, "x x x x"),       # 'x x' x3 of 3
+            (3, "solo"),          # word_ngrams falls back to the unigram
+        ],
+        "doc_id int, body string",
+    )
+    got = {r.doc_id: r.top_bigram_frac for r in
+           repetition_signals(df, "doc_id", "body").collect()}
+    assert got[1] == 0.4
+    assert got[2] == 1.0
+    assert got[3] == 1.0  # [solo] -> run 1 of 1, same as the old counting
+
+
+def test_ancestor_roots_raises_when_forest_deeper_than_rounds(spark):
+    """Silent-truncation guard (round-5 review): a chain deeper than
+    2^rounds raises instead of returning a non-root 'root'."""
+    import pytest
+
+    from movie_recommendation_engine_spark.operators.graph import ancestor_roots
+
+    chain = spark.createDataFrame(
+        [(i, i - 1 if i else None) for i in range(40)], "node long, parent long"
+    )
+    with pytest.raises(RuntimeError, match="unresolved"):
+        ancestor_roots(chain, "node", "parent", rounds=5).collect()
+    out = ancestor_roots(chain, "node", "parent", rounds=6)
+    assert out.filter("node = 39").collect()[0].depth == 39
