@@ -90,6 +90,24 @@ def main() -> None:
         ).evaluate(pred)
     except Exception as ex:
         print(f"# bench ALS warmup failed: {ex}", file=sys.stderr)
+    # ...and KMeans: the IVF-kmeans ANN queries fit a coarse quantizer,
+    # and the first MLlib KMeans fit in a JVM pays the same JIT class of
+    # cost the ALS warmup absorbs — otherwise it bills to whichever
+    # kmeans query the gate rotation happens to run first
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.sql import functions as F
+
+        pts = spark.range(256).select(
+            (F.col("id") % 17).cast("double").alias("x"),
+            (F.col("id") % 13).cast("double").alias("y"),
+        )
+        vec = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(pts)
+        km = KMeans(k=4, maxIter=3, seed=1).fit(vec)
+        km.transform(vec).count()
+    except Exception as ex:
+        print(f"# bench KMeans warmup failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     import gc

@@ -122,6 +122,22 @@ def _retime(names: list[str]) -> dict[str, float]:
             coldStartStrategy="drop").fit(tiny).recommendForAllUsers(1).count()
     except Exception:
         pass
+    try:
+        # KMeans JIT too: the ivf-kmeans queries fit a quantizer, and a
+        # FRESH retime session otherwise bills the first MLlib KMeans
+        # fit to the flagged query (in-sweep budgets were recorded warm)
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.sql import functions as F
+
+        pts = spark.range(256).select(
+            (F.col("id") % 17).cast("double").alias("x"),
+            (F.col("id") % 13).cast("double").alias("y"),
+        )
+        vec = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(pts)
+        KMeans(k=4, maxIter=3, seed=1).fit(vec).transform(vec).count()
+    except Exception:
+        pass
     out: dict[str, float] = {}
     for name in names:
         fn = QUERIES.get(name)
