@@ -78,6 +78,9 @@ def cmd_als(args) -> int:
     spark = _spark("als")
     p = _pipeline(spark, args)
     p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
+    if args.save_model:
+        p.als.save_model(args.save_model)
+        print(f"saved fitted ALS model to {args.save_model}", file=sys.stderr)
     recs = p.als.recommend_top_k(args.k)
     _write(recs, args.out, args.format_out)
     print(f"wrote top-{args.k} ALS recommendations to {args.out}", file=sys.stderr)
@@ -87,7 +90,13 @@ def cmd_als(args) -> int:
 def cmd_evaluate(args) -> int:
     spark = _spark("evaluate")
     p = _pipeline(spark, args)
-    p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
+    if args.model_dir:
+        # reuse the `als` verb's saved model — the split is recomputed
+        # (deterministic content-hash, so train/validation are identical
+        # to the fitting run's) but the expensive ALS fit is not
+        p.load_als(args.model_dir)
+    else:
+        p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
     out = p.evaluate(k=args.k)
     row = {
         "rmse": out["rmse"].collect()[0][0],
@@ -130,11 +139,15 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.add_argument("--out", required=True)
     sp.add_argument("--format-out", choices=["csv", "parquet"], default="parquet")
+    sp.add_argument("--save-model", default=None,
+                    help="also persist the fitted ALSModel here (reusable by evaluate --model-dir)")
     als_args(sp)
     sp.set_defaults(fn=cmd_als)
 
     sp = sub.add_parser("evaluate", help="split + ALS + RMSE/MAP@K + hit-ratio, one JSON line")
     common(sp)
+    sp.add_argument("--model-dir", default=None,
+                    help="evaluate a model saved by `als --save-model` instead of refitting")
     als_args(sp)
     sp.set_defaults(fn=cmd_evaluate)
 

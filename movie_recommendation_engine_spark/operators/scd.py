@@ -58,7 +58,11 @@ def scd2_apply(
     end_t = dim.schema[end_col].dataType
     hist = dim.filter(F.col(end_col).isNotNull())
     cur = dim.filter(F.col(end_col).isNull())
-    updates = updates.select(*key_cols, *attr_cols).dropDuplicates()
+    # localCheckpoint BEFORE the eager conflict-count action: the merge
+    # below reuses `updates`, and without the checkpoint an expensive
+    # upstream updates frame would be computed twice per batch (round-5
+    # advice) — same reused-frame discipline as the rest of the module
+    updates = updates.select(*key_cols, *attr_cols).dropDuplicates().localCheckpoint()
     n_conflict = (
         updates.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
     )

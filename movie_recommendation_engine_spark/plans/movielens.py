@@ -84,6 +84,17 @@ class MovieLensPipeline:
         ).fit(self._part("train"))
         return self.als
 
+    def load_als(self, path: str) -> AlsRecommender:
+        """Attach a model saved by an earlier ``fit_als(...).save_model``
+        run instead of refitting — the evaluate-after-train path (the
+        CLI's ``als --save-model`` / ``evaluate --model-dir`` pair)."""
+        self.als = AlsRecommender(
+            user_col=self.user_col,
+            item_col=self.item_col,
+            rating_col=self.rating_col,
+        ).load_model(path)
+        return self.als
+
     def evaluate(self, k: int = 100, on: str = "validation") -> dict[str, DataFrame]:
         """RMSE + distributed ranking metrics of the fitted ALS model on a
         held-out split (reference als.py:93-133, kept distributed)."""

@@ -143,6 +143,25 @@ class AlsRecommender:
         self.model = self._estimator().fit(train)
         return self
 
+    def save_model(self, path: str) -> "AlsRecommender":
+        """Persist the fitted ALSModel (MLlib writer) so a later verb or
+        job can serve/evaluate it WITHOUT refitting — factor matrices
+        land as parquet, so load is a scan, not a training run."""
+        assert self.model is not None, "fit first"
+        self.model.write().overwrite().save(path)
+        return self
+
+    def load_model(self, path: str) -> "AlsRecommender":
+        """Load a previously saved ALSModel in place of ``fit``.  The
+        recommender's rank is restored from the model; the other
+        estimator hyper-params only affect fitting and stay as
+        constructed."""
+        from pyspark.ml.recommendation import ALSModel
+
+        self.model = ALSModel.load(path)
+        self.rank = self.model.rank
+        return self
+
     def transform(self, df: DataFrame) -> DataFrame:
         """Score (user, item) pairs (reference als.py:93). Physically:
         df ⋈ userFactors ⋈ itemFactors + dot product, unseen keys

@@ -251,33 +251,72 @@ _GATE_LAST = [
 
 
 # Already-green queries that lead the window's SPARE slots (round-4
-# verdict task 2): after the pending set, the driver's remaining slots
-# re-check previously-green queries — front the float/convention-
-# sensitive ones (logprob family, gini, RRF fusion, the arrow/median
-# pair, micro-unit and decimal-accumulation queries) whose hashes moved
-# during round-4 hardening, so every round's spare capacity re-verifies
-# the queries most likely to drift first.
+# verdict task 2, rotated per round): after the pending set, the
+# driver's remaining slots re-check previously-green queries.  Round-6
+# rotation (round-5 verdict task 6 — shrink the oldest-green set):
+# (a) queries whose code paths CHANGED this round (e2e single-fit
+# reuse, scd.py conflict-guard checkpoint) gate first;
+# (b) the entire r01-green block except the 4 rows-only ML exports
+# (rows-only re-checks spend slots on weaker evidence — each already
+# has a hash-green invariants + rank-1 value twin);
+# (c) the verdict-named doc_bpe_* pair (r04);
+# (d) the r02 events_* block and the float-heaviest r02 stats queries.
+# Exactly 50 names = the full spare window when nothing is pending.
 _RECHECK_FIRST = [
-    "doc_unigram_logprob",
-    "doc_bigram_logprob",
-    "doc_rrf_fusion",
-    "doc_bm25_search",
-    "customer_revenue_gini",
-    "grouped_price_trimmed_mean_arrow",
-    "events_rolling_median5",
-    "embedding_norm_stats",
-    "popularity_eval_pipeline",
-    "customer_link_prediction_aa",
-    "part_pagerank",
-    "part_pagerank_weighted",
-    "als_rank1_rmse",
-    "returnflag_priority_chi2",
-    "brand_return_info_gain",
-    "order_price_drift_psi",
-    "embedding_top_pc_power",
-    "monthly_seasonal_forecast",
-    "label_centroid_similarity",
-    "lineitem_feature_scaling",
+    # (a) touched this round
+    "movielens_e2e_cli",
+    "customer_scd2_batch",
+    "customer_scd2_point_in_time",
+    # (c) verdict-named float-sensitive
+    "doc_bpe_merges",
+    "doc_bpe_encoding",
+    # (b) oldest green: the r01 block (minus rows-only exports)
+    "ann_ivf_top5",
+    "ann_lsh_recall",
+    "ann_lsh_top5",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_text_stats",
+    "doc_tfidf_top_terms",
+    "embedding_neardup",
+    "events_first_per_user_type",
+    "events_sessionized",
+    "events_sliding_10m_5m",
+    "events_tumbling_10m",
+    "knn_bruteforce_top5",
+    "nation_activity_full_outer",
+    "per_group_sample25",
+    "region_priority_grid",
+    "split_counts",
+    "split_label_rows",
+    "stratified_sample_returnflag",
+    "token_freq_cms",
+    "weighted_doc_sample100",
+    # (d) r02: the events block + float-heaviest stats
+    "events_click_attribution",
+    "events_funnel",
+    "events_gap_filled_30m",
+    "events_json_props_stats",
+    "events_running_stats",
+    "events_sessionized_dynamic",
+    "events_time_features",
+    "events_trailing_30m_avg",
+    "events_value_outliers",
+    "acctbal_peer_density",
+    "acctbal_quartiles_per_nation",
+    "quantity_dispersion_stats",
+    "winsorized_price_stats",
+    "recency_weighted_customer_value",
+    "grouped_quantity_quartiles",
+    "price_histogram_20",
+    "pricing_summary",
+    "lineitem_profile",
 ]
 
 

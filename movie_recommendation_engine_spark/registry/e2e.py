@@ -132,21 +132,28 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_csv(ratings, csv_path)
 
-    # the four CLI verbs, exactly as a reference user invokes them
-    cli_main(["split", "--ratings", csv_path, "--out", split_dir])
-    cli_main(["popularity", "--ratings", csv_path, "--k", "100", "--out", pop_dir])
-    cli_main(
-        ["als", "--ratings", csv_path, "--rank", "4", "--max-iter", "2",
-         "--reg", "0.1", "--k", "5", "--out", recs_dir]
-    )
+    # the four CLI verbs, exactly as a reference user invokes them.
     # rank=8/maxIter=4 is the smallest config that reliably clears the
     # rmse <= 2x train-mean-baseline invariant on this synthetic corpus
     # (rank=4/maxIter=2 underfits past it) — do not shrink further for
-    # bench time.
+    # bench time.  ONE fit serves both verbs: `als --save-model` persists
+    # the model and `evaluate --model-dir` reloads it instead of
+    # refitting (round-5 verdict task 5 — the refit was ~13% of the idle
+    # bench sweep).  Every gated scalar is fit-count-independent:
+    # rec_users/rec_rows_ok count model users x k, and the rmse/map
+    # invariants evaluate the SAME rank-8 seed-42 model either way.
+    model_dir = os.path.join(scratch, "als_model")
+    cli_main(["split", "--ratings", csv_path, "--out", split_dir])
+    cli_main(["popularity", "--ratings", csv_path, "--k", "100", "--out", pop_dir])
+    cli_main(
+        ["als", "--ratings", csv_path, "--rank", "8", "--max-iter", "4",
+         "--reg", "0.1", "--k", "5", "--out", recs_dir,
+         "--save-model", model_dir]
+    )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         cli_main(
-            ["evaluate", "--ratings", csv_path, "--rank", "8", "--max-iter", "4",
+            ["evaluate", "--ratings", csv_path, "--model-dir", model_dir,
              "--reg", "0.1", "--k", "100"]
         )
     metrics = json.loads(buf.getvalue().strip().splitlines()[-1])

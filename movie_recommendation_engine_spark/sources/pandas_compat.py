@@ -33,6 +33,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+# Spark integral type -> value range; cells outside it (or with a
+# fractional part) land NULL under the native scan's PERMISSIVE parse
+_INT_BOUNDS: dict[type, tuple[int, int]] = {
+    T.ByteType: (-(2**7), 2**7 - 1),
+    T.ShortType: (-(2**15), 2**15 - 1),
+    T.IntegerType: (-(2**31), 2**31 - 1),
+    T.LongType: (-(2**63), 2**63 - 1),
+}
+
 # Spark scalar type -> pandas NULLABLE extension dtype.  The nullable
 # dtypes matter: plain numpy int64 silently becomes float64 the moment a
 # CSV cell is empty, which would flip the landed Spark type; extension
@@ -125,7 +134,23 @@ def read_csv_pandas(
         if isinstance(field.dataType, T.BooleanType):
             pdf[field.name] = s.str.lower().map({"true": True, "false": False})
         elif not isinstance(field.dataType, T.StringType):
-            pdf[field.name] = pd.to_numeric(s)
+            # PERMISSIVE null-on-malformed, like the native scan: 'abc'
+            # in a numeric column lands NULL, and so do '4.5' or an
+            # out-of-range literal in an INTEGRAL column (Spark's CSV
+            # parser rejects both; the old strict to_numeric raised
+            # instead — round-5 advice).  Strict parse first so a clean
+            # long column keeps exact int64 (coerce's float64 fallback
+            # loses precision past 2^53 — documented interop caveat for
+            # malformed-containing long columns).
+            try:
+                v = pd.to_numeric(s)
+            except (ValueError, TypeError):
+                v = pd.to_numeric(s, errors="coerce")
+            bounds = _INT_BOUNDS.get(type(field.dataType))
+            if bounds is not None:
+                lo, hi = bounds
+                v = v.where((v % 1 == 0) & (v >= lo) & (v <= hi))
+            pdf[field.name] = v
     # Spark file scans land every field nullable regardless of the
     # declared StructType (FileSourceStrategy's asNullable contract);
     # mirror that so the two paths are schema-identical.

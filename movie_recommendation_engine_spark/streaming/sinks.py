@@ -69,9 +69,24 @@ def foreach_batch_upsert(
             merged = upsert(base, batch.select(base.columns), keys)
         else:
             merged = batch
+        # sweep stale uncommitted epochs first: a failed-then-abandoned
+        # or re-checkpointed query must not leak state-sized `.epochK`
+        # directories forever (round-5 advice) — anything not this
+        # epoch's tmp is dead, since commits rename tmp away
+        import glob
+
+        for stale in glob.glob(base_dir + ".epoch*"):
+            if stale != tmp:
+                shutil.rmtree(stale, ignore_errors=True)
         # materialize the new state BEFORE touching the old one (the
-        # write executes the lazy read of `live`)
-        merged.write.mode("overwrite").parquet(tmp)
+        # write executes the lazy read of `live`); on a failed write,
+        # reclaim the partial tmp dir rather than leaving it to a
+        # same-epoch retry that may never come
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         # commit: demote current -> prev, promote tmp -> current.  Every
         # crash point leaves at least one committed copy reachable by
         # the `live` probe above.

@@ -94,6 +94,41 @@ EWMA_STATE_SCHEMA = T.StructType(
     ]
 )
 
+# buffered (reorder-tolerant) variant: the finalized fold plus the
+# still-reorderable tail held as parallel primitive arrays (cheapest
+# shape through the Arrow state boundary)
+EWMA_BUFFER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), True),
+        T.StructField("buf_ts_ms", T.ArrayType(T.LongType(), False), False),
+        T.StructField("buf_event_id", T.ArrayType(T.LongType(), False), False),
+        T.StructField("buf_value", T.ArrayType(T.DoubleType(), True), False),
+    ]
+)
+
+
+def _heal_ewma_acc(s):
+    """Restore-time normalization: a checkpoint written by the pre-NULL-
+    skip code can hold NaN in state.s; ``s is None`` alone would keep it
+    NaN-poisoned forever after upgrade (round-5 advice).  NaN and None
+    both mean 'no value seen yet'."""
+    return None if s is None or pd.isna(s) else float(s)
+
+
+def _fold_ewma(n: int, s, values, alpha: float):
+    """The one EWMA recurrence both stateful variants share: NULLs count
+    toward n_events but SKIP the accumulator (engine-wide monoid skip
+    rule, mirrored in the batch twin's fold — without it one NULL
+    poisoned every later emission, round-5 review)."""
+    for x in values:
+        n += 1
+        if x is None or pd.isna(x):
+            continue
+        x = float(x)
+        s = x if s is None else alpha * x + (1.0 - alpha) * s
+    return n, s
+
 
 def running_user_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Streaming exponentially-weighted moving average per user — the
@@ -102,13 +137,14 @@ def running_user_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     (1-α)·s_{t-1}, seeded with the first value).
 
     EWMA is ORDER-SENSITIVE, unlike the running-totals op: rows sort by
-    (ts, event_id) WITHIN each micro-batch before folding, and
-    cross-batch correctness requires in-order arrival (the file source
-    delivers files in modification-time order; pair with a watermark +
-    small reorder buffer when the transport can reorder).  Full
-    precision lives in state; emission rounds to 6 dp — the exact
-    discipline of the totals op, so the stream converges bit-for-bit to
-    the batch twin's JVM fold (same IEEE ops, same order).
+    (ts, event_id) WITHIN each micro-batch before folding.  This variant
+    assumes in-order arrival ACROSS micro-batches (the file source
+    delivers files in modification-time order); for transports that can
+    reorder across batches use ``running_user_ewma_reordered``, which
+    holds a watermark-bounded reorder buffer in state.  Full precision
+    lives in state; emission rounds to 6 dp — the exact discipline of
+    the totals op, so the stream converges bit-for-bit to the batch
+    twin's JVM fold (same IEEE ops, same order).
     """
 
     def _update(
@@ -116,18 +152,10 @@ def running_user_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         n, s = state.get if state.exists else (0, None)
+        s = _heal_ewma_acc(s)
         pdf = pd.concat(list(batches), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        for x in pdf["value"]:
-            n += 1
-            # NULL values (NaN through Arrow) SKIP the accumulator —
-            # the engine-wide monoid skip rule, mirrored in the batch
-            # twin's fold.  Without the guard one NULL poisoned the
-            # EWMA to NaN for every later emission (round-5 review).
-            if pd.isna(x):
-                continue
-            x = float(x)
-            s = x if s is None else alpha * x + (1.0 - alpha) * s
+        n, s = _fold_ewma(n, s, pdf["value"], alpha)
         state.update((n, None if s is None else float(s)))
         yield pd.DataFrame(
             {
@@ -144,6 +172,90 @@ def running_user_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
             _update,
             outputStructType=EWMA_OUTPUT_SCHEMA,
             stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_ewma_reordered(
+    events: DataFrame, alpha: float = 0.3, lateness: str = "30 minutes"
+) -> DataFrame:
+    """EWMA that tolerates OUT-OF-ORDER arrival across micro-batches —
+    the watermark + reorder-buffer companion to ``running_user_ewma``.
+
+    Mechanics: the input stream carries ``withWatermark("ts", lateness)``
+    (Spark drops rows later than the watermark before they reach the
+    operator, so every arriving row can still be ordered correctly).
+    State holds the finalized fold (n, s) plus a buffer of events whose
+    event time is still inside the lateness horizon.  Each micro-batch:
+    append arrivals to the buffer, sort the buffer by (ts, event_id),
+    fold the RIPE prefix (event time <= current watermark — no
+    earlier-timestamped row can arrive anymore) into (n, s), and keep
+    the rest buffered.  Emission is the TENTATIVE fold of finalized
+    state extended with the sorted buffer, so the last emission equals
+    the batch twin's full in-order fold whenever arrival reorder stays
+    within ``lateness`` — the property the reordered-arrival test
+    asserts.  State size per key is O(events inside the lateness
+    horizon), the standard stream-reordering cost.
+
+    Event times compare against the watermark in epoch millis computed
+    JVM-side (``ts::double * 1000``) — pandas renders Spark timestamps
+    session-timezone-naive, so comparing ``Timestamp.value`` against the
+    UTC watermark would be offset by the session's UTC offset and ripen
+    events hours early or late.
+    """
+
+    def _update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, s, b_ts, b_eid, b_val = state.get
+            s = _heal_ewma_acc(s)
+            buf = [
+                (int(t), int(e), None if pd.isna(v) else float(v))
+                for t, e, v in zip(b_ts, b_eid, b_val)
+            ]
+        else:
+            n, s, buf = 0, None, []
+        for pdf in batches:
+            for t, e, v in zip(pdf["ts_ms"], pdf["event_id"], pdf["value"]):
+                buf.append((int(t), int(e), None if pd.isna(v) else float(v)))
+        buf.sort(key=lambda r: (r[0], r[1]))
+        wm = state.getCurrentWatermarkMs()
+        ripe = [r for r in buf if r[0] <= wm]
+        buf = [r for r in buf if r[0] > wm]
+        n, s = _fold_ewma(n, s, [v for _, _, v in ripe], alpha)
+        state.update(
+            (
+                n,
+                None if s is None else float(s),
+                [r[0] for r in buf],
+                [r[1] for r in buf],
+                [r[2] for r in buf],
+            )
+        )
+        # tentative emission: extend the finalized fold with the sorted
+        # buffer on a copy — the buffer stays authoritative in state
+        tn, ts_acc = _fold_ewma(n, s, [v for _, _, v in buf], alpha)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [tn],
+                "ewma": [None if ts_acc is None else round(ts_acc, 6)],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", lateness)
+        .withColumn("ts_ms", (F.col("ts").cast("double") * 1000).cast("long"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_BUFFER_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

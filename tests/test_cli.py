@@ -62,3 +62,27 @@ def test_movielens_e2e_cli_gate_row(spark):
     assert row.als_rmse_finite_ok and row.als_rmse_le_2x_baseline_ok
     assert row.als_map_in_range_ok
     assert 0.0 <= row.pop_hit_ratio <= 1.0
+
+
+def test_cli_als_save_model_evaluate_reuse(spark, ratings_csv, tmp_path, capsys):
+    """`als --save-model` + `evaluate --model-dir` must produce the SAME
+    metrics JSON as a fresh evaluate fit at the same config — the saved
+    model IS the model a refit would produce (same train split, same
+    seed), so reuse changes cost, never results."""
+    from movie_recommendation_engine_spark.__main__ import main
+
+    recs = tmp_path / "recs"
+    model = tmp_path / "model"
+    args = ["--rank", "4", "--max-iter", "1", "--k", "5"]
+    assert (
+        main(["als", "--ratings", ratings_csv, "--out", str(recs),
+              "--save-model", str(model)] + args)
+        == 0
+    )
+    assert spark.read.parquet(str(recs)).count() > 0
+    assert main(["evaluate", "--ratings", ratings_csv,
+                 "--model-dir", str(model), "--k", "5"]) == 0
+    reused = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["evaluate", "--ratings", ratings_csv] + args) == 0
+    refit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert reused == refit

@@ -178,3 +178,33 @@ def test_read_csv_pandas_boolean_column(spark):
         native = read_csv(spark, path, schema, header=False)
         compat = read_csv_pandas(spark, path, schema, header=False)
         assert _sorted_rows(compat) == _sorted_rows(native)
+
+
+def test_read_csv_pandas_malformed_numeric_nulls_like_native(spark):
+    """PERMISSIVE null-on-malformed parity (round-5 advice): 'abc' in an
+    int column, fractional text in an int column, and an out-of-range
+    integer all land NULL under the native scan — the pandas path must
+    coerce to the same NULLs instead of raising."""
+    with tempfile.TemporaryDirectory() as d:
+        path = _write(
+            d,
+            "bad.csv",
+            CSV_HEADER
+            + "1,10,4.5,964982703\n"      # clean row
+            + "abc,20,3.0,964982931\n"    # text in int column
+            + "4.5,30,2.0,964982931\n"    # fractional in int column
+            + "3,99999999999,1.0,5\n"     # > 2^31-1 in Int32 column
+            + "4,40,xyz,6\n",             # text in float column
+        )
+        native = read_csv(spark, path, RATINGS_SCHEMA, header=True)
+        compat = read_csv_pandas(spark, path, RATINGS_SCHEMA, header=True)
+        from collections import Counter
+
+        # multiset compare (rows contain NULLs, which don't sort)
+        assert Counter(map(tuple, compat.collect())) == Counter(
+            map(tuple, native.collect())
+        )
+        by_movie = {r.movieId: r for r in compat.collect()}
+        assert by_movie[20].userId is None and by_movie[30].userId is None
+        assert by_movie[40].rating is None
+        assert any(r.movieId is None for r in compat.collect())  # overflow row

@@ -565,3 +565,113 @@ def test_nation_rollup_routes_negative_user_ids(spark):
              "user_id", "event_type", "value", "props")
     [r] = enriched_nation_rollup(df, nation).collect()
     assert r.n_name == "N22" and r.n_events == 1  # pmod(-3, 25) = 22
+
+
+def test_stateful_ewma_reordered_arrival_converges_to_batch(spark):
+    """Reorder-buffer EWMA (round-5 verdict task): events arrive SHUFFLED
+    within files and SWAPPED across file boundaries — reorder bounded by
+    the 5-minute lateness.  The watermark-buffered variant must still
+    equal the batch twin's full in-order fold, exercising all three
+    paths: buffering (tail events never ripen), ripening (early events
+    fold once the watermark passes them), and cross-batch sorting (the
+    boundary-swapped events fold in event-time order, not arrival
+    order)."""
+    import os
+    import random
+    import time as _time
+
+    from movie_recommendation_engine_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+    )
+    from movie_recommendation_engine_spark.streaming.stateful import (
+        running_user_ewma_reordered,
+        user_ewma_batch,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_reordered_")
+    try:
+        rows = [
+            (i, f"2024-01-01 00:{i:02d}:00", 1 + i % 2, "tick", float((i * 7) % 13), "{}")
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+        # arrival files: time slices with the boundary events SWAPPED
+        # across files (9<->10, 19<->20) — cross-micro-batch reorder the
+        # in-order variant cannot fix — plus within-file shuffle
+        slices = [list(range(0, 10)), list(range(10, 20)), list(range(20, 30))]
+        slices[0][9], slices[1][0] = slices[1][0], slices[0][9]
+        slices[1][9], slices[2][0] = slices[2][0], slices[1][9]
+        rng = random.Random(0)
+        for sl in slices:
+            rng.shuffle(sl)
+            df.filter(F.col("event_id").isin(sl)).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        stream = read_events_stream(spark, d)
+        got_rows = _run_stream(
+            spark,
+            running_user_ewma_reordered(stream, alpha=0.3, lateness="5 minutes"),
+            "t_ewma_reord",
+            "update",
+        )
+        final = {}
+        for r in got_rows.collect():
+            if r.user_id not in final or r.n_events > final[r.user_id][0]:
+                final[r.user_id] = (r.n_events, r.ewma)
+        batch = spark.read.schema(EVENTS_SCHEMA).parquet(d)
+        want = {
+            r.user_id: (r.n_events, r.ewma)
+            for r in user_ewma_batch(batch, alpha=0.3).collect()
+        }
+        assert final == want and len(want) == 2
+        assert all(n == 15 for n, _ in final.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ewma_state_heal_normalizes_legacy_nan():
+    """A checkpoint written by the pre-NULL-skip code can hold NaN in
+    state.s; restore must self-heal it to 'no value yet' (round-5
+    advice) — `s is None` alone kept it NaN-poisoned forever."""
+    from movie_recommendation_engine_spark.streaming.stateful import _heal_ewma_acc
+
+    assert _heal_ewma_acc(None) is None
+    assert _heal_ewma_acc(float("nan")) is None
+    assert _heal_ewma_acc(2.5) == 2.5
+
+
+def test_foreach_batch_upsert_sweeps_stale_epoch_dirs(spark, events_dir):
+    """A failed/abandoned epoch's tmp dir must not leak forever: the
+    sink sweeps stale `.epochN` siblings before committing (round-5
+    advice)."""
+    import os
+
+    from movie_recommendation_engine_spark.streaming.sinks import foreach_batch_upsert
+
+    state = tempfile.mkdtemp(prefix="upsert_sweep_") + "/table"
+    ckpt = tempfile.mkdtemp(prefix="upsert_sweep_ckpt_")
+    stale = state + ".epoch999"
+    try:
+        os.makedirs(stale)
+        with open(os.path.join(stale, "part-junk.parquet"), "w") as f:
+            f.write("abandoned partial write")
+        stream = read_events_stream(spark, events_dir)
+        totals = stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+        q = foreach_batch_upsert(totals, state, ["user_id"], ckpt)
+        q.awaitTermination(120)
+        assert not os.path.exists(stale)  # swept
+        assert spark.read.parquet(state).count() > 0  # state still committed
+    finally:
+        shutil.rmtree(os.path.dirname(state), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

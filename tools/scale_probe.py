@@ -1,13 +1,19 @@
-"""Scale-probe bench tier (round-3 verdict task 6): time the heaviest
-queries at two adjacent scale factors and report the wall-clock scaling
-ratio, flagging anything super-linear in the data growth.
+"""Scale-probe bench tier (round-3 verdict task 6; second decade added
+round 6): time the heaviest queries at ADJACENT scale factors and report
+the wall-clock scaling ratio per decade, flagging anything super-linear
+in the data growth.
 
 The per-round bench measures one SF; this probe is the cross-SF
-derivative — the check that caught nothing at sf0.1 would also catch
-nothing at sf1.  /root/testdata tops out at sf0.1, so the probe runs
-sf0.01 -> sf0.1 (10x lineitem/orders/documents rows; embeddings grow
-4x, 500 -> 2000 vectors — ratios for embedding queries are read against
-that smaller growth).
+derivative — the check that a plan that looks fine at one SF does not
+do super-linear work as data grows.  Decades probed:
+
+- sf0.01 -> sf0.1 (driver testdata; 10x lineitem/orders/documents,
+  embeddings grow only 4x, 500 -> 2000 — read embedding-query ratios in
+  THIS decade against that smaller growth);
+- sf0.1 -> sf1 (the repo-generated decade: `tools/gen_scale_sf.py`
+  key-shifted 10x replication, ALL tables including embeddings grow a
+  true 10x).  Skipped with a note if `.scale/sf1` has not been
+  generated.
 
 Each query runs ``runs`` times per SF in one JVM and reports the MIN
 (steady-state plan cost; the first run pays JIT/codegen — the same
@@ -20,6 +26,7 @@ Usage:
     python tools/scale_probe.py [N]         # N heaviest (default 12)
     python tools/scale_probe.py name...     # explicit query list
 Writes BENCH_SCALE.md at the repo root and prints the same table.
+Env: SPARK_GRAFT_SF1_DIR overrides the sf1 location.
 """
 
 from __future__ import annotations
@@ -35,7 +42,8 @@ sys.path.insert(0, ROOT)
 
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
-DATA_GROWTH = 10.0  # lineitem/orders/documents; embeddings grow 4x
+SF_XL = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(ROOT, ".scale", "sf1"))
+DATA_GROWTH = 10.0  # per decade; embeddings grow 4x in decade 1 only
 RUNS = 2
 # e2e compositions measure their whole pipeline (ALS fits, dedup
 # cascade) — their cost story is audited per-stage, not cross-SF
@@ -55,12 +63,23 @@ def main(argv: list[str]) -> int:
     else:
         names = pick_heaviest(int(argv[0]) if argv else 12)
 
+    have_xl = os.path.isdir(SF_XL) and os.path.isdir(
+        os.path.join(SF_XL, "lineitem.parquet")
+    )
+    sf_dirs = [SF_SMALL, SF_BIG] + ([SF_XL] if have_xl else [])
+    if not have_xl:
+        print(
+            f"# {SF_XL} not generated (python tools/gen_scale_sf.py) — "
+            "probing one decade only",
+            file=sys.stderr,
+        )
+
     from movie_recommendation_engine_spark.registry import QUERIES
     from movie_recommendation_engine_spark.session import get_spark
 
     spark = get_spark("scale_probe", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir in (SF_SMALL, SF_BIG):  # warm parquet footers
+    for sf_dir in sf_dirs:  # warm parquet footers
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     results: dict[str, dict[str, float]] = {}
@@ -69,7 +88,7 @@ def main(argv: list[str]) -> int:
             print(f"# unknown query {name}, skipping", file=sys.stderr)
             continue
         row: dict[str, float] = {}
-        for sf_dir in (SF_SMALL, SF_BIG):
+        for sf_dir in sf_dirs:
             best = float("inf")
             for _ in range(RUNS):
                 df = None
@@ -80,35 +99,66 @@ def main(argv: list[str]) -> int:
                 df = None
                 gc.collect()
             row[sf_dir] = round(best, 3)
-        row["ratio"] = round(row[SF_BIG] / row[SF_SMALL], 2)
+        row["ratio1"] = round(row[SF_BIG] / row[SF_SMALL], 2)
+        if have_xl:
+            row["ratio2"] = round(row[SF_XL] / row[SF_BIG], 2)
         results[name] = row
-        print(f"# {name}: {row[SF_SMALL]}s -> {row[SF_BIG]}s "
-              f"(x{row['ratio']})", file=sys.stderr)
+        msg = f"# {name}: {row[SF_SMALL]}s -> {row[SF_BIG]}s (x{row['ratio1']})"
+        if have_xl:
+            msg += f" -> {row[SF_XL]}s (x{row['ratio2']})"
+        print(msg, file=sys.stderr)
     spark.stop()
+
+    def worst_of(row: dict[str, float]) -> float:
+        return max(row.get("ratio1", 0.0), row.get("ratio2", 0.0))
 
     lines = [
         "# BENCH_SCALE — cross-SF scaling probe",
         "",
-        f"Heaviest queries timed at sf0.01 and sf0.1 (min of {RUNS} runs "
-        "per SF, one local[32] JVM; `tools/scale_probe.py`).  Data grows "
-        "10x between these SFs (embeddings 4x).  `ratio` is wall-clock "
-        "sf0.1/sf0.01; `grade` is sub-linear/linear/SUPER-LINEAR vs the "
-        "10x data growth (super-linear = ratio > 10).",
+        f"Heaviest queries timed at sf0.01, sf0.1"
+        + (", and sf1" if have_xl else "")
+        + f" (min of {RUNS} runs per SF, one local[32] JVM; "
+        "`tools/scale_probe.py`).  Each decade grows the data 10x "
+        "(exception: embeddings grow 4x in decade 1, 500 -> 2000 "
+        "vectors; the generated sf1 grows them a true 10x).  "
+        "`ratio1` = sf0.1/sf0.01, `ratio2` = sf1/sf0.1 wall-clock; "
+        "`grade` is sub-linear/linear/SUPER-LINEAR of the WORST decade "
+        "vs the 10x growth (super-linear = ratio > 10).",
         "",
-        "| query | sf0.01 (s) | sf0.1 (s) | ratio | grade |",
-        "|---|---|---|---|---|",
     ]
-    for name, row in sorted(results.items(), key=lambda kv: -kv[1]["ratio"]):
-        r = row["ratio"]
+    if have_xl:
+        lines += [
+            "sf1 is `tools/gen_scale_sf.py` key-shifted 10x replication of "
+            "sf0.1 (join fan-outs and per-key distributions preserved "
+            "exactly; document text alphabet-rotated per replica so "
+            "near-dup structure grows linearly instead of forming "
+            "cross-replica duplicate cliques).",
+            "",
+            "| query | sf0.01 (s) | sf0.1 (s) | ratio1 | sf1 (s) | ratio2 | grade |",
+            "|---|---|---|---|---|---|---|",
+        ]
+    else:
+        lines += [
+            "| query | sf0.01 (s) | sf0.1 (s) | ratio1 | grade |",
+            "|---|---|---|---|---|",
+        ]
+    for name, row in sorted(results.items(), key=lambda kv: -worst_of(kv[1])):
+        r = worst_of(row)
         grade = "SUPER-LINEAR" if r > DATA_GROWTH else (
             "linear" if r > 0.7 * DATA_GROWTH else "sub-linear")
-        lines.append(
-            f"| {name} | {row[SF_SMALL]} | {row[SF_BIG]} | {r} | {grade} |"
-        )
-    worst = max(results.values(), key=lambda r: r["ratio"])["ratio"] if results else 0
+        if have_xl:
+            lines.append(
+                f"| {name} | {row[SF_SMALL]} | {row[SF_BIG]} | {row['ratio1']} "
+                f"| {row[SF_XL]} | {row['ratio2']} | {grade} |"
+            )
+        else:
+            lines.append(
+                f"| {name} | {row[SF_SMALL]} | {row[SF_BIG]} | {row['ratio1']} | {grade} |"
+            )
+    worst = max((worst_of(r) for r in results.values()), default=0)
     lines += [
         "",
-        f"Worst observed ratio: {worst} (data growth {DATA_GROWTH}).",
+        f"Worst observed per-decade ratio: {worst} (data growth {DATA_GROWTH}).",
         "",
     ]
     out = "\n".join(lines)
