@@ -51,6 +51,27 @@ def md5_long(*cols: Column | str, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
 
 
+def md5_long60(*cols: Column | str, salt: str = "") -> Column:
+    """First 60 bits of md5 over the concatenated key, as a long — the
+    WIDE variant of ``md5_long`` for fingerprints whose collision
+    statistics must survive large corpora (a 32-bit SimHash produces
+    chance Hamming-<=k collisions quadratically in corpus size; 60 bits
+    pushes that below one expected pair at any realistic n).  60 and
+    not 64 because both engines parse the hex prefix into a SIGNED
+    64-bit integer: 15 hex chars is the widest prefix that can never
+    overflow it.
+
+    Equivalent DuckDB SQL:
+        CAST(('0x' || substr(md5(concat_ws(chr(1), cols...)), 1, 15)) AS BIGINT)
+
+    Same NULL-skipping concat_ws hazard as ``md5_long``.
+    """
+    key = F.concat_ws(_SEP, *[F.col(c) if isinstance(c, str) else c for c in cols])
+    if salt:
+        key = F.concat_ws(_SEP, F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
 def uniform_hash(*cols: Column | str, salt: str = "") -> Column:
     """Deterministic pseudo-uniform double in [0,1) from key columns."""
     return (md5_long(*cols, salt=salt) / F.lit(_TWO_32)).cast("double")

@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.rounding import det_round
-from ..functions.hashing import md5_long
+from ..functions.hashing import md5_long, md5_long60
 from .text import exact_fingerprint, word_shingles
 
 
@@ -454,11 +454,24 @@ def simhash_fingerprint(
     just 32768 shingles — half the budget the old docstring claimed —
     raising under ANSI or silently corrupting the fingerprint without
     it (round-5 review finding).
+
+    ``bits`` may be up to 60 (the widest prefix both engines parse into
+    a signed 64-bit integer): bits <= 32 hash shingles with
+    ``md5_long``, wider fingerprints with ``md5_long60``.  WIDTH IS THE
+    SCALE LEVER — chance Hamming-<=k collisions between unrelated
+    documents scale as n^2 * P(ham<=k), and P is ~2.6e-4 at 32/6 (a
+    false-pair EXPLOSION past ~10k docs, measured x61 wall at the
+    round-6 sf1 probe) versus ~3e-14 at 60/3 (the Manku et al. 2007
+    wide-fingerprint/small-radius regime; zero expected chance pairs at
+    any realistic corpus).
     """
+    if bits > 60:
+        raise ValueError("bits > 60 would overflow the signed-64 hex parse")
     ex = _shingled(df, id_col, text_col, n).select(
         F.col(id_col).alias("id"), F.explode("shingles").alias("g")
     )
-    h = md5_long(F.concat_ws("\x01", F.lit(salt), F.col("g")))
+    hash_fn = md5_long if bits <= 32 else md5_long60
+    h = hash_fn(F.concat_ws("\x01", F.lit(salt), F.col("g")))
     if not packed:
         votes = ex.groupBy("id").agg(
             *[
@@ -524,9 +537,17 @@ def simhash_pairs(
     block value) generates candidates with guaranteed recall — results
     are bit-identical to the naive O(n^2) cross join the oracle runs.
     The fingerprint table is cached so the candidate join and the verify
-    join share one computation.  For very large corpora raise ``bits``
-    (wider blocks -> fewer chance collisions per bucket).
-    Output: (id_a, id_b, hamming).
+    join share one computation.  Output: (id_a, id_b, hamming).
+
+    SCALE CONTRACT — block width bounds everything: expected bucket size
+    is n / 2^(bits // (max_hamming+1)), so candidate volume is
+    ~(max_hamming+1) * n^2 / 2^width.  The round-6 sf1 probe measured
+    the default-width failure concretely: 32/6 gives 5-bit blocks (32
+    bucket values — n^2/32 candidates, x61 wall on 10x docs), while
+    60/3 gives 15-bit blocks (32768 values — the same probe runs
+    linearly).  Keep ``2^(bits // (max_hamming+1)) >> n / desired
+    bucket size``; past ~5M docs move to multiple permuted fingerprint
+    tables (Manku et al. 2007 §3) rather than wider single blocks.
     """
     fp = simhash_fingerprint(df, id_col, text_col, n=n, bits=bits).localCheckpoint(eager=False)
     n_blocks = max_hamming + 1

@@ -491,7 +491,10 @@ def semdedup(
     here are deterministic seed vectors (id % cent_mod == cent_rem),
     the engine's oracle-reproducible quantizer (swap in
     ``ivf_kmeans_topk``'s MLlib KMeans for better balance when oracle
-    replay isn't needed).  At 100 TB: centroids broadcast (one narrow
+    replay isn't needed).  SIZE ``cent_mod`` ~ isqrt(n): n_cells is
+    n/cent_mod, so a FIXED modulus silently makes the broadcast-assign
+    pass n^2/cent_mod (the round-6 sf1 probe measured it; the registry
+    query derives the modulus from a count for exactly this reason).  At 100 TB: centroids broadcast (one narrow
     pass to assign), the pair join shuffles on cluster id only, and a
     cluster-size cap (re-split oversized cells by a secondary hash)
     guards the skewed-cell worst case.

@@ -263,10 +263,17 @@ _GATE_LAST = [
 # (d) the r02 events_* block and the float-heaviest r02 stats queries.
 # Exactly 50 names = the full spare window when nothing is pending.
 _RECHECK_FIRST = [
-    # (a) touched this round
+    # (a) touched this round (e2e single-fit, scd checkpoint, and the
+    # four scale-probe fixes: 60/3 simhash, adaptive semdedup/IVF
+    # quantizer moduli, capped ALS probes — dedup_simhash and
+    # ann_ivf_top5 are already in block (b) below)
     "movielens_e2e_cli",
     "customer_scd2_batch",
     "customer_scd2_point_in_time",
+    "semantic_dedup_semdedup",
+    "als_item_neighbors_invariants",
+    "als_recommend_invariants",
+    "popularity_top100",
     # (c) verdict-named float-sensitive
     "doc_bpe_merges",
     "doc_bpe_encoding",
@@ -311,11 +318,7 @@ _RECHECK_FIRST = [
     "acctbal_peer_density",
     "acctbal_quartiles_per_nation",
     "quantity_dispersion_stats",
-    "winsorized_price_stats",
     "recency_weighted_customer_value",
-    "grouped_quantity_quartiles",
-    "price_histogram_20",
-    "pricing_summary",
     "lineitem_profile",
 ]
 

@@ -186,26 +186,36 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {SHINGLES},
 hb AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(concat_ws(chr(1), 'sh', g)), 1, 8)) AS BIGINT) AS h
+         CAST(('0x' || substr(md5(concat_ws(chr(1), 'sh', g)), 1, 15)) AS BIGINT) AS h
   FROM ex),
 votes AS (
   SELECT doc_id, CAST(b.range AS INT) AS bit,
          sum(CASE WHEN (h >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM hb, range(32) b GROUP BY 1, 2),
+  FROM hb, range(60) b GROUP BY 1, 2),
 fp AS (
   SELECT doc_id,
          sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS f
   FROM votes GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.f, b.f)) <= 6
+WHERE bit_count(xor(a.f, b.f)) <= 3
 ORDER BY id_a, id_b
 """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash, pairs within Hamming distance 6."""
+    """60-bit SimHash, pairs within Hamming distance 3 — the wide-
+    fingerprint/small-radius regime (Manku et al. 2007).  Upgraded from
+    32/6 in round 6: at 32 bits, CHANCE Hamming-<=6 collisions between
+    unrelated documents (P ~ 2.6e-4 per pair) made both the candidate
+    volume and the RESULT itself grow quadratically with corpus size —
+    the sf1 scale probe measured x61 wall on 10x documents.  At 60/3
+    the chance-pair expectation is ~3e-14 * n^2 (zero at any realistic
+    corpus), banding buckets hold n/32768 docs, and the same probe runs
+    linearly; output is true near-duplicates only."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", n=2, max_hamming=6).orderBy("id_a", "id_b")
+    return simhash_pairs(
+        docs, "doc_id", "text", n=2, max_hamming=3, bits=60
+    ).orderBy("id_a", "id_b")
 
 
 _H_CONTAM = f"({duck_hash_sql('contam', 'doc_id')}) < 0.8"

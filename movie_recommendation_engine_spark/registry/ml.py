@@ -78,6 +78,17 @@ def _split_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALS_CACHE: dict[tuple[str, str], AlsRecommender] = {}
 
 
+# Structural caps on the ALS probe sides (round-6 scale probe: the
+# modulus-defined probes GROW WITH THE CATALOG, so probe x catalog
+# scoring was quadratic in SF — x84 wall at sf0.1 -> sf1.  Caps restore
+# the engine-wide bounded-|Q| contract every brute-force scorer
+# documents; both caps exceed the sf0.01 probe sizes, so the driver
+# gate's hashes are unchanged).  ORDER BY id LIMIT on BOTH engines —
+# deterministic, and the cap is part of the plan, not a sample.
+_ITEM_PROBE_CAP = 64   # sf0.01 probe ~10 items; binds from sf0.1 up
+_USER_PROBE_CAP = 512  # sf0.01 probe ~405 users; binds from sf0.1 up
+
+
 def _fitted_als(spark: SparkSession, sf_dir: str) -> AlsRecommender:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ALS_CACHE:
@@ -205,8 +216,12 @@ def q_als_recommend_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not SQL-expressible."""
     rec = _fitted_als(spark, sf_dir)
     labeled = _split_ratings(spark, sf_dir)
-    active = labeled.select("l_orderkey").distinct().filter(
-        F.col("l_orderkey") % 37 == 0
+    active = (
+        labeled.select("l_orderkey")
+        .distinct()
+        .filter(F.col("l_orderkey") % 37 == 0)
+        .orderBy("l_orderkey")
+        .limit(_USER_PROBE_CAP)
     )
     return rec.recommend_for_users(active, k=5, flat=True)
 
@@ -219,7 +234,13 @@ def q_als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible."""
     labeled = _split_ratings(spark, sf_dir)
     train = labeled.filter(F.col("split") == "train")
-    probe = train.select("l_partkey").distinct().filter(F.col("l_partkey") % 199 == 0)
+    probe = (
+        train.select("l_partkey")
+        .distinct()
+        .filter(F.col("l_partkey") % 199 == 0)
+        .orderBy("l_partkey")
+        .limit(_ITEM_PROBE_CAP)
+    )
     rec = _fitted_als(spark, sf_dir)
     return rec.item_neighbors(k=5, items=probe).orderBy("l_partkey", "rank")
 
@@ -229,7 +250,8 @@ def q_als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH labeled AS ({_SPLIT_SQL}),
 train AS (SELECT * FROM labeled WHERE split = 'train'),
-probe AS (SELECT DISTINCT l_partkey FROM train WHERE l_partkey % 199 = 0)
+probe AS (SELECT DISTINCT l_partkey FROM train WHERE l_partkey % 199 = 0
+          ORDER BY l_partkey LIMIT 64)
 SELECT count(*) AS n_items,
        count(*) * 5 AS n_rows,
        true AS rows_per_item_ok,
@@ -256,7 +278,13 @@ def q_als_item_neighbors_invariants(spark: SparkSession, sf_dir: str) -> DataFra
     cosines themselves)."""
     labeled = _split_ratings(spark, sf_dir)
     train = labeled.filter(F.col("split") == "train")
-    probe = train.select("l_partkey").distinct().filter(F.col("l_partkey") % 199 == 0)
+    probe = (
+        train.select("l_partkey")
+        .distinct()
+        .filter(F.col("l_partkey") % 199 == 0)
+        .orderBy("l_partkey")
+        .limit(_ITEM_PROBE_CAP)
+    )
     rec = _fitted_als(spark, sf_dir)
     out = rec.item_neighbors(k=5, items=probe)
     catalog = train.select("l_partkey").distinct().select(
@@ -308,7 +336,9 @@ def q_als_rmse_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH labeled AS ({_SPLIT_SQL}),
 train AS (SELECT * FROM labeled WHERE split = 'train'),
-servable AS (SELECT DISTINCT l_orderkey FROM train WHERE l_orderkey % 37 = 0)
+active AS (SELECT DISTINCT l_orderkey FROM labeled WHERE l_orderkey % 37 = 0
+           ORDER BY l_orderkey LIMIT 512),
+servable AS (SELECT DISTINCT t.l_orderkey FROM train t JOIN active a USING (l_orderkey))
 SELECT count(*) AS n_users,
        count(*) * 5 AS n_rows,
        true AS rows_per_user_ok,
@@ -331,8 +361,12 @@ def q_als_recommend_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = _fitted_als(spark, sf_dir)
     labeled = _split_ratings(spark, sf_dir)
     train = labeled.filter(F.col("split") == "train")
-    active = labeled.select("l_orderkey").distinct().filter(
-        F.col("l_orderkey") % 37 == 0
+    active = (
+        labeled.select("l_orderkey")
+        .distinct()
+        .filter(F.col("l_orderkey") % 37 == 0)
+        .orderBy("l_orderkey")
+        .limit(_USER_PROBE_CAP)
     )
     recs = rec.recommend_for_users(active, k=5, flat=True)
     train_items = train.select("l_partkey").distinct().withColumn(

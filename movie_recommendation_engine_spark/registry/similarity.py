@@ -166,7 +166,8 @@ _IVF_ASSIGN_COS = (
     "ann_ivf_top5",
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 29 = 1),
+m AS (SELECT greatest(29, CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM e),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e, m WHERE vec_id % m.stride = 1),
 assign AS (
   SELECT neighbor_id, cent_id, v FROM (
     SELECT e.vec_id AS neighbor_id, c.cent_id, e.v,
@@ -195,10 +196,23 @@ ORDER BY query_id, rank
 def q_ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-5 (deterministic seed centroids, nprobe=2) for
     the same query subset as knn_bruteforce_top5 — the inverted-file
-    scale path; compare against the brute-force oracle for recall."""
+    scale path; compare against the brute-force oracle for recall.
+
+    The centroid stride scales with the corpus (round-6, same fix as
+    semantic_dedup_semdedup): fixed stride 29 made the centroid count
+    linear in n, so the one-pass broadcast ASSIGN was n^2/29 cosines in
+    disguise; ``max(29, isqrt(n))`` keeps ~sqrt(n) cells of ~sqrt(n)
+    members — assign and probe both ~n^1.5, the IVF cost model.
+    Non-binding below 841 vectors, so the sf0.01 gate hash is
+    unchanged."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0)
-    return ivf_topk(queries, emb, k=5, stride=29, nprobe=2).orderBy("query_id", "rank")
+    stride = max(29, math.isqrt(emb.count()))
+    return ivf_topk(queries, emb, k=5, stride=stride, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
 
 
 @register("ann_ivf_kmeans_top5")
@@ -474,7 +488,8 @@ _SD_ASSIGN_COS = (
     "semantic_dedup_semdedup",
     oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 29 = 1),
+m AS (SELECT greatest(29, CAST(floor(sqrt(count(*))) AS BIGINT)) AS cent_mod FROM e),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e, m WHERE vec_id % m.cent_mod = 1),
 assign AS (
   SELECT vec_id, v, cent_id, cent_cos FROM (
     SELECT e.vec_id, e.v, c.cent_id, {_SD_ASSIGN_COS} AS cent_cos,
@@ -497,11 +512,26 @@ def q_semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embedding corpus: coarse-quantize to the
     deterministic seed centroids, drop within-cluster pairs with cosine
     >= 0.4 keeping the lowest id (operators.similarity.semdedup — the
-    clustering bounds the pair join, never all-pairs)."""
+    clustering bounds the pair join, never all-pairs).
+
+    The quantizer granularity scales with the corpus (round-6 scale
+    probe): ``cent_mod = max(29, isqrt(n))`` gives ~sqrt(n) centroids
+    of ~sqrt(n) members each, so BOTH the broadcast-assign pass and the
+    within-cluster pair join are ~n^1.5 — the cost model the operator
+    documents.  The old fixed mod 29 made the centroid count LINEAR in
+    n, so the assign crossJoin was n^2/29 in disguise.  max(29, ...)
+    keeps every corpus <= 841 vectors (sf0.01's 500 included, so the
+    driver gate's hash is unchanged) on the original quantizer.  The
+    one count() this costs is a columnless scan, and the oracle derives
+    the same modulus with floor(sqrt(count(*))) — exact for any corpus
+    below 2^52."""
+    import math
+
     from ..operators.similarity import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semdedup(emb, tau=0.4).orderBy("vec_id")
+    mod = max(29, math.isqrt(emb.count()))
+    return semdedup(emb, tau=0.4, cent_mod=mod).orderBy("vec_id")
 
 
 @register(

@@ -197,6 +197,20 @@ def main(argv: list[str]) -> int:
         budget_doc = json.load(fh)
     budget: dict[str, float] = budget_doc["queries"]
 
+    # surface the run's own noise context up front (bench.py stamps
+    # /proc/stat deltas over the timed window): adjudication verdicts
+    # below should be read against it — high steal/iowait means sweep
+    # exceedances are expected and the steady retimes are the signal
+    hl = bench.get("host_load") or {}
+    if hl.get("steal_pct") is not None:
+        noisy = hl["steal_pct"] > 2.0 or hl.get("iowait_pct", 0) > 5.0
+        print(
+            f"# host_load: steal {hl['steal_pct']}% iowait "
+            f"{hl.get('iowait_pct')}% busy {hl.get('cpu_busy_pct')}% over "
+            f"{hl.get('wall_sec')}s"
+            + (" — CONTENDED HOST, sweep totals are not a code signal" if noisy else "")
+        )
+
     regressions, errors, noise = [], [], []
     for name, t in sorted(timings.items()):
         if t < 0:

@@ -44,7 +44,10 @@ SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
 SF_XL = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(ROOT, ".scale", "sf1"))
 DATA_GROWTH = 10.0  # per decade; embeddings grow 4x in decade 1 only
-RUNS = 2
+# min of 3, not 2: at sf1 identical-plan reruns vary ±50% on GC/memory
+# churn in one JVM (measured round 6: part_pagerank 47.6/51.4/59.7s);
+# two samples of that distribution still flag linear plans
+RUNS = 3
 # e2e compositions measure their whole pipeline (ALS fits, dedup
 # cascade) — their cost story is audited per-stage, not cross-SF
 E2E = {"movielens_e2e_cli", "corpus_curation_e2e", "dedup_pipeline_summary"}
@@ -77,10 +80,22 @@ def main(argv: list[str]) -> int:
     from movie_recommendation_engine_spark.registry import QUERIES
     from movie_recommendation_engine_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark("scale_probe", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir in sf_dirs:  # warm parquet footers
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for sf_dir in sf_dirs:
+        # warm parquet footers AND the shuffle machinery at each SF: the
+        # first real shuffle at a new data scale pays one-time JVM costs
+        # (codegen, exec-memory pool growth) that otherwise bill to
+        # whichever query the ordering puts first — measured round 6:
+        # the first pagerank-family query at sf1 read x14.7-x20.9 while
+        # the same query warm read x5
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        df.count()
+        df.groupBy("l_orderkey").agg(F.count("*").alias("n")).agg(
+            F.sum("n")
+        ).collect()
 
     results: dict[str, dict[str, float]] = {}
     for name in names:
@@ -107,17 +122,48 @@ def main(argv: list[str]) -> int:
         if have_xl:
             msg += f" -> {row[SF_XL]}s (x{row['ratio2']})"
         print(msg, file=sys.stderr)
-    spark.stop()
 
     def worst_of(row: dict[str, float]) -> float:
         return max(row.get("ratio1", 0.0), row.get("ratio2", 0.0))
+
+    # Self-adjudicating retime pass (the same discipline as
+    # tools/bench_check.py): any query whose worst decade exceeds the
+    # data growth is re-timed NOW, at the END of the session — every
+    # JVM/codegen/memory-pool cost is fully warm, so position-in-probe
+    # artifacts are stripped and only a genuinely super-linear plan can
+    # stay flagged.  Measured need (round 6): the FIRST pagerank-family
+    # query at sf1 read x12-x21 depending on probe order; the identical
+    # query re-timed warm reads x5-x8.  Mins merge, so retiming can only
+    # correct upward-biased samples, never manufacture a better plan.
+    flagged = [n for n, r in results.items() if worst_of(r) > DATA_GROWTH]
+    if flagged:
+        print(f"# retiming {len(flagged)} flagged warm: {', '.join(flagged)}",
+              file=sys.stderr)
+        for name in flagged:
+            row = results[name]
+            for sf_dir in sf_dirs:
+                for _ in range(RUNS):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).count()
+                    row[sf_dir] = min(row[sf_dir], round(time.perf_counter() - t0, 3))
+                    gc.collect()
+            row["ratio1"] = round(row[SF_BIG] / row[SF_SMALL], 2)
+            if have_xl:
+                row["ratio2"] = round(row[SF_XL] / row[SF_BIG], 2)
+            msg = f"# retimed {name}: {row[SF_SMALL]}s -> {row[SF_BIG]}s (x{row['ratio1']})"
+            if have_xl:
+                msg += f" -> {row[SF_XL]}s (x{row['ratio2']})"
+            print(msg, file=sys.stderr)
+    spark.stop()
 
     lines = [
         "# BENCH_SCALE — cross-SF scaling probe",
         "",
         f"Heaviest queries timed at sf0.01, sf0.1"
         + (", and sf1" if have_xl else "")
-        + f" (min of {RUNS} runs per SF, one local[32] JVM; "
+        + f" (min of {RUNS} runs per SF, one local[32] JVM, per-SF "
+        "shuffle warmups, and an end-of-session warm retime of any "
+        "query whose first-pass ratio exceeded the data growth; "
         "`tools/scale_probe.py`).  Each decade grows the data 10x "
         "(exception: embeddings grow 4x in decade 1, 500 -> 2000 "
         "vectors; the generated sf1 grows them a true 10x).  "
