@@ -566,18 +566,19 @@ def q_als_rank1_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict task 6): exact rank-1 ALS factors (plans.recommender.
     als_rank1_factors — the same closed-form DECIMAL ridge sweeps
     ``als_rank1_rmse`` pins) fed through the engine's REAL serving
-    operator, ``operators.similarity.brute_force_topk`` — the exact path
-    ``AlsRecommender.item_neighbors`` uses (plans/recommender.py:193).
+    operator, ``operators.similarity.arrow_brute_force_topk`` — the
+    exact path ``AlsRecommender.item_neighbors`` uses (round 6 moved
+    both to the Arrow/BLAS scorer; at rank 1 the 'matmul' is a single
+    float64 product, so the arithmetic is literally the JVM fold's).
     At rank 1 every cosine is analytically sign(f_i.f_j) = 1.0 (NNLS-
     positive factors), so the oracle can replay the whole pipeline:
     identical sweeps -> identical round-6 factors -> identical cosine
-    arithmetic (the 0.0 + x fold mirrors the engine's aggregate seed) ->
-    identical tie-break (cosine desc, neighbor id asc).  ``affinity``
+    arithmetic -> identical tie-break (cosine desc, neighbor id asc).  ``affinity``
     (det-round-6 factor product, the rank-1 analogue of the factor dot
     score MLlib serves) pins actual learned VALUES, not just structure —
     the hash-gated companion the rows-only ``als_item_neighbors`` export
     was still missing."""
-    from ..operators.similarity import brute_force_topk
+    from ..operators.similarity import arrow_brute_force_topk
     from ..plans.recommender import als_rank1_factors
 
     labeled = _split_ratings(spark, sf_dir)
@@ -592,7 +593,7 @@ def q_als_rank1_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
         .limit(_R1N_PROBE_CAP)
     )
-    out = brute_force_topk(probe, factors, k=5, id_col="id", vec_col="features")
+    out = arrow_brute_force_topk(probe, factors, k=5, id_col="id", vec_col="features")
     fq = v.select(F.col("i").alias("query_id"), F.col("f").alias("__fq"))
     fc = v.select(F.col("i").alias("neighbor_id"), F.col("f").alias("__fc"))
     return (

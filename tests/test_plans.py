@@ -379,27 +379,35 @@ def test_brute_force_ann_query_sides_are_bounded_limits(spark):
 
 def test_rank1_value_gate_probes_are_bounded_limits(spark):
     """The two rank-1 VALUE-gate queries feed closed-form factors
-    through broadcast-cross serving paths (brute_force_topk for
-    neighbors, broadcast probe x item factors for recommend), so both
-    must carry the ANN family's structural guarantee: a sorted-limit
-    probe side (TakeOrderedAndProject / GlobalLimit), broadcast cross
-    join, no Python row evaluation, and no CartesianProduct."""
-    for name in ("als_rank1_item_neighbors", "als_rank1_recommend_top5"):
-        plan = _plan(QUERIES[name](spark, SF))
-        assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, name
-        assert "BroadcastNestedLoopJoin" in plan, name
-        assert "BatchEvalPython" not in plan, name
-        assert "CartesianProduct" not in plan, name
+    through the REAL serving paths.  recommend: broadcast probe x item
+    factors — sorted-limit probe side, broadcast cross join, no Python
+    rows, no CartesianProduct.  neighbors: since round 6 the serving
+    path is the Arrow/BLAS scorer (arrow_brute_force_topk), so the
+    result plan shows the vectorized MapInPandas scorer over the
+    candidate scan (its probe cap executes in the bounded driver-side
+    collect, the knn_arrow_top5 convention), and still nothing crosses
+    into row-Python or a cartesian."""
+    plan = _plan(QUERIES["als_rank1_recommend_top5"](spark, SF))
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(QUERIES["als_rank1_item_neighbors"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_item_neighbors_invariants_broadcast_shapes(spark):
     """The factor-neighbor invariant gate must keep item_neighbors'
-    scale shape: probe ids and the train catalog attach via broadcast
-    hash joins (dimension-sized), the scoring join is the bounded-query
-    broadcast cross, and nothing crosses into Python."""
+    scale shape: the train catalog attaches via a broadcast hash join
+    (dimension-sized), scoring runs through the vectorized Arrow
+    scorer (MapInPandas — round 6 moved item_neighbors to the BLAS
+    path: 2.0s vs 4.8s steady at the sf1 probe, and the gap widens
+    with catalog and rank), and nothing crosses into row-Python."""
     plan = _plan(QUERIES["als_item_neighbors_invariants"](spark, SF))
     assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
 
 
