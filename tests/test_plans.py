@@ -27,6 +27,11 @@ ARROW_OK = {
     "multimodal_audio_energy",
     # deliberate Arrow path: BLAS-matmul exact kNN (sanctioned mapInPandas)
     "knn_arrow_top5",
+    # deliberate Arrow path since round 6: item-neighbor serving scores
+    # via the same BLAS matmul (2.0s vs 4.8s steady at the sf1 probe)
+    "als_item_neighbors",
+    "als_item_neighbors_invariants",
+    "als_rank1_item_neighbors",
     # deliberate Arrow path: Misra-Gries per-partition summaries
     "heavy_hitters_mg",
     # deliberate Arrow grouped-map paths (applyInPandas)
