@@ -75,7 +75,9 @@ def foreach_batch_upsert(
         # epoch's tmp is dead, since commits rename tmp away
         import glob
 
-        for stale in glob.glob(base_dir + ".epoch*"):
+        # escape the state path: a directory named like `state[1]` must
+        # not be treated as a glob character class
+        for stale in glob.glob(glob.escape(base_dir) + ".epoch*"):
             if stale != tmp:
                 shutil.rmtree(stale, ignore_errors=True)
         # materialize the new state BEFORE touching the old one (the

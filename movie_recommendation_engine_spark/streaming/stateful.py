@@ -190,9 +190,11 @@ def running_user_ewma_reordered(
     State holds the finalized fold (n, s) plus a buffer of events whose
     event time is still inside the lateness horizon.  Each micro-batch:
     append arrivals to the buffer, sort the buffer by (ts, event_id),
-    fold the RIPE prefix (event time <= current watermark — no
-    earlier-timestamped row can arrive anymore) into (n, s), and keep
-    the rest buffered.  Emission is the TENTATIVE fold of finalized
+    fold the RIPE prefix (event time STRICTLY below the current
+    watermark — Spark's late filter still admits rows AT the watermark,
+    so ts == wm must stay buffered or a same-timestamp smaller-id
+    arrival could fold after it) into (n, s), and keep the rest
+    buffered.  Emission is the TENTATIVE fold of finalized
     state extended with the sorted buffer, so the last emission equals
     the batch twin's full in-order fold whenever arrival reorder stays
     within ``lateness`` — the property the reordered-arrival test
@@ -224,8 +226,8 @@ def running_user_ewma_reordered(
                 buf.append((int(t), int(e), None if pd.isna(v) else float(v)))
         buf.sort(key=lambda r: (r[0], r[1]))
         wm = state.getCurrentWatermarkMs()
-        ripe = [r for r in buf if r[0] <= wm]
-        buf = [r for r in buf if r[0] > wm]
+        ripe = [r for r in buf if r[0] < wm]
+        buf = [r for r in buf if r[0] >= wm]
         n, s = _fold_ewma(n, s, [v for _, _, v in ripe], alpha)
         state.update(
             (
@@ -249,6 +251,12 @@ def running_user_ewma_reordered(
 
     return (
         events.select("user_id", "ts", "event_id", "value")
+        # an event with no event time (or no id) cannot be ordered —
+        # drop it before the stateful fold instead of crashing the
+        # int() conversions in the UDF (file scans land every column
+        # nullable regardless of the declared schema; same guard class
+        # as the round-5 asof NULL fix)
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
         .withWatermark("ts", lateness)
         .withColumn("ts_ms", (F.col("ts").cast("double") * 1000).cast("long"))
         .groupBy("user_id")
