@@ -83,7 +83,10 @@ SHIFTS = {
 COPY_ONLY = ["region", "nation"]
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, stop_spark: bool = False) -> int:
+    """``stop_spark`` only from the CLI entry: get_spark getOrCreates,
+    so stopping unconditionally would kill a caller's live session
+    (the pytest fixture drives this as a library)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(ROOT, ".scale", "sf1"))
@@ -146,10 +149,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"# {table}: {src.count()} -> {args.k}x replicated", file=sys.stderr)
 
-    spark.stop()
+    if stop_spark:
+        spark.stop()
     print(f"# wrote sf (k={args.k}) to {args.out}", file=sys.stderr)
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main(stop_spark=True))
