@@ -270,3 +270,37 @@ def test_power_iteration_matches_integer_replay(spark_global, vecs):
         for j in range(dim)
     ]
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(st.tuples(key_text, key_text), min_size=1, max_size=20),
+    salt=st.sampled_from(["", "sh"]),
+)
+def test_md5_long60_matches_python_and_duckdb_construction(
+    spark_global, keys, salt
+):
+    """md5_long60 (round 6, the wide SimHash shingle hash) == the
+    documented construction — first 15 md5 hex digits over the
+    chr(1)-joined key — via BOTH independent replays: Python hashlib
+    and DuckDB's CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)."""
+    import duckdb
+
+    from movie_recommendation_engine_spark.functions.hashing import md5_long60
+
+    spark = spark_global
+    rows = [(i, a, b) for i, (a, b) in enumerate(keys)]
+    df = spark.createDataFrame(rows, "i long, a string, b string")
+    got = {
+        r.i: r.h
+        for r in df.select("i", md5_long60("a", "b", salt=salt).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for i, a, b in rows:
+        key = ("\x01".join([salt, a, b]) if salt else "\x01".join([a, b]))
+        py = int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16)
+        (duck,) = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [key]
+        ).fetchone()
+        assert got[i] == py == duck, (a, b, salt)
+        assert 0 <= got[i] < 2**60
