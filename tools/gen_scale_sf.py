@@ -38,6 +38,12 @@ preserved exactly and grows linearly):
 Deterministic: no randomness anywhere — same source + K -> identical
 bytes modulo parquet row-group encoding.
 
+K is bounded at 26: the per-replica Caesar rotation has only 25
+non-identity shifts over a 26-letter alphabet (shift 26 IS the
+identity, and shift i+26 collides with shift i), so k > 26 would
+silently reintroduce the cross-replica exact-duplicate cliques the
+rotation exists to prevent.  ``main`` rejects k outside [1, 26].
+
 Usage:
     python tools/gen_scale_sf.py [--src /root/testdata/sf0.1] \
         [--out .scale/sf1] [--k 10]
@@ -92,6 +98,12 @@ def main(argv: list[str] | None = None, stop_spark: bool = False) -> int:
     ap.add_argument("--out", default=os.path.join(ROOT, ".scale", "sf1"))
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args(argv)
+    if not 1 <= args.k <= 26:
+        ap.error(
+            f"--k must be in [1, 26], got {args.k}: the Caesar rotation has "
+            "only 25 non-identity shifts, so replicas 26+ would duplicate "
+            "earlier replicas' text verbatim and inflate dedup candidates"
+        )
 
     from pyspark.sql import functions as F
 
