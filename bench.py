@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.  The stdout line is COMPACT
 (top-20 slowest queries) so a bounded capture still parses; the full
-per-query map is written to BENCH_LOCAL.json and echoed on stderr
-tagged #BENCH-JSON.
+per-query map is written to BENCH_LOCAL.latest.json (gitignored — so
+driver sweeps never dirty the committed tree; round-7 verdict task 5)
+and echoed on stderr tagged #BENCH-JSON.  Pass ``--out PATH`` (or set
+$SPARK_GRAFT_BENCH_OUT) to write the full map elsewhere — e.g.
+``--out BENCH_LOCAL.json`` to intentionally refresh the committed
+quiet-window artifact.
 
 Each query is forced with a count() (full plan execution, no driver
 materialization of payloads).
@@ -66,6 +70,17 @@ def _host_load(a: dict | None, b: dict | None, wall: float) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # full-map output path: --out beats $SPARK_GRAFT_BENCH_OUT beats the
+    # gitignored default (never the committed BENCH_LOCAL.json unless
+    # explicitly asked — driver sweeps must not dirty the tree)
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+    if not out_path:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.latest.json"
+        )
 
     # Stdout purity: the driver parses stdout as ONE JSON line, but the
     # JVM (launched as a child inheriting fd 1) writes banner/log noise
@@ -270,7 +285,7 @@ def main() -> None:
     # r03 recorded "parsed": null against the ~6 KB 203-query line), so
     # stdout gets a COMPACT line — totals + the top-20 slowest queries —
     # guaranteed to fit the capture, and the full per-query map goes to
-    # BENCH_LOCAL.json next to this script (plus one stderr copy).
+    # the full-map file (plus one stderr copy).
     # compact per-query figures are the RAW in-sweep times (the driver's
     # record of what this sweep actually did); the steady adjudication
     # lives in the full map's queries[]/sweep_queries[] split
@@ -280,18 +295,17 @@ def main() -> None:
                if k not in ("sweep_queries", "sweep_queries_note")}
     compact["queries"] = top20
     compact["queries_total"] = len(timings)
-    compact["queries_note"] = "top-20 slowest; full map in BENCH_LOCAL.json"
+    compact["queries_note"] = (
+        f"top-20 slowest; full map in {os.path.basename(out_path)}"
+    )
     if errors:
         compact["errors"] = errors
     line = json.dumps(compact)
     try:
-        local_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-        )
-        with open(local_path, "w") as fh:
+        with open(out_path, "w") as fh:
             fh.write(full_line + "\n")
     except OSError as ex:  # read-only checkout must not kill the bench
-        print(f"# bench could not write BENCH_LOCAL.json: {ex}", file=sys.stderr)
+        print(f"# bench could not write {out_path}: {ex}", file=sys.stderr)
     spark.stop()
     # the full JSON also goes to stderr tagged #BENCH-JSON: if the
     # caller's stdout capture truncates, the last stderr line still

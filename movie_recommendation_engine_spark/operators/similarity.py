@@ -201,6 +201,125 @@ def arrow_brute_force_topk(
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def arrow_dot_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 100,
+    id_col: str = "id",
+    vec_col: str = "features",
+    as_lists: bool = False,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Distributed dot-product top-k with the CANDIDATE side broadcast —
+    the matrix-factorization serving kernel (score = u·v, not cosine).
+
+    The mirror image of ``arrow_brute_force_topk``: there the bounded
+    QUERY set is broadcast and candidates stream; here the bounded
+    CANDIDATE set (an item catalog — factors, not raw data: |I|·rank
+    floats) is broadcast and the query side streams through
+    ``mapInPandas``, so each query row's COMPLETE top-k is computed
+    inside its own batch with one BLAS matmul per chunk.  Zero
+    shuffle, zero window, no driver collect of the query side — the
+    plan is scan → mapInPandas, which scales with executors.
+
+    Boundedness contract: the candidate factor matrix must fit in a
+    broadcast (rank-100 floats: ~4 MB per 10k items, ~4 GB at 10M —
+    beyond that, serve through ``ivf_topk``/``lsh_bucketed_topk`` or
+    slice the query side with ``recommendForUserSubset``).
+
+    Scores are float32 (matching MLlib ALS's float factors/ratings);
+    ties break on candidate id ascending inside the selected top-k.
+    ``as_lists=True`` emits one row per query — (query_id,
+    recs: array<int> ordered by score desc) — the ranking-metrics input
+    shape, still without any aggregation shuffle.
+
+    Replaces the MLlib blocked recommend-all cross for LOADED models
+    (round-7 verdict task 2): a loaded ALSModel's factor frames are
+    parquet scans that the blocked cross re-computes per block pair
+    (measured r06 at sf0.1: evaluate-with-load 116.6 s vs 52.5 s
+    refit); this path reads each side once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    crows = candidates.select(id_col, vec_col).collect()  # bounded catalog
+    spark = queries.sparkSession
+    if not crows:
+        schema = (
+            "query_id int, recs array<int>"
+            if as_lists
+            else "query_id int, neighbor_id int, score float, rank int"
+        )
+        return spark.createDataFrame([], schema)
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in crows], dtype=np.float32)
+    bc = spark.sparkContext.broadcast((cids, cmat))
+    kk = min(k, len(cids))
+
+    def score(batches):
+        ids_c, cm = bc.value
+        cmT = cm.T  # (rank, |C|)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            qmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float32)
+            out_frames = []
+            for lo in range(0, len(qids), chunk):
+                qc = qmat[lo : lo + chunk]
+                s = qc @ cmT  # (chunk, |C|) float32 — the BLAS hot loop
+                if kk < s.shape[1]:
+                    part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(
+                        np.arange(s.shape[1]), (len(qc), s.shape[1])
+                    )
+                rows = np.arange(len(qc))[:, None]
+                top_s = s[rows, part]
+                top_i = ids_c[part]
+                # deterministic order inside the selection: score desc,
+                # candidate id asc (MLlib leaves ties arbitrary; a total
+                # order costs nothing and makes serving reproducible)
+                order = np.lexsort((top_i, -top_s), axis=1)
+                top_s = np.take_along_axis(top_s, order, axis=1)
+                top_i = np.take_along_axis(top_i, order, axis=1)
+                q_slice = qids[lo : lo + chunk]
+                if as_lists:
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": q_slice.astype(np.int32),
+                                "recs": [r.astype(np.int32) for r in top_i],
+                            }
+                        )
+                    )
+                else:
+                    n = len(q_slice)
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.repeat(
+                                    q_slice.astype(np.int32), kk
+                                ),
+                                "neighbor_id": top_i.ravel().astype(np.int32),
+                                "score": top_s.ravel(),
+                                "rank": np.tile(
+                                    np.arange(1, kk + 1, dtype=np.int32), n
+                                ),
+                            }
+                        )
+                    )
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)
+
+    schema = (
+        "query_id int, recs array<int>"
+        if as_lists
+        else "query_id int, neighbor_id int, score float, rank int"
+    )
+    return queries.select(id_col, vec_col).mapInPandas(score, schema)
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -116,6 +116,10 @@ class AlsRecommender:
     num_blocks: int | None = None
     checkpoint_interval: int = 10
     model: object = field(default=None, repr=False)
+    # True when the model came from load_model(): factor frames are
+    # parquet scans, so top-k serving routes through the Arrow/BLAS
+    # kernel instead of MLlib's blocked cross (see load_model)
+    _loaded: bool = field(default=False, repr=False)
 
     def _estimator(self):
         from pyspark.ml.recommendation import ALS
@@ -141,6 +145,7 @@ class AlsRecommender:
 
     def fit(self, train: DataFrame) -> "AlsRecommender":
         self.model = self._estimator().fit(train)
+        self._loaded = False
         return self
 
     def save_model(self, path: str) -> "AlsRecommender":
@@ -157,21 +162,26 @@ class AlsRecommender:
         estimator hyper-params only affect fitting and stay as
         constructed.
 
-        The factor frames are cached on load: the blocked recommend-all
-        cross RE-COMPUTES its factor inputs per block pair, and for a
-        loaded model those inputs are parquet scans, not the fitting
-        session's cached block-partitioned RDDs (measured round 6 at
-        sf0.1: recommendForAllUsers(100) 105s uncached / 61s cached vs
-        43s in the fitting session).  Reuse is the cross-process
-        serving path — transform/RMSE are full speed; for batch
-        recommend-ALL exports prefer the fitting session, or serve
-        slices via ``recommend_for_users``."""
+        Loaded models serve top-k through the Arrow/BLAS dot-product
+        kernel (``operators.similarity.arrow_dot_topk``) instead of
+        MLlib's blocked recommend-all cross: a loaded model's factor
+        frames are parquet scans that the blocked cross RE-COMPUTES per
+        (user-block x item-block) pair — measured round 6 at sf0.1,
+        evaluate-with-load 116.6 s vs 52.5 s refit even with the frames
+        cached (105 s uncached / 61 s cached vs 43 s in the fitting
+        session, whose factors sit in ALS's cached block-partitioned
+        RDDs).  The Arrow kernel broadcasts the item catalog's factors
+        once and streams user factors through one matmul per chunk —
+        each side is read exactly once, zero shuffle (round-7 verdict
+        task 2).  The factor frames are still cached for transform/
+        RMSE, which join them twice."""
         from pyspark.ml.recommendation import ALSModel
 
         self.model = ALSModel.load(path)
         self.model.userFactors.cache()
         self.model.itemFactors.cache()
         self.rank = self.model.rank
+        self._loaded = True
         return self
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -181,14 +191,44 @@ class AlsRecommender:
         assert self.model is not None, "fit first"
         return self.model.transform(df)
 
+    def _arrow_topk_flat(self, users: DataFrame | None, k: int) -> DataFrame:
+        """Loaded-model serving: Arrow/BLAS dot top-k over the factor
+        frames — item catalog broadcast once, user factors streamed,
+        zero shuffle (see load_model).  ``users`` bounds the query side
+        (None = all users)."""
+        from ..operators.similarity import arrow_dot_topk
+
+        uf = self.model.userFactors
+        if users is not None:
+            ids = users.select(F.col(self.user_col).cast("int").alias("id"))
+            uf = uf.join(F.broadcast(ids), "id")
+        out = arrow_dot_topk(
+            uf, self.model.itemFactors, k=k, id_col="id", vec_col="features"
+        )
+        return out.select(
+            F.col("query_id").alias(self.user_col),
+            F.col("neighbor_id").alias(self.item_col),
+            "score",
+            "rank",
+        )
+
     def recommend_top_k(self, k: int = 100, flat: bool = True) -> DataFrame:
         """Top-k items per user (reference als.py:96).
 
         ``flat=False`` returns the reference shape (user,
         recommendations: array<struct<item,rating>>); ``flat=True``
         explodes to (user, item, score, rank) — the shape joins and
-        metrics want."""
+        metrics want.
+
+        Physical strategy: a FITTED model serves through MLlib's
+        blocked cross (its factors sit in ALS's cached block RDDs); a
+        LOADED model serves through the Arrow/BLAS kernel, which reads
+        the parquet-backed factors once instead of per block pair
+        (ties then break deterministically on item id asc, where MLlib
+        leaves them arbitrary)."""
         assert self.model is not None, "fit first"
+        if flat and self._loaded:
+            return self._arrow_topk_flat(None, k)
         recs = self.model.recommendForAllUsers(k)
         if not flat:
             return recs
@@ -208,8 +248,11 @@ class AlsRecommender:
         The scale-sane entry point: recommendForAllUsers scores every
         (user-block x item-block) pair; serving typically needs recs for
         the active slice only — cost shrinks proportionally.  ``users``
-        needs just the user id column."""
+        needs just the user id column.  Loaded models route through the
+        Arrow/BLAS kernel (see recommend_top_k)."""
         assert self.model is not None, "fit first"
+        if flat and self._loaded:
+            return self._arrow_topk_flat(users, k)
         recs = self.model.recommendForUserSubset(users.select(self.user_col), k)
         if not flat:
             return recs
@@ -256,8 +299,23 @@ class AlsRecommender:
 
     def recommendation_lists(self, k: int = 100) -> DataFrame:
         """(user, recs: array<item>) ordered by predicted score — the
-        input shape of plans.metrics (reference als.py:120 getField)."""
+        input shape of plans.metrics (reference als.py:120 getField).
+
+        Loaded models emit the lists directly inside the Arrow kernel
+        (one row per user, no explode/re-aggregate shuffle); fitted
+        models go through MLlib's blocked cross (see recommend_top_k)."""
         assert self.model is not None, "fit first"
+        if self._loaded:
+            from ..operators.similarity import arrow_dot_topk
+
+            return arrow_dot_topk(
+                self.model.userFactors,
+                self.model.itemFactors,
+                k=k,
+                id_col="id",
+                vec_col="features",
+                as_lists=True,
+            ).select(F.col("query_id").alias(self.user_col), "recs")
         return self.model.recommendForAllUsers(k).select(
             self.user_col,
             F.col("recommendations").getField(self.item_col).alias("recs"),

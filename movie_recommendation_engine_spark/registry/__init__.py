@@ -250,81 +250,28 @@ _GATE_LAST = [
 ]
 
 
-# Already-green queries that lead the window's SPARE slots (round-4
-# verdict task 2, rotated per round): after the pending set, the
-# driver's remaining slots re-check previously-green queries.  Round-6
-# rotation (round-5 verdict task 6 — shrink the oldest-green set):
-# (a) queries whose code paths CHANGED this round (e2e single-fit
-# reuse, scd.py conflict-guard checkpoint) gate first;
-# (b) the entire r01-green block except the 4 rows-only ML exports
-# (rows-only re-checks spend slots on weaker evidence — each already
-# has a hash-green invariants + rank-1 value twin);
-# (c) the verdict-named doc_bpe_* pair (r04);
-# (d) the r02 events_* block and the float-heaviest r02 stats queries.
-# Exactly 50 names = the full spare window when nothing is pending.
+# Already-green queries that lead the window's SPARE slots: after the
+# pending set, the driver's remaining slots re-check previously-green
+# queries.  Round-8 rework (round-7 verdict task 1 — the hand-rotated
+# list froze in round 6 and burned the entire r07 window re-checking
+# the r06 names): the spare order is now computed PER ROUND from the
+# CORRECTNESS_r*.json history — stalest last-driver-check first, so
+# the window rotates itself and no query's evidence can silently age.
+# _RECHECK_FIRST survives only as a small manual pin for queries whose
+# CODE PATHS changed this round (they gate ahead of the staleness
+# order); keep it short — every pinned name displaces a stale one.
 _RECHECK_FIRST = [
-    # (a) touched this round (e2e single-fit, scd checkpoint, and the
-    # four scale-probe fixes: 60/3 simhash, adaptive semdedup/IVF
-    # quantizer moduli, capped ALS probes — dedup_simhash and
-    # ann_ivf_top5 are already in block (b) below)
-    "movielens_e2e_cli",
-    "customer_scd2_batch",
-    "customer_scd2_point_in_time",
-    "semantic_dedup_semdedup",
-    "als_item_neighbors_invariants",
+    # round 8: the ALS serving path (plans/recommender.py) changed —
+    # re-gate the hash-gated invariants twin and the flagship e2e that
+    # exercise it.  (als_recommend_top5 / als_rmse_eval are r01-stale
+    # and lead the staleness order anyway.)
     "als_recommend_invariants",
-    "popularity_top100",
-    # (c) verdict-named float-sensitive
-    "doc_bpe_merges",
-    "doc_bpe_encoding",
-    # (b) oldest green: the r01 block (minus rows-only exports)
-    "ann_ivf_top5",
-    "ann_lsh_recall",
-    "ann_lsh_top5",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_lang_id",
-    "doc_text_stats",
-    "doc_tfidf_top_terms",
-    "embedding_neardup",
-    "events_first_per_user_type",
-    "events_sessionized",
-    "events_sliding_10m_5m",
-    "events_tumbling_10m",
-    "knn_bruteforce_top5",
-    "nation_activity_full_outer",
-    "per_group_sample25",
-    "region_priority_grid",
-    "split_counts",
-    "split_label_rows",
-    "stratified_sample_returnflag",
-    "token_freq_cms",
-    "weighted_doc_sample100",
-    # (d) r02: the events block + float-heaviest stats
-    "events_click_attribution",
-    "events_funnel",
-    "events_gap_filled_30m",
-    "events_json_props_stats",
-    "events_running_stats",
-    "events_sessionized_dynamic",
-    "events_time_features",
-    "events_trailing_30m_avg",
-    "events_value_outliers",
-    "acctbal_peer_density",
-    "acctbal_quartiles_per_nation",
-    "quantity_dispersion_stats",
-    "recency_weighted_customer_value",
-    "lineitem_profile",
+    "movielens_e2e_cli",
 ]
 
 
-def _driver_green() -> set[str]:
-    """Query names with a passing driver-gate row in any round so far.
+def _green_rounds() -> dict[str, int]:
+    """name -> latest round with a passing driver-gate row.
 
     hash_match=True is green; a rows-only query (err='no_oracle') with a
     recorded row count is 'checked as designed' and also cedes its slot —
@@ -334,10 +281,13 @@ def _driver_green() -> set[str]:
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -346,26 +296,33 @@ def _driver_green() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                green.add(name)
-            elif (
+            ok = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
                 and name not in ORACLES
-            ):
-                green.add(name)
-    return green
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_green() -> set[str]:
+    """Query names with a passing driver-gate row in any round so far."""
+    return set(_green_rounds())
 
 
 def _apply_gate_order() -> None:
-    green = _driver_green()
+    green_round = _green_rounds()
+    green = set(green_round)
     prio = {n: i for i, n in enumerate(_GATE_FIRST)}
     names = list(QUERIES)
     pending = [n for n in names if n not in green]
     done = [n for n in names if n in green]
     # pending first (pinned _GATE_FIRST order, then registration order),
-    # then the already-green remainder: float-sensitive re-checks first
-    # (_RECHECK_FIRST), then registration order
+    # then the already-green remainder: code-changed pins first
+    # (_RECHECK_FIRST), then STALEST driver evidence first — the window
+    # rotates itself, so no green query's last check can silently age
+    # (round-7 verdict task 1).
     last = {n: i for i, n in enumerate(_GATE_LAST)}
     pending.sort(
         key=lambda n: (0, prio[n])
@@ -374,7 +331,9 @@ def _apply_gate_order() -> None:
     )
     recheck = {n: i for i, n in enumerate(_RECHECK_FIRST)}
     done.sort(
-        key=lambda n: (0, recheck[n]) if n in recheck else (1, names.index(n))
+        key=lambda n: (0, recheck[n])
+        if n in recheck
+        else (1, green_round[n], names.index(n))
     )
     reordered = {n: QUERIES[n] for n in [*pending, *done]}
     QUERIES.clear()

@@ -30,6 +30,9 @@ def bc(tmp_path, monkeypatch):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     monkeypatch.setattr(mod, "LOCAL_PATH", str(tmp_path / "BENCH_LOCAL.json"))
+    monkeypatch.setattr(
+        mod, "LATEST_PATH", str(tmp_path / "BENCH_LOCAL.latest.json")
+    )
     monkeypatch.setattr(mod, "BUDGET_PATH", str(tmp_path / "bench_budget.json"))
     return mod
 
@@ -71,6 +74,26 @@ def test_full_swaps_in_matching_local(bc):
     _write(bc.LOCAL_PATH, _local())
     out = bc._full(_compact())
     assert len(out["queries"]) == 3  # the full map, not the top-20 slice
+    assert not out.get("_partial")
+
+
+def test_full_prefers_latest_over_committed(bc):
+    """bench.py's default full-map output is the gitignored .latest file;
+    when it matches the compact line it wins over the committed
+    BENCH_LOCAL.json (which may be an older quiet-window artifact)."""
+    _write(bc.LATEST_PATH, _local(queries={"a": 5.0, "b": 3.0, "c": 2.0}))
+    _write(bc.LOCAL_PATH, _local(value=99.0))  # stale committed artifact
+    out = bc._full(_compact())
+    assert len(out["queries"]) == 3
+    assert out["value"] == 10.0
+    assert not out.get("_partial")
+
+
+def test_full_falls_back_to_committed_when_latest_stale(bc):
+    _write(bc.LATEST_PATH, _local(value=99.0))  # different run
+    _write(bc.LOCAL_PATH, _local())
+    out = bc._full(_compact())
+    assert out["value"] == 10.0
     assert not out.get("_partial")
 
 

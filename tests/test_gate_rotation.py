@@ -15,6 +15,7 @@ from movie_recommendation_engine_spark.registry import (
     _GATE_LAST,
     _RECHECK_FIRST,
     _driver_green,
+    _green_rounds,
 )
 
 WINDOW = 50  # the driver gates the first 50 registered queries per round
@@ -77,6 +78,40 @@ def test_recheck_block_fits_inside_window():
     n_pending = sum(1 for n in QUERIES if n not in green)
     n_recheck = sum(1 for n in _RECHECK_FIRST if n in green)
     assert n_pending + n_recheck <= WINDOW
+
+
+def test_green_block_sorted_stalest_first():
+    """After the pending block and the code-changed pins, green queries
+    must appear in ascending last-driver-check round (round-7 verdict
+    task 1: the window rotates itself instead of relying on a
+    hand-refreshed list)."""
+    green_round = _green_rounds()
+    order = list(QUERIES)
+    pinned = [n for n in _RECHECK_FIRST if n in green_round]
+    tail = [
+        n
+        for n in order
+        if n in green_round and n not in pinned
+    ]
+    rounds = [green_round[n] for n in tail]
+    assert rounds == sorted(rounds), (
+        "green queries not in stalest-first order"
+    )
+
+
+def test_window_is_mostly_stale_queries():
+    """With zero pending queries and a short pin list, the 50-slot
+    window must be dominated by the stalest driver evidence (round-7
+    verdict done-criterion: >=46 window names from the stale set)."""
+    green_round = _green_rounds()
+    order = list(QUERIES)
+    n_pending = sum(1 for n in order if n not in green_round)
+    if n_pending > 0:
+        return  # pending queries legitimately occupy the window
+    window = order[:WINDOW]
+    max_round = max(green_round.values())
+    stale = [n for n in window if green_round[n] < max_round]
+    assert len(stale) >= WINDOW - len(_RECHECK_FIRST)
 
 
 def test_new_queries_carry_oracles_unless_rows_only_by_design():

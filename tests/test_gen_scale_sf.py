@@ -91,3 +91,37 @@ def test_document_rotation_preserves_structure(spark, gen_dir):
         .collect()
     )
     assert t0.text != t1.text and len(t0.text) == len(t1.text)
+
+
+@pytest.mark.parametrize("bad_k", [0, -1, 27])
+def test_k_out_of_bounds_is_rejected(bad_k):
+    """--k outside [1, 26] must die at argument validation (ap.error ->
+    SystemExit), BEFORE any Spark work: shift 26 is the identity
+    rotation, so k > 26 would silently reintroduce cross-replica
+    exact-duplicate cliques and corrupt the dedup scale probe."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_scale_sf
+
+    with pytest.raises(SystemExit):
+        gen_scale_sf.main(
+            ["--src", "/nonexistent", "--out", "/nonexistent", "--k", str(bad_k)]
+        )
+
+
+def test_k_26_passes_argument_validation():
+    """k=26 is the exact maximum (25 non-identity shifts + identity
+    replica 0).  It must clear the bound check — the failure we then
+    expect is the nonexistent --src path, NOT SystemExit from ap.error."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_scale_sf
+
+    with pytest.raises(Exception) as exc_info:
+        gen_scale_sf.main(
+            ["--src", "/nonexistent-gen-sf-src", "--out",
+             tempfile.mkdtemp(prefix="gen_sf_k26_"), "--k", "26"]
+        )
+    assert not isinstance(exc_info.value, SystemExit)

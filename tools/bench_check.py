@@ -34,6 +34,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BUDGET_PATH = os.path.join(ROOT, "tools", "bench_budget.json")
 
 
+# bench.py writes its full per-query map to the gitignored .latest file
+# by default (round-7 verdict task 5: driver sweeps must not clobber the
+# committed quiet-window BENCH_LOCAL.json); prefer whichever full map
+# matches the compact line we're adjudicating.
+LATEST_PATH = os.path.join(ROOT, "BENCH_LOCAL.latest.json")
 LOCAL_PATH = os.path.join(ROOT, "BENCH_LOCAL.json")
 
 
@@ -58,20 +63,22 @@ def _full(bench: dict) -> dict:
     --update refuses to truncate the budget to 20 queries."""
     if "queries_note" not in bench:
         return bench
-    full = None
-    if os.path.exists(LOCAL_PATH):
+    last_mismatch = None
+    for path in (LATEST_PATH, LOCAL_PATH):
+        if not os.path.exists(path):
+            continue
         try:
-            with open(LOCAL_PATH) as fh:
+            with open(path) as fh:
                 full = json.load(fh)
         except (json.JSONDecodeError, OSError) as ex:
             # a truncated/mid-write full map is exactly the degraded
             # input this fallback exists for — warn, don't crash
             print(
-                f"# WARNING: BENCH_LOCAL.json unreadable ({ex}) — "
-                "falling back to the compact top-20 line.",
+                f"# WARNING: {os.path.basename(path)} unreadable ({ex}) — "
+                "trying the next full map.",
                 file=sys.stderr,
             )
-    if full is not None:
+            continue
         same_run = (
             full.get("sf") == bench.get("sf")
             and len(full.get("queries", {})) == bench.get("queries_total")
@@ -80,9 +87,12 @@ def _full(bench: dict) -> dict:
         )
         if same_run:
             return full
+        last_mismatch = (path, full)
+    if last_mismatch is not None:
+        path, full = last_mismatch
         print(
-            "# WARNING: BENCH_LOCAL.json does not match the compact bench line "
-            f"(sf {full.get('sf')}/{bench.get('sf')}, "
+            f"# WARNING: {os.path.basename(path)} does not match the compact "
+            f"bench line (sf {full.get('sf')}/{bench.get('sf')}, "
             f"n {len(full.get('queries', {}))}/{bench.get('queries_total')}, "
             f"total {full.get('value')}/{bench.get('value')}) — stale run? "
             "Falling back to the compact top-20 line.",
