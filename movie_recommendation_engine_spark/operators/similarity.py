@@ -201,6 +201,74 @@ def arrow_brute_force_topk(
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def dot_topk_rows(s, ids_c, kk):
+    """Exact per-row top-k of a dense score matrix: (n_rows, |C|)
+    float32 scores -> (n_rows, kk) candidate ids + scores, each row
+    ordered by score desc then candidate id asc (a total order; MLlib
+    leaves float ties arbitrary — determinism costs nothing here).
+
+    Selection is sampled-threshold, not row-wise np.argpartition: the
+    naive kernel is memory-bound (67 s of 70 s single-thread at
+    147k x 20k, measured round 8).  Each row's kth-largest is estimated
+    from a FIXED column sample (linspace, no RNG — bit-reproducible
+    across runs and partitionings), everything >= the estimate is kept
+    with one SIMD compare pass, and only the rows the estimate
+    under-filled (~1 in 10^5) pay an exact partition.  The threshold
+    aims at rank ~2.5k: the binomial spread of the implied rank is
+    ~2.5k/sqrt(q_rank), so the under-fill fallback is rare, and the
+    over-selection (~2.5k per row) is cheap to sort.
+
+    Scores must be totally ordered floats (no NaN) — ALS/embedding
+    factors are finite by construction.
+    """
+    import numpy as np
+
+    n_rows, n_cols = s.shape
+    if kk >= n_cols:
+        ids_b = np.broadcast_to(ids_c, s.shape)
+        order = np.lexsort((ids_b, -s), axis=1)
+        top_i = np.take_along_axis(ids_b, order, axis=1)
+        top_s = np.take_along_axis(s, order, axis=1)
+        return top_i, top_s
+    m_sample = min(2048, n_cols)
+    sample_idx = np.linspace(0, n_cols - 1, m_sample).astype(np.int64)
+    q_rank = max(1, min(m_sample - 1, int(2.5 * kk * m_sample / n_cols)))
+    thr = np.partition(s[:, sample_idx], m_sample - q_rank, axis=1)[
+        :, m_sample - q_rank
+    ]
+    mask = s >= thr[:, None]
+    bad = np.nonzero(mask.sum(axis=1) < kk)[0]
+    if len(bad):  # sampled estimate over-shot: exact kth for those rows
+        sub = s[bad]
+        t_exact = np.partition(sub, n_cols - kk, axis=1)[:, n_cols - kk]
+        mask[bad] = sub >= t_exact[:, None]
+    rows, cols = np.nonzero(mask)  # row-major: cols ascend per row
+    sc = s[rows, cols]
+    # stable sort by (row, score desc) keeps the ascending-col order
+    # within equal scores -> id-asc tie break for free.  The float is
+    # folded into the key via the IEEE total-order trick (negatives:
+    # ~bits, non-negatives: bits | sign), with -0.0 collapsed to +0.0
+    # first so zeros TIE (and break on id) exactly like a float
+    # comparator would.
+    sc = np.where(sc == 0, np.float32(0.0), sc)
+    i32 = sc.view(np.int32).astype(np.int64)
+    u_asc = np.where(i32 < 0, ~i32 & 0xFFFFFFFF, i32 | 0x80000000).astype(
+        np.uint64
+    )
+    key = (rows.astype(np.uint64) << np.uint64(32)) | (
+        np.uint64(0xFFFFFFFF) - u_asc
+    )
+    order = np.argsort(key, kind="stable")
+    rows_s, cols_s, sc_s = rows[order], cols[order], sc[order]
+    counts = np.bincount(rows_s, minlength=n_rows)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    keep = (np.arange(len(rows_s)) - starts[rows_s]) < kk
+    return (
+        ids_c[cols_s[keep]].reshape(n_rows, kk),
+        sc_s[keep].reshape(n_rows, kk),
+    )
+
+
 def arrow_dot_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -263,26 +331,14 @@ def arrow_dot_topk(
             if len(pdf) == 0:
                 continue
             qids = pdf[id_col].to_numpy(dtype=np.int64)
-            qmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float32)
+            # Arrow hands list columns back as a Series of ndarrays;
+            # tolist + asarray stacks them without a per-row Python loop
+            qmat = np.asarray(pdf[vec_col].tolist(), dtype=np.float32)
             out_frames = []
             for lo in range(0, len(qids), chunk):
                 qc = qmat[lo : lo + chunk]
                 s = qc @ cmT  # (chunk, |C|) float32 — the BLAS hot loop
-                if kk < s.shape[1]:
-                    part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-                else:
-                    part = np.broadcast_to(
-                        np.arange(s.shape[1]), (len(qc), s.shape[1])
-                    )
-                rows = np.arange(len(qc))[:, None]
-                top_s = s[rows, part]
-                top_i = ids_c[part]
-                # deterministic order inside the selection: score desc,
-                # candidate id asc (MLlib leaves ties arbitrary; a total
-                # order costs nothing and makes serving reproducible)
-                order = np.lexsort((top_i, -top_s), axis=1)
-                top_s = np.take_along_axis(top_s, order, axis=1)
-                top_i = np.take_along_axis(top_i, order, axis=1)
+                top_i, top_s = dot_topk_rows(s, ids_c, kk)
                 q_slice = qids[lo : lo + chunk]
                 if as_lists:
                     out_frames.append(
@@ -317,7 +373,16 @@ def arrow_dot_topk(
         if as_lists
         else "query_id int, neighbor_id int, score float, rank int"
     )
-    return queries.select(id_col, vec_col).mapInPandas(score, schema)
+    qsel = queries.select(id_col, vec_col)
+    # a loaded factor frame inherits the writer's block count (MLlib
+    # saves ~numUserBlocks part-files, default 10) — far below the
+    # session's cores.  The query side is id+rank floats (~5 MB per
+    # million rows at rank 8), so a repartition shuffle is trivially
+    # cheap next to the matmul it parallelizes.
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    if qsel.rdd.getNumPartitions() < par:
+        qsel = qsel.repartition(par)
+    return qsel.mapInPandas(score, schema)
 
 
 def lsh_bucketed_topk(

@@ -136,16 +136,16 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank=8/maxIter=4 is the smallest config that reliably clears the
     # rmse <= 2x train-mean-baseline invariant on this synthetic corpus
     # (rank=4/maxIter=2 underfits past it) — do not shrink further for
-    # bench time.  DELIBERATELY refits in `evaluate` rather than reusing
-    # `als --save-model`/`evaluate --model-dir`: round 6 measured the
-    # reuse path at sf0.1 local[32] and it LOST — evaluate-with-load
-    # 116.6s vs refit 52.5s — because a loaded model's factor frames are
-    # plain parquet scans re-computed inside the blocked recommend-all
-    # cross, while the fitting session's factors sit in ALS's cached
-    # block-partitioned RDDs (caching the loaded frames recovers only
-    # part: 105s -> 61s).  Model reuse is for cross-process serving
-    # where refitting is impossible, not for same-session pipelines —
-    # in-process reuse is MovieLensPipeline.fit_als() once + evaluate().
+    # bench time.  Refits in `evaluate` because the two verbs use
+    # DIFFERENT configs here (the als verb exports k=5 at rank 4; the
+    # evaluate invariant needs rank 8), so a saved model would be the
+    # wrong model.  When the configs match, `als --save-model` +
+    # `evaluate --model-dir` is now the FASTER path: round 8 routed
+    # loaded-model top-k through the Arrow/BLAS kernel
+    # (operators/similarity.arrow_dot_topk), measured at sf0.1
+    # local[32] steady-state evaluate-with-load 14.7 s vs refit 21.2 s
+    # (round 6 had measured the MLlib blocked cross LOSING on loaded
+    # parquet-backed factors, 116.6 s vs 52.5 s).
     cli_main(["split", "--ratings", csv_path, "--out", split_dir])
     cli_main(["popularity", "--ratings", csv_path, "--k", "100", "--out", pop_dir])
     cli_main(

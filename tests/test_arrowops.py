@@ -85,3 +85,59 @@ def test_grouped_trimmed_mean_ignores_nulls(spark):
     }
     assert got["a"].n == 3 and got["a"].trimmed_mean_r6 == 2.0
     assert got["b"].n == 0 and got["b"].trimmed_mean_r6 == 0.0
+
+
+def test_dot_topk_rows_matches_bruteforce_reference():
+    """The sampled-threshold row top-k (the ALS serving kernel's
+    selection step) must equal a brute-force (score desc, id asc) sort
+    for every row — including engineered float ties, +/-0.0, negative
+    scores, k >= n_cols, and non-contiguous candidate ids."""
+    import numpy as np
+
+    from movie_recommendation_engine_spark.operators.similarity import (
+        dot_topk_rows,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial, (n_rows, n_cols, kk) in enumerate(
+        [(7, 5, 9),      # k > n_cols: take-all branch
+         (11, 64, 8),
+         (50, 300, 20),
+         (64, 2500, 100),  # n_cols > sample size path
+         (3, 1, 1)]
+    ):
+        # quantized scores force heavy ties; sprinkle exact zeros and
+        # negative zeros
+        s = (rng.integers(-3, 4, size=(n_rows, n_cols)) / 2.0).astype(
+            np.float32
+        )
+        s[rng.random(s.shape) < 0.05] = np.float32(-0.0)
+        ids = (np.arange(n_cols, dtype=np.int64) * 7 + 3)  # non-contiguous
+        top_i, top_s = dot_topk_rows(s, ids, kk)
+        want_k = min(kk, n_cols)
+        assert top_i.shape == (n_rows, want_k) == top_s.shape
+        for r in range(n_rows):
+            ref = sorted(
+                zip(s[r].tolist(), ids.tolist()), key=lambda t: (-t[0], t[1])
+            )[:want_k]
+            got = list(zip(top_s[r].tolist(), top_i[r].tolist()))
+            assert got == ref, f"trial {trial} row {r}: {got} != {ref}"
+
+
+def test_dot_topk_rows_partition_independence():
+    """Chunking must not change results: top-k of a matrix equals the
+    row-wise concat of top-k over arbitrary row slices."""
+    import numpy as np
+
+    from movie_recommendation_engine_spark.operators.similarity import (
+        dot_topk_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.standard_normal((40, 500)).astype(np.float32)
+    ids = np.arange(500, dtype=np.int64)
+    whole_i, whole_s = dot_topk_rows(s, ids, 17)
+    for lo, hi in [(0, 13), (13, 29), (29, 40)]:
+        part_i, part_s = dot_topk_rows(s[lo:hi], ids, 17)
+        assert (part_i == whole_i[lo:hi]).all()
+        assert (part_s == whole_s[lo:hi]).all()

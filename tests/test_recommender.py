@@ -120,3 +120,70 @@ def test_item_neighbors_shape_and_self_exclusion(spark, ratings):
     for r in nb:
         assert r.movieId != r.neighbor_movieId
         assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_loaded_model_serves_identically_via_arrow(spark, ratings, tmp_path):
+    """The loaded-model serving path (Arrow/BLAS dot top-k, round-7
+    verdict task 2) must reproduce the fitting session's MLlib
+    recommendForAllUsers output: same items per user (float factors
+    make exact score ties measure-zero on this fixture), same ranks,
+    scores equal to float tolerance."""
+    rec = _fit(ratings)
+    want = {
+        (r.userId, r.movieId, r.rank): r.score
+        for r in rec.recommend_top_k(k=3, flat=True).collect()
+    }
+
+    path = str(tmp_path / "als_model")
+    rec.save_model(path)
+    loaded = AlsRecommender().load_model(path)
+    assert loaded._loaded and loaded.rank == rec.rank
+    got = {
+        (r.userId, r.movieId, r.rank): r.score
+        for r in loaded.recommend_top_k(k=3, flat=True).collect()
+    }
+    assert set(got) == set(want)
+    for key, score in got.items():
+        assert abs(score - want[key]) < 1e-4
+
+    # the physical plan really is the Arrow kernel: no blocked cross,
+    # a mapInPandas node instead
+    plan = loaded.recommend_top_k(k=3, flat=True)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+    # the lists shape comes straight out of the kernel, same order
+    lists = {r[0]: list(r.recs) for r in loaded.recommendation_lists(k=3).collect()}
+    for (u, m, rk) in want:
+        assert lists[u][rk - 1] == m
+
+    # subset serving through the same kernel matches the all-users slice
+    some = ratings.select("userId").distinct().limit(2)
+    uids = {r.userId for r in some.collect()}
+    sub = {
+        (r.userId, r.movieId, r.rank)
+        for r in loaded.recommend_for_users(some, k=3).collect()
+    }
+    assert sub == {k3 for k3 in want if k3[0] in uids}
+
+
+def test_loaded_model_refit_after_load_uses_mllib(spark, ratings, tmp_path):
+    """fit() after load_model() must clear the loaded flag — a freshly
+    fitted model serves through MLlib's cached block RDDs again."""
+    rec = _fit(ratings)
+    path = str(tmp_path / "als_model2")
+    rec.save_model(path)
+    loaded = AlsRecommender(rank=4, max_iter=2, reg_param=0.1, seed=7).load_model(path)
+    assert loaded._loaded
+    loaded.fit(ratings)
+    assert not loaded._loaded
+
+
+def test_arrow_dot_topk_empty_candidates(spark):
+    from movie_recommendation_engine_spark.operators.similarity import arrow_dot_topk
+
+    q = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "id int, features array<float>"
+    )
+    c = spark.createDataFrame([], "id int, features array<float>")
+    assert arrow_dot_topk(q, c, k=3).count() == 0
+    assert arrow_dot_topk(q, c, k=3, as_lists=True).count() == 0
