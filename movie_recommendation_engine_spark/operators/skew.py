@@ -72,3 +72,33 @@ def salted_broadcast_join(
         "__salt", hash_bucket(n_salts, *[F.col(c) for c in big.columns], salt="join-salt")
     )
     return big_salted.join(small_rep, on + ["__salt"]).drop("__salt")
+
+
+def cap_basket(
+    df: DataFrame,
+    basket_col: str,
+    order_cols: list[Column],
+    w: int = 256,
+) -> DataFrame:
+    """Bound basket width before a pair-fanout self-join.
+
+    A self-join on the basket key fans out k^2/2 pairs per k-row basket;
+    uniform data keeps k a small constant (TPC-H orders are <= 17 rows
+    at the probed SFs), but ONE hot basket detonates the plan — the
+    round-8 skew probe measured a 20%-hot-key order (15,963 distinct
+    parts -> 1.3e8 pairs from a single group) timing out a 2.6-second
+    query past 420 s.  Keeping the first ``w`` rows per basket under a
+    deterministic total order (``order_cols`` must include a unique
+    tiebreaker) caps the fanout at w^2/2 per basket while being a
+    provable NO-OP whenever every basket is narrower than ``w`` —
+    uniform results (and their oracle hashes) are untouched, and the
+    same row_number rule is SQL-expressible so skewed results stay
+    oracle-checkable too.
+
+    Physical plan: one hash exchange on ``basket_col`` + per-partition
+    sort (top_k_per_group) — the hot basket sorts w + excess rows in
+    one task instead of joining them.
+    """
+    from .topk import top_k_per_group
+
+    return top_k_per_group(df, [basket_col], order_cols, k=w)

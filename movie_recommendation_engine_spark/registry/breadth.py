@@ -21,6 +21,62 @@ from ..sources.writers import write_csv, write_json, write_orc
 from ..functions.rounding import det_round
 from . import _t, duck_hash_sql, register
 
+# Basket-width cap for the pair-fanout self-joins over (l_orderkey,
+# l_partkey): k^2/2 pairs per k-row basket is a small constant on
+# uniform data (max basket 17 rows at the probed SFs — the cap is a
+# provable no-op and every existing oracle hash is unchanged) but
+# detonates under key skew (round-8 probe: a 20%-hot order = 15,963
+# distinct parts -> 1.3e8 pairs from ONE group, >160x the uniform
+# wall).  Both engine and oracle apply the identical deterministic
+# row_number rule, so capped results stay hash-checkable on ANY data.
+_BASKET_CAP = 256
+
+# distinct (order, part) baskets, capped — for pair ops defined over
+# distinct co-occurrence (item-item CF, pagerank edges)
+_CAPPED_BASKETS_SQL = f"""
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+             AS __bw
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+  WHERE __bw <= {_BASKET_CAP}"""
+
+# raw lineitem ROWS capped (duplicate parts kept; l_linenumber makes the
+# order total) — for pair ops defined over row pairs (co-occurrence
+# counts, triangle edge weights)
+_CAPPED_ROWS_SQL = f"""
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_partkey, l_linenumber) AS __bw
+    FROM lineitem)
+  WHERE __bw <= {_BASKET_CAP}"""
+
+
+def _capped_baskets(li: DataFrame) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) capped at _BASKET_CAP per order."""
+    from ..operators.skew import cap_basket
+
+    return cap_basket(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        "l_orderkey",
+        [F.col("l_partkey").asc()],
+        w=_BASKET_CAP,
+    )
+
+
+def _capped_rows(li: DataFrame) -> DataFrame:
+    """Raw (l_orderkey, l_partkey) rows capped at _BASKET_CAP per order
+    (l_linenumber breaks ties to a total order, then drops)."""
+    from ..operators.skew import cap_basket
+
+    return cap_basket(
+        li.select("l_orderkey", "l_partkey", "l_linenumber"),
+        "l_orderkey",
+        [F.col("l_partkey").asc(), F.col("l_linenumber").asc()],
+        w=_BASKET_CAP,
+    ).select("l_orderkey", "l_partkey")
+
 
 @register(
     "parts_returned_and_accepted",
@@ -915,10 +971,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "part_cooccurrence_top20",
-    oracle="""
+    oracle=f"""
+WITH capped AS ({_CAPPED_ROWS_SQL})
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
-FROM lineitem a
-JOIN lineitem b
+FROM capped a
+JOIN capped b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 ORDER BY n_orders DESC, part_a, part_b
@@ -928,11 +985,12 @@ LIMIT 20
 def q_part_cooccurrence_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs bought in the same order.
     The self-join shuffles once on l_orderkey and fans out k^2/2 pairs
-    per k-line order — at 100 TB the thing to bound is basket width
-    (TPC-H orders are <= 7 lines, so the blowup is a small constant,
-    unlike e.g. session baskets which need a top-k-items-per-basket cap
-    first).  Fully deterministic top-20 via (count, part_a, part_b)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per k-line order — at 100 TB the thing to bound is basket width,
+    so baskets are capped at _BASKET_CAP rows (a no-op on uniform data,
+    max basket 17; the round-8 skew probe's 15,963-part hot order is
+    exactly the case the cap exists for).  Fully deterministic top-20
+    via (count, part_a, part_b)."""
+    li = _capped_rows(_t(spark, sf_dir, "lineitem"))
     a = li.alias("a")
     b = li.alias("b")
     return (
@@ -1757,10 +1815,11 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     pct = int(round(damping * 100))
     reset = 1_000_000 - pct * 10_000
     parts = [
-        """pairs AS (
+        f"""cbk AS ({_CAPPED_BASKETS_SQL}),
+pairs AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a
-  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+  FROM cbk a
+  JOIN cbk b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
 nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
 deg AS (SELECT u, count(*) AS outdeg FROM pairs GROUP BY 1),
 pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pru FROM nodes)"""
@@ -1799,7 +1858,9 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    dk = li.distinct().localCheckpoint(eager=False)
+    # basket cap before the k^2 pair join (no-op on uniform data; see
+    # _BASKET_CAP) — nodes stay UNcapped so every part keeps a rank row
+    dk = _capped_baskets(li).localCheckpoint(eager=False)
     a, b = dk.alias("a"), dk.alias("b")
     # packed single-long pair key for the distinct (8-byte vs 16-byte
     # shuffle key over the k^2 join fan-out; partkeys < 2^31)
@@ -1886,10 +1947,11 @@ def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
     pct = int(round(damping * 100))
     reset = 1_000_000 - pct * 10_000
     parts = [
-        """pairs AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v, count(DISTINCT a.l_orderkey) AS w
-  FROM lineitem a
-  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        f"""cbk AS ({_CAPPED_BASKETS_SQL}),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+  FROM cbk a
+  JOIN cbk b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
   GROUP BY 1, 2),
 nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
 wt AS (SELECT u, CAST(sum(w) AS BIGINT) AS wtot FROM pairs GROUP BY 1),
@@ -1928,8 +1990,9 @@ def q_part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupe (order, part) FIRST: after it, 'distinct orders per pair'
     # is a plain count — the k^2 pair aggregate then runs without
     # per-group distinct-set state (one cheap 600k-row distinct replaces
-    # distinct machinery on 10M+ pair groups)
-    dk = li.distinct().localCheckpoint(eager=False)
+    # distinct machinery on 10M+ pair groups).  Baskets capped before
+    # the pair join (no-op on uniform data; see _BASKET_CAP)
+    dk = _capped_baskets(li).localCheckpoint(eager=False)
     a, b = dk.alias("a"), dk.alias("b")
     # pack the pair into one long for the weight aggregate (same trick as
     # ngram_jaccard_pairs: 8-byte vs 16-byte grouping key over the k^2
@@ -2510,10 +2573,11 @@ def q_text_log_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "part_triangle_count",
-    oracle="""
-WITH pairs AS (
+    oracle=f"""
+WITH capped AS ({_CAPPED_ROWS_SQL}),
+pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
-  FROM lineitem a JOIN lineitem b
+  FROM capped a JOIN capped b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2),
 e AS (SELECT pa AS a, pb AS b FROM pairs WHERE w >= 2),
@@ -2535,10 +2599,12 @@ def q_part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     never enumerate their d^2 wedge pairs, which is what detonates the
     naive spelling on power-law 100-TB graphs.  The oracle counts the
     same triangles the simple a<b<c way; equality proves the
-    orientation trick loses and double-counts nothing."""
+    orientation trick loses and double-counts nothing.  Baskets are
+    capped at _BASKET_CAP rows before the edge-building self-join (no-op
+    on uniform data; bounds the hot-order pair fanout under skew)."""
     from ..operators.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _capped_rows(_t(spark, sf_dir, "lineitem"))
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
@@ -2673,9 +2739,8 @@ def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "item_item_cf_neighbors",
-    oracle="""
-WITH baskets AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+WITH baskets AS ({_CAPPED_BASKETS_SQL}),
 idf AS (SELECT l_partkey, count(*) AS df FROM baskets GROUP BY 1),
 pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
@@ -2720,9 +2785,10 @@ def q_item_item_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.topk import top_k_per_group
 
     li = _t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
-    )
+    # basket cap before the pair self-join (no-op on uniform data; see
+    # _BASKET_CAP) — df too is computed over the capped baskets so both
+    # engines score the same graph
+    baskets = _capped_baskets(li).localCheckpoint(eager=False)
     idf = baskets.groupBy("l_partkey").agg(F.count("*").alias("df"))
     a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
