@@ -23,7 +23,18 @@ O(log^2 n) rounds — implemented below as
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
+
+# Edge lists are the BIG frames iterative algorithms re-scan every
+# round: checkpoint them DISK_ONLY, not the default deserialized
+# memory level — the round-8 4 GiB soak showed on-heap edge blocks
+# starving the per-iteration join/agg of execution memory (pagerank at
+# sf1 OOM'd allocating its own spill writer), while sequential disk
+# re-reads of a compact 2-3 column frame cost a fraction of the
+# iteration itself.  Per-iteration rank/label frames stay on the
+# default level: they are O(|V|) and re-read immediately.
+_EDGE_LEVEL = StorageLevel.DISK_ONLY
 
 
 def connected_components(
@@ -298,9 +309,9 @@ def pagerank(
     # the edge list feeds BOTH the degree aggregate and the contribution
     # join — truncate its (possibly expensive: pair-generation self-join
     # + distinct) lineage once instead of computing it twice
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     deg = edges.groupBy(src).agg(F.count("*").alias("__outdeg"))
-    e = edges.join(deg, src).localCheckpoint(eager=False)
+    e = edges.join(deg, src).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     for _ in range(iterations):
         contrib = (
             e.join(pr.select(F.col(id_col).alias("__src"), "pru"), e[src] == F.col("__src"))
@@ -350,9 +361,9 @@ def pagerank_weighted(
         raise ValueError("damping must be a multiple of 0.01")
     reset = 1_000_000 - pct * 10_000
     pr = nodes.select(F.col(id_col), F.lit(1_000_000).cast("long").alias("pru"))
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     wtot = edges.groupBy(src).agg(F.sum(weight).cast("long").alias("__wtot"))
-    e = edges.join(wtot, src).localCheckpoint(eager=False)
+    e = edges.join(wtot, src).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     for _ in range(iterations):
         contrib = (
             e.join(pr.select(F.col(id_col).alias("__src"), "pru"), e[src] == F.col("__src"))

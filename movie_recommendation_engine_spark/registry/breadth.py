@@ -2984,13 +2984,21 @@ def q_customer_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame
     the cap is the scale dial, stated rather than assumed."""
     from ..operators.topk import top_k_global
 
+    from pyspark import StorageLevel
+
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # DISK_ONLY, not the default deserialized level: purch is the big
+    # reused frame (3 scans: df table + both self-join sides) and
+    # pinning its rows on-heap is what starved the pair aggregate's
+    # spill under the round-8 4 GiB soak (OOM allocating the spill
+    # writer inside HashAggregateExec) — sequential disk re-reads of a
+    # compact 2-column frame cost far less than the heap they free
     purch = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     pdf = (
         purch.groupBy("p")
@@ -3004,13 +3012,35 @@ def q_customer_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     a, b = purch.alias("a"), purch.alias("b")
-    pairs = (
+    # pack the customer pair into one long for the aggregate (same trick
+    # as part_pagerank: 8-byte vs 16-byte hash-map key over the df^2
+    # pair fan-out — halves the partial-agg map entry under tight heaps)
+    ck = F.col("a.c") * F.lit(4294967296).cast("long") + F.col("b.c")
+    raw = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
         .join(F.broadcast(pdf), F.col("a.p") == F.col("wp"))
-        .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+        .select(ck.alias("ck"), "w")
+    )
+    # pre-partition the pair stream on the (mostly-unique) pair key at
+    # 4x the session's shuffle parallelism before aggregating: the
+    # aggregate's per-task hash map shrinks 4x, which is what kept the
+    # round-8 4 GiB soak alive — 32 concurrent partial-agg maps over a
+    # ~90M-pair fan-out (sf1) exhausted the heap at the moment the map
+    # tried to allocate its own spill writer.  At full heap the extra
+    # exchange of a compact (long, long) stream costs ~a second.
+    n_agg = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = (
+        raw.repartition(n_agg, "ck")
+        .groupBy("ck")
         .agg(
             F.count("*").alias("common_parts"),
             F.sum("w").cast("long").alias("aa_micro"),
+        )
+        .select(
+            F.expr("ck DIV 4294967296").alias("cust_a"),
+            (F.col("ck") % 4294967296).alias("cust_b"),
+            "common_parts",
+            "aa_micro",
         )
     )
     return top_k_global(

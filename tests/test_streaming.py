@@ -675,3 +675,150 @@ def test_foreach_batch_upsert_sweeps_stale_epoch_dirs(spark, events_dir):
     finally:
         shutil.rmtree(os.path.dirname(state), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _run_with_crash_then_recover(spark, make_stream_df, ckpt):
+    """Drive a stateful stream through a REAL mid-stream crash: batch 0
+    commits, an injected sink failure kills the query at the start of
+    batch 1 (uncommitted), and a NEW query object restarts from the
+    SAME checkpoint — Spark must replay the failed batch from
+    checkpointed offsets and restore the operator state before it.
+    Returns every row emitted by committed batches across both runs."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    collected = []
+    crashed = {"done": False}
+
+    def crashing_sink(df, epoch_id):
+        if epoch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before batch 1 commits")
+        collected.extend(df.collect())
+
+    q = (
+        make_stream_df()
+        .writeStream.foreachBatch(crashing_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert crashed["done"], "crash was never injected — batching changed?"
+
+    q2 = (
+        make_stream_df()
+        .writeStream.foreachBatch(crashing_sink)  # same fn; fires once only
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    return collected
+
+
+def test_stateful_ewma_recovers_from_mid_stream_crash(spark, timeline_dir):
+    """Round-7 verdict task 7 (in-order variant): kill the
+    applyInPandasWithState EWMA after its first committed batch,
+    restart from checkpoint, and the final per-user emissions must
+    STILL equal the batch twin's full fold bit-for-bit — proving the
+    HDFS-backed state store recovered (n, s) and the failed batch
+    replayed exactly once."""
+    from movie_recommendation_engine_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+    )
+    from movie_recommendation_engine_spark.streaming.stateful import (
+        running_user_ewma,
+        user_ewma_batch,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="ewma_crash_ckpt_")
+    try:
+        rows = _run_with_crash_then_recover(
+            spark,
+            lambda: running_user_ewma(read_events_stream(spark, timeline_dir)),
+            ckpt,
+        )
+        final = {}
+        for r in rows:
+            if r.user_id not in final or r.n_events > final[r.user_id][0]:
+                final[r.user_id] = (r.n_events, r.ewma)
+        batch = spark.read.schema(EVENTS_SCHEMA).parquet(timeline_dir)
+        want = {
+            r.user_id: (r.n_events, r.ewma)
+            for r in user_ewma_batch(batch).collect()
+        }
+        assert final == want and len(want) == 2
+        assert all(n == 15 for n, _ in final.values())
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_ewma_reordered_recovers_from_mid_stream_crash(spark):
+    """Round-7 verdict task 7 (reorder-buffer variant): the crash lands
+    while events are still BUFFERED in state (the lateness horizon
+    spans file boundaries), so recovery must restore not just the
+    finalized (n, s) fold but the un-ripened buffer arrays — then the
+    replayed + remaining batches must converge to the batch twin."""
+    import random
+    import time as _time
+
+    from movie_recommendation_engine_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+    )
+    from movie_recommendation_engine_spark.streaming.stateful import (
+        running_user_ewma_reordered,
+        user_ewma_batch,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_reord_crash_")
+    ckpt = tempfile.mkdtemp(prefix="ewma_reord_crash_ckpt_")
+    try:
+        rows = [
+            (i, f"2024-01-01 00:{i:02d}:00", 1 + i % 2, "tick",
+             float((i * 7) % 13), "{}")
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+        slices = [list(range(0, 10)), list(range(10, 20)), list(range(20, 30))]
+        slices[0][9], slices[1][0] = slices[1][0], slices[0][9]
+        slices[1][9], slices[2][0] = slices[2][0], slices[1][9]
+        rng = random.Random(0)
+        for sl in slices:
+            rng.shuffle(sl)
+            df.filter(F.col("event_id").isin(sl)).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.1)
+        got = _run_with_crash_then_recover(
+            spark,
+            lambda: running_user_ewma_reordered(
+                read_events_stream(spark, d), alpha=0.3, lateness="5 minutes"
+            ),
+            ckpt,
+        )
+        final = {}
+        for r in got:
+            if r.user_id not in final or r.n_events > final[r.user_id][0]:
+                final[r.user_id] = (r.n_events, r.ewma)
+        batch = spark.read.schema(EVENTS_SCHEMA).parquet(d)
+        want = {
+            r.user_id: (r.n_events, r.ewma)
+            for r in user_ewma_batch(batch, alpha=0.3).collect()
+        }
+        assert final == want and len(want) == 2
+        assert all(n == 15 for n, _ in final.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

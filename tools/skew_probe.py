@@ -161,9 +161,13 @@ def main(argv: list[str]) -> int:
     path = os.path.join(ROOT, "BENCH_SCALE.md")
     with open(path) as fh:
         doc = fh.read()
+    # splice out ONLY this tool's previous section (up to the next "## "
+    # heading), preserving sections other tools own
     marker = "\n## Skew probe"
     if marker in doc:
-        doc = doc[: doc.index(marker)]
+        start = doc.index(marker)
+        nxt = doc.find("\n## ", start + 1)
+        doc = doc[:start] + (doc[nxt:] if nxt != -1 else "")
     with open(path, "w") as fh:
         fh.write(doc.rstrip("\n") + "\n" + "\n".join(lines))
     print("\n".join(lines))
