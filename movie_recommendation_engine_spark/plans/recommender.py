@@ -116,9 +116,9 @@ class AlsRecommender:
     num_blocks: int | None = None
     checkpoint_interval: int = 10
     model: object = field(default=None, repr=False)
-    # True when the model came from load_model(): factor frames are
-    # parquet scans, so top-k serving routes through the Arrow/BLAS
-    # kernel instead of MLlib's blocked cross (see load_model)
+    # True when the model came from load_model() (vs fit()) — kept as
+    # provenance for callers/tests; flat/lists serving routes through
+    # the Arrow/BLAS kernel for BOTH cases (see recommend_top_k)
     _loaded: bool = field(default=False, repr=False)
 
     def _estimator(self):
@@ -220,14 +220,19 @@ class AlsRecommender:
         explodes to (user, item, score, rank) — the shape joins and
         metrics want.
 
-        Physical strategy: a FITTED model serves through MLlib's
-        blocked cross (its factors sit in ALS's cached block RDDs); a
-        LOADED model serves through the Arrow/BLAS kernel, which reads
-        the parquet-backed factors once instead of per block pair
-        (ties then break deterministically on item id asc, where MLlib
-        leaves them arbitrary)."""
+        Physical strategy: flat/lists serving goes through the
+        Arrow/BLAS kernel for BOTH fitted and loaded models — measured
+        faster on both (sf0.1, 147k x 20k rank 8: MLlib blocked cross
+        62-80 s fitted / 105+ s loaded vs 15-25 s through the kernel),
+        and it is the difference between completing and OOM under a
+        constrained heap: MLlib's blocked cross at sf1 killed a 4 GiB
+        JVM from its block read-ahead threads (round-8 soak), while
+        the kernel holds one broadcast item matrix + one score chunk
+        per task.  Ties break deterministically on item id asc, where
+        MLlib leaves them arbitrary.  The reference shape
+        (``flat=False``) still goes through MLlib."""
         assert self.model is not None, "fit first"
-        if flat and self._loaded:
+        if flat:
             return self._arrow_topk_flat(None, k)
         recs = self.model.recommendForAllUsers(k)
         if not flat:
@@ -248,10 +253,10 @@ class AlsRecommender:
         The scale-sane entry point: recommendForAllUsers scores every
         (user-block x item-block) pair; serving typically needs recs for
         the active slice only — cost shrinks proportionally.  ``users``
-        needs just the user id column.  Loaded models route through the
+        needs just the user id column.  Flat serving routes through the
         Arrow/BLAS kernel (see recommend_top_k)."""
         assert self.model is not None, "fit first"
-        if flat and self._loaded:
+        if flat:
             return self._arrow_topk_flat(users, k)
         recs = self.model.recommendForUserSubset(users.select(self.user_col), k)
         if not flat:
@@ -301,25 +306,20 @@ class AlsRecommender:
         """(user, recs: array<item>) ordered by predicted score — the
         input shape of plans.metrics (reference als.py:120 getField).
 
-        Loaded models emit the lists directly inside the Arrow kernel
-        (one row per user, no explode/re-aggregate shuffle); fitted
-        models go through MLlib's blocked cross (see recommend_top_k)."""
+        Emitted directly inside the Arrow kernel for both fitted and
+        loaded models (one row per user, no explode/re-aggregate
+        shuffle; see recommend_top_k for the measurements)."""
         assert self.model is not None, "fit first"
-        if self._loaded:
-            from ..operators.similarity import arrow_dot_topk
+        from ..operators.similarity import arrow_dot_topk
 
-            return arrow_dot_topk(
-                self.model.userFactors,
-                self.model.itemFactors,
-                k=k,
-                id_col="id",
-                vec_col="features",
-                as_lists=True,
-            ).select(F.col("query_id").alias(self.user_col), "recs")
-        return self.model.recommendForAllUsers(k).select(
-            self.user_col,
-            F.col("recommendations").getField(self.item_col).alias("recs"),
-        )
+        return arrow_dot_topk(
+            self.model.userFactors,
+            self.model.itemFactors,
+            k=k,
+            id_col="id",
+            vec_col="features",
+            as_lists=True,
+        ).select(F.col("query_id").alias(self.user_col), "recs")
 
     def user_factors(self) -> DataFrame:
         assert self.model is not None, "fit first"
