@@ -208,8 +208,19 @@ def main(argv: list[str]) -> int:
         "",
     ]
     out = "\n".join(lines)
-    with open(os.path.join(ROOT, "BENCH_SCALE.md"), "w") as fh:
-        fh.write(out)
+    # preserve the sections other tools own (skew probe, memory soak):
+    # this tool rewrites only the leading cross-SF table — everything
+    # from the first "\n## " heading onward carries over
+    path = os.path.join(ROOT, "BENCH_SCALE.md")
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            doc = fh.read()
+        cut = doc.find("\n## ")
+        if cut != -1:
+            tail = doc[cut:]
+    with open(path, "w") as fh:
+        fh.write(out.rstrip("\n") + "\n" + tail)
     print(out)
     return 0
 
