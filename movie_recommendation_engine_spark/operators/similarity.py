@@ -242,23 +242,16 @@ def dot_topk_rows(s, ids_c, kk):
         sub = s[bad]
         t_exact = np.partition(sub, n_cols - kk, axis=1)[:, n_cols - kk]
         mask[bad] = sub >= t_exact[:, None]
-    rows, cols = np.nonzero(mask)  # row-major: cols ascend per row
+    rows, cols = np.nonzero(mask)
     sc = s[rows, cols]
-    # stable sort by (row, score desc) keeps the ascending-col order
-    # within equal scores -> id-asc tie break for free.  The float is
-    # folded into the key via the IEEE total-order trick (negatives:
-    # ~bits, non-negatives: bits | sign), with -0.0 collapsed to +0.0
-    # first so zeros TIE (and break on id) exactly like a float
-    # comparator would.
-    sc = np.where(sc == 0, np.float32(0.0), sc)
-    i32 = sc.view(np.int32).astype(np.int64)
-    u_asc = np.where(i32 < 0, ~i32 & 0xFFFFFFFF, i32 | 0x80000000).astype(
-        np.uint64
-    )
-    key = (rows.astype(np.uint64) << np.uint64(32)) | (
-        np.uint64(0xFFFFFFFF) - u_asc
-    )
-    order = np.argsort(key, kind="stable")
+    # order the SELECTED set (a few k per row, not |C|) by (row, score
+    # desc, candidate id asc).  The id must be an explicit sort key: a
+    # stable sort on (row, score) would break ties by column POSITION,
+    # which equals id order only when ids_c happens to be monotonic —
+    # a hypothesis sweep with permuted ids caught exactly that (round
+    # 8).  Float comparison also treats -0.0 == 0.0 here, matching the
+    # reference comparator, where a bit-level key would not.
+    order = np.lexsort((ids_c[cols], -sc, rows))
     rows_s, cols_s, sc_s = rows[order], cols[order], sc[order]
     counts = np.bincount(rows_s, minlength=n_rows)
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))

@@ -141,3 +141,43 @@ def test_dot_topk_rows_partition_independence():
         part_i, part_s = dot_topk_rows(s[lo:hi], ids, 17)
         assert (part_i == whole_i[lo:hi]).all()
         assert (part_s == whole_s[lo:hi]).all()
+
+
+def test_dot_topk_rows_hypothesis_vs_bruteforce():
+    """Property form of the fixed-trial kernel test: random shapes,
+    random k (including k >= n_cols), scores quantized to force tie
+    clusters — every row must equal the brute-force (score desc,
+    id asc) reference.  Pure numpy, no Spark session."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from movie_recommendation_engine_spark.operators.similarity import (
+        dot_topk_rows,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n_rows=st.integers(1, 24),
+        n_cols=st.integers(1, 400),
+        k=st.integers(1, 40),
+        quant=st.sampled_from([1.0, 4.0, 1000.0]),  # heavy -> no ties
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n_rows, n_cols, k, quant, seed):
+        rng = np.random.default_rng(seed)
+        s = (
+            np.round(rng.standard_normal((n_rows, n_cols)) * quant) / quant
+        ).astype(np.float32)
+        ids = rng.choice(10 * n_cols, size=n_cols, replace=False).astype(
+            np.int64
+        )
+        top_i, top_s = dot_topk_rows(s, ids, k)
+        want_k = min(k, n_cols)
+        assert top_i.shape == (n_rows, want_k) == top_s.shape
+        for r in range(n_rows):
+            ref = sorted(
+                zip(s[r].tolist(), ids.tolist()), key=lambda t: (-t[0], t[1])
+            )[:want_k]
+            assert list(zip(top_s[r].tolist(), top_i[r].tolist())) == ref
+
+    check()
