@@ -267,6 +267,14 @@ _RECHECK_FIRST = [
     # and lead the staleness order anyway.)
     "als_recommend_invariants",
     "movielens_e2e_cli",
+    # round 8 (late): the three format-roundtrip queries moved their
+    # staging dirs to per-(sf_dir, pid) paths — plan-identical, but the
+    # write-then-read sequence is the thing that changed, so re-gate it.
+    # (All three are r02-stale and near the front of the staleness
+    # order anyway; the pin just makes it unconditional.)
+    "csv_roundtrip_agg",
+    "json_roundtrip_agg",
+    "orc_roundtrip_agg",
 ]
 
 

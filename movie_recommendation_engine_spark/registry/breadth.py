@@ -276,7 +276,13 @@ def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     sup = _t(spark, sf_dir, "supplier")
-    d = os.path.join(tempfile.gettempdir(), "mres_csv_roundtrip")
+    # per-(sf_dir, process) staging like every other sink query: a
+    # concurrent run (gate + bench, or another scale factor) must not
+    # overwrite this run's files between the write and the read-back
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(
+        tempfile.gettempdir(), f"mres_csv_roundtrip_{tag}_{os.getpid()}"
+    )
     write_csv(sup.select("s_suppkey", "s_nationkey", "s_acctbal"), d)
     schema = T.StructType(
         [
@@ -315,7 +321,11 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     nat = _t(spark, sf_dir, "nation")
-    d = os.path.join(tempfile.gettempdir(), "mres_json_roundtrip")
+    # per-(sf_dir, process) staging — see q_csv_roundtrip_agg
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(
+        tempfile.gettempdir(), f"mres_json_roundtrip_{tag}_{os.getpid()}"
+    )
     write_json(nat, d)
     schema = T.StructType(
         [
@@ -592,7 +602,11 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushdown (stripe/row-group index skipping) — the second
     columnar format a landing zone typically needs besides parquet."""
     part = _t(spark, sf_dir, "part")
-    d = os.path.join(tempfile.gettempdir(), "mres_orc_roundtrip")
+    # per-(sf_dir, process) staging — see q_csv_roundtrip_agg
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(
+        tempfile.gettempdir(), f"mres_orc_roundtrip_{tag}_{os.getpid()}"
+    )
     write_orc(part.select("p_partkey", "p_brand", "p_size", "p_retailprice"), d)
     back = read_orc(spark, d).filter(F.col("p_size") >= 25)
     return (
