@@ -290,10 +290,14 @@ def test_interval_overlap_join_matches_bruteforce_once_each(
 # ------------------------------------------------- concurrency probe names
 
 
-def test_concurrency_probe_default_queries_exist_in_registry():
-    """Name-rot guard: every query the concurrency probe races must
-    still be a registry entry (a rename would silently shrink the
-    probe's coverage to whatever still resolves)."""
+@pytest.mark.parametrize(
+    "tool,min_n",
+    [("concurrency_probe", 20), ("fragmentation_probe", 12)],
+)
+def test_probe_default_queries_exist_in_registry(tool, min_n):
+    """Name-rot guard: every query a probe tool exercises must still be
+    a registry entry (a rename would silently shrink the probe's
+    coverage to whatever still resolves)."""
     import importlib.util
     import os
 
@@ -301,7 +305,7 @@ def test_concurrency_probe_default_queries_exist_in_registry():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
     )
     spec = importlib.util.spec_from_file_location(
-        "concurrency_probe", os.path.join(tools, "concurrency_probe.py")
+        tool, os.path.join(tools, f"{tool}.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -310,4 +314,4 @@ def test_concurrency_probe_default_queries_exist_in_registry():
 
     missing = [n for n in mod.DEFAULT_QUERIES if n not in QUERIES]
     assert not missing, f"probe names not in registry: {missing}"
-    assert len(set(mod.DEFAULT_QUERIES)) == len(mod.DEFAULT_QUERIES) >= 20
+    assert len(set(mod.DEFAULT_QUERIES)) == len(mod.DEFAULT_QUERIES) >= min_n
