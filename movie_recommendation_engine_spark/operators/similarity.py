@@ -270,6 +270,7 @@ def arrow_dot_topk(
     vec_col: str = "features",
     as_lists: bool = False,
     chunk: int = 1024,
+    max_broadcast_bytes: int = 2 << 30,
 ) -> DataFrame:
     """Distributed dot-product top-k with the CANDIDATE side broadcast —
     the matrix-factorization serving kernel (score = u·v, not cosine).
@@ -286,7 +287,11 @@ def arrow_dot_topk(
     Boundedness contract: the candidate factor matrix must fit in a
     broadcast (rank-100 floats: ~4 MB per 10k items, ~4 GB at 10M —
     beyond that, serve through ``ivf_topk``/``lsh_bucketed_topk`` or
-    slice the query side with ``recommendForUserSubset``).
+    slice the query side with ``recommendForUserSubset``).  ENFORCED,
+    not assumed: the estimated catalog size is checked against
+    ``max_broadcast_bytes`` (default 2 GiB) before the collect, so a
+    violation raises with the scale paths named instead of surfacing
+    as an unattributed driver OOM.
 
     Scores are float32 (matching MLlib ALS's float factors/ratings);
     ties break on candidate id ascending inside the selected top-k.
@@ -303,6 +308,25 @@ def arrow_dot_topk(
     import numpy as np
     import pandas as pd
 
+    # enforce the boundedness contract BEFORE the collect, where a
+    # violation would otherwise surface as a driver OOM with no hint of
+    # which call killed it: one cheap count+size job over the (tiny,
+    # usually cached) factor frame vs the matmul stage it precedes.
+    # 2 GiB default ≈ a 5M-item catalog at rank 100 — comfortably past
+    # any catalog this kernel should serve, and the error names the
+    # scale paths to switch to.
+    probe = candidates.select(F.size(vec_col).alias("r")).first()
+    if probe is not None:
+        n_c = candidates.count()
+        est = n_c * (probe["r"] * 4 + 8)
+        if est > max_broadcast_bytes:
+            raise ValueError(
+                f"arrow_dot_topk: candidate side ~{est / 2**30:.2f} GiB "
+                f"({n_c} rows x rank {probe['r']}) exceeds the "
+                f"{max_broadcast_bytes / 2**30:.2f} GiB broadcast bound — "
+                "serve through ivf_topk/lsh_bucketed_topk, or slice the "
+                "query side (recommend_for_users) and swap sides"
+            )
     crows = candidates.select(id_col, vec_col).collect()  # bounded catalog
     spark = queries.sparkSession
     if not crows:

@@ -181,3 +181,26 @@ def test_dot_topk_rows_hypothesis_vs_bruteforce():
             assert list(zip(top_s[r].tolist(), top_i[r].tolist())) == ref
 
     check()
+
+
+def test_arrow_dot_topk_enforces_broadcast_bound(spark):
+    """The boundedness contract is enforced, not assumed: an over-cap
+    candidate catalog must raise (naming the scale paths) BEFORE the
+    driver-side collect, and the same catalog passes under the default
+    cap."""
+    import pytest
+
+    from movie_recommendation_engine_spark.operators.similarity import (
+        arrow_dot_topk,
+    )
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id int, features array<float>"
+    )
+    c = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [0.5, 2.0]), (12, [2.0, 0.5])],
+        "id int, features array<float>",
+    )
+    with pytest.raises(ValueError, match="ivf_topk"):
+        arrow_dot_topk(q, c, k=2, max_broadcast_bytes=8)
+    assert arrow_dot_topk(q, c, k=2).count() == 4

@@ -48,6 +48,7 @@ SHOWCASE = [
     ("ann_ivf_kmeans_invariants", "invariant gate: 16-row centroid broadcast, cell equi-join scoring, one-row contract aggregate"),
     ("als_rank1_item_neighbors", "rank-1 neighbor value gate: DECIMAL ridge sweeps, capped probe (sorted limit) broadcast-crossed, rank window"),
     ("als_rank1_recommend_top5", "rank-1 recommend value gate: capped probe users x item factors, train anti-join, W-topk serving window"),
+    ("als_recommend_invariants", "Arrow/BLAS serving kernel: item factors broadcast once, user factors stream through MapInPandas (one matmul per chunk, zero shuffle), invariants fold to one row"),
 ]
 
 
