@@ -315,3 +315,55 @@ def test_probe_default_queries_exist_in_registry(tool, min_n):
     missing = [n for n in mod.DEFAULT_QUERIES if n not in QUERIES]
     assert not missing, f"probe names not in registry: {missing}"
     assert len(set(mod.DEFAULT_QUERIES)) == len(mod.DEFAULT_QUERIES) >= min_n
+
+
+def test_session_soak_leak_adjudication():
+    """The soak's flag rule must catch the staircase and pass the
+    sawtooth: monotonic growth ending above factor x start is a leak;
+    any dip (cleaner reclaim) or a plateau under the factor is not."""
+    import importlib.util
+    import os
+
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    spec = importlib.util.spec_from_file_location(
+        "session_soak", os.path.join(tools, "session_soak.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    me = mod.monotonic_excess
+
+    assert me([100, 200, 400], 1.5)          # staircase: leak
+    assert not me([100, 300, 120], 1.5)      # sawtooth: reclaim, pass
+    assert not me([100, 120, 130], 1.5)      # bounded warm-up, pass
+    assert not me([100, 100, 100], 1.5)      # flat, pass
+    assert me([4, 4, 9], 2.0)                # RDD-count staircase: leak
+    assert not me([4, 9, 4], 2.0)            # transient pin, pass
+    assert not me([100], 1.5)                # single sample: no verdict
+    assert not me([], 1.5)
+
+
+def test_streaming_probe_ops_resolve():
+    """The streaming probe's operator list binds real builder functions
+    (a rename surfaces here, not as a silently shorter probe), and the
+    output modes are ones Structured Streaming accepts for each shape
+    (session windows reject update)."""
+    import importlib.util
+    import os
+
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    spec = importlib.util.spec_from_file_location(
+        "streaming_probe", os.path.join(tools, "streaming_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ops = mod.probe_ops()
+    assert len(ops) == 7
+    names = [n for n, _, _ in ops]
+    assert len(set(names)) == 7
+    modes = dict((n, m) for n, _, m in ops)
+    assert modes["sessionize"] == "append"
+    assert all(callable(b) for _, b, _ in ops)

@@ -40,6 +40,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def monotonic_excess(vals: list[float], factor: float) -> bool:
+    """True when ``vals`` never decreases AND ends above ``factor`` x
+    its start — the leak signature.  A plateau (growth that stalls) or
+    any dip (a GC/cleaner reclaim) passes: sawtooth heap profiles are
+    healthy, unbounded staircases are not."""
+    growing = all(b >= a for a, b in zip(vals, vals[1:]))
+    return len(vals) >= 2 and growing and vals[-1] > vals[0] * factor
+
+
 def jvm_state(spark) -> dict:
     """Heap/storage/view snapshot after GC on both sides of py4j."""
     gc.collect()  # drop python-side DataFrame refs so py4j can detach
@@ -99,15 +108,10 @@ def main() -> int:
 
     spark.stop()
 
-    def monotonic_excess(key: str, factor: float) -> bool:
-        vals = [s[key] for s in snapshots]
-        growing = all(b >= a for a, b in zip(vals, vals[1:]))
-        return len(vals) >= 2 and growing and vals[-1] > vals[0] * factor
-
     flags: list[str] = []
-    if monotonic_excess("heap_mb", 1.5):
+    if monotonic_excess([s["heap_mb"] for s in snapshots], 1.5):
         flags.append("heap grows monotonically >50%")
-    if monotonic_excess("persistent_rdds", 2.0):
+    if monotonic_excess([s["persistent_rdds"] for s in snapshots], 2.0):
         flags.append("persistent RDD count grows monotonically >2x")
     if any(s["errors"] for s in snapshots):
         flags.append("query errors during soak")
