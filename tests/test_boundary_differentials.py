@@ -367,3 +367,39 @@ def test_streaming_probe_ops_resolve():
     modes = dict((n, m) for n, _, m in ops)
     assert modes["sessionize"] == "append"
     assert all(callable(b) for _, b, _ in ops)
+
+
+def test_canon_hash_mimics_driver_contracts():
+    """tools/check_oracle.canon_hash is the LOCAL mirror of the
+    driver's result canon; if its behavior drifts, a query can pass
+    locally and fail at the driver (or vice versa).  Pin the four
+    contracts: row-order insensitivity, column-order insensitivity,
+    int64-vs-float64 MUST mismatch (no float prettifying — the driver
+    renders '17171' vs '17171.0'), and raw array cells MUST raise
+    (the driver's sort_values crashes on them, so ours must too)."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", os.path.join(tools, "check_oracle.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ch = mod.canon_hash
+
+    a = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    shuffled = a.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    assert ch(a) == ch(shuffled)
+    assert ch(a) == ch(a[["y", "x"]])
+
+    ints = pd.DataFrame({"n": pd.array([17171, 2], dtype="int64")})
+    floats = pd.DataFrame({"n": pd.array([17171.0, 2.0], dtype="float64")})
+    assert ch(ints) != ch(floats)
+
+    with pytest.raises(TypeError):
+        ch(pd.DataFrame({"v": [[1, 2], [3]]}))
