@@ -270,7 +270,7 @@ def arrow_dot_topk(
     vec_col: str = "features",
     as_lists: bool = False,
     chunk: int = 1024,
-    max_broadcast_bytes: int = 2 << 30,
+    max_broadcast_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Distributed dot-product top-k with the CANDIDATE side broadcast —
     the matrix-factorization serving kernel (score = u·v, not cosine).
@@ -288,10 +288,20 @@ def arrow_dot_topk(
     broadcast (rank-100 floats: ~4 MB per 10k items, ~4 GB at 10M —
     beyond that, serve through ``ivf_topk``/``lsh_bucketed_topk`` or
     slice the query side with ``recommendForUserSubset``).  ENFORCED,
-    not assumed: the estimated catalog size is checked against
-    ``max_broadcast_bytes`` (default 2 GiB) before the collect, so a
-    violation raises with the scale paths named instead of surfacing
-    as an unattributed driver OOM.
+    not assumed: the estimated DRIVER-side materialization cost is
+    checked against ``max_broadcast_bytes`` (default 512 MiB) before
+    the collect, so a violation raises with the scale paths named
+    instead of surfacing as an unattributed driver OOM.  The estimate
+    models the Arrow collect path this function actually uses (three
+    transient copies of the float32 matrix — Arrow batches, the
+    per-row ndarray Series, the stacked matrix — plus ~256 B/row of
+    Python object overhead), NOT just the final numpy footprint: a
+    round-8 advisory found the old count*(rank*4+8) estimate passing
+    while a Row-based collect() transiently needed ~10x that, so the
+    collect now goes through Arrow and the bound prices what the
+    driver really allocates.  512 MiB estimated ≈ a ~370k-item
+    catalog at rank 100 (~150 MiB resident matrix); raise the cap
+    deliberately for bigger catalogs on big-memory drivers.
 
     Scores are float32 (matching MLlib ALS's float factors/ratings);
     ties break on candidate id ascending inside the selected top-k.
@@ -310,34 +320,42 @@ def arrow_dot_topk(
 
     # enforce the boundedness contract BEFORE the collect, where a
     # violation would otherwise surface as a driver OOM with no hint of
-    # which call killed it: one cheap count+size job over the (tiny,
-    # usually cached) factor frame vs the matmul stage it precedes.
-    # 2 GiB default ≈ a 5M-item catalog at rank 100 — comfortably past
-    # any catalog this kernel should serve, and the error names the
-    # scale paths to switch to.
-    probe = candidates.select(F.size(vec_col).alias("r")).first()
-    if probe is not None:
-        n_c = candidates.count()
-        est = n_c * (probe["r"] * 4 + 8)
-        if est > max_broadcast_bytes:
-            raise ValueError(
-                f"arrow_dot_topk: candidate side ~{est / 2**30:.2f} GiB "
-                f"({n_c} rows x rank {probe['r']}) exceeds the "
-                f"{max_broadcast_bytes / 2**30:.2f} GiB broadcast bound — "
-                "serve through ivf_topk/lsh_bucketed_topk, or slice the "
-                "query side (recommend_for_users) and swap sides"
-            )
-    crows = candidates.select(id_col, vec_col).collect()  # bounded catalog
+    # which call killed it.  ONE probe job (count + first(size) folded
+    # into a single aggregate — a round-8 advisory flagged the old
+    # .first()-then-.count() pair as recomputing an uncached candidate
+    # lineage twice before the collect recomputed it a third time),
+    # then an Arrow collect so the driver materializes columnar
+    # buffers, not boxed Python Rows.  The estimate prices the Arrow
+    # path's real transient peak: ~3 float32 copies of the matrix
+    # (Arrow batches -> per-row ndarray Series -> stacked matrix) plus
+    # per-row Python/pandas object overhead.
+    probe = candidates.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("r")
+    ).first()
+    n_c = int(probe["n"]) if probe is not None else 0
     spark = queries.sparkSession
-    if not crows:
+    if n_c == 0:
         schema = (
             "query_id int, recs array<int>"
             if as_lists
             else "query_id int, neighbor_id int, score float, rank int"
         )
         return spark.createDataFrame([], schema)
-    cids = np.array([r[0] for r in crows], dtype=np.int64)
-    cmat = np.array([list(r[1]) for r in crows], dtype=np.float32)
+    rank = int(probe["r"])
+    est = n_c * (rank * 4 * 3 + 256)
+    if est > max_broadcast_bytes:
+        raise ValueError(
+            f"arrow_dot_topk: candidate side ~{est / 2**30:.2f} GiB "
+            f"estimated driver materialization ({n_c} rows x rank {rank}) "
+            f"exceeds the {max_broadcast_bytes / 2**30:.2f} GiB bound — "
+            "serve through ivf_topk/lsh_bucketed_topk, slice the query "
+            "side (recommend_for_users) and swap sides, or raise "
+            "max_broadcast_bytes deliberately on a big-memory driver"
+        )
+    cpdf = candidates.select(id_col, vec_col).toPandas()  # Arrow collect
+    cids = cpdf[id_col].to_numpy(dtype=np.int64)
+    cmat = np.asarray(cpdf[vec_col].tolist(), dtype=np.float32)
+    del cpdf
     bc = spark.sparkContext.broadcast((cids, cmat))
     kk = min(k, len(cids))
 

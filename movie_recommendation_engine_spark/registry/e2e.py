@@ -37,7 +37,6 @@ import io
 import json
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -108,9 +107,9 @@ FROM counts, pop, hit, served
 def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..__main__ import main as cli_main
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    scratch = os.path.join(tempfile.gettempdir(), f"mres_e2e_{tag}_{os.getpid()}")
-    shutil.rmtree(scratch, ignore_errors=True)
+    from . import staging_dir
+
+    scratch = staging_dir("e2e", sf_dir)
     csv_path = os.path.join(scratch, "ratings_csv")
     split_dir = os.path.join(scratch, "splits")
     pop_dir = os.path.join(scratch, "popularity")

@@ -114,6 +114,69 @@ def test_window_is_mostly_stale_queries():
     assert len(stale) >= WINDOW - len(_RECHECK_FIRST)
 
 
+def test_oracle_changes_are_pinned():
+    """Pin-on-change, made mechanical (round-8 judge finding #1: round
+    8 changed five queries' oracles but pinned five OTHER names, so
+    four queries carried changed oracles with no driver evidence).
+
+    tools/oracle_manifest.json records md5(oracle_sql) per query; any
+    query whose current hash differs from its manifest entry MUST be in
+    _RECHECK_FIRST, and any never-gated new query simply isn't in the
+    manifest yet (it leads the window as pending anyway).  Refresh the
+    manifest with `python tools/gen_oracle_manifest.py` — which itself
+    refuses to absorb a changed hash for an unpinned query.
+    """
+    import hashlib
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "oracle_manifest.json",
+    )
+    with open(path) as fh:
+        manifest = json.load(fh)
+
+    green = _driver_green()
+    problems = []
+    for name in QUERIES:
+        cur = (
+            hashlib.md5(ORACLES[name].encode()).hexdigest()
+            if name in ORACLES
+            else None
+        )
+        if name not in manifest:
+            # new query: fine while pending (never green); once gated it
+            # must be absorbed into the manifest
+            if name in green:
+                problems.append(f"{name}: gated but missing from manifest")
+        elif manifest[name] != cur and name not in _RECHECK_FIRST:
+            problems.append(
+                f"{name}: oracle changed vs manifest but not pinned in "
+                "_RECHECK_FIRST"
+            )
+    assert not problems, "; ".join(problems)
+
+
+def test_manifest_has_no_ghost_entries():
+    """Entries for deleted/renamed queries must be pruned (the
+    generator rewrites the manifest from the live registry, so a ghost
+    means it was hand-edited)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "oracle_manifest.json",
+    )
+    with open(path) as fh:
+        manifest = json.load(fh)
+    ghosts = sorted(set(manifest) - set(QUERIES))
+    assert not ghosts, f"manifest entries for unregistered queries: {ghosts}"
+
+
 def test_new_queries_carry_oracles_unless_rows_only_by_design():
     """Every registered query has an oracle except the four documented
     rows-only ML exports (engine-specific floats, each with a hash-

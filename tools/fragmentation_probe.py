@@ -72,7 +72,35 @@ DEFAULT_QUERIES = [
 ]
 
 
+MARKER = os.path.join(SF_FRAG, "_DERIVE_COMPLETE.json")
+
+
+def _marker_ok() -> bool:
+    """True iff a prior derive COMPLETED under the same settings.
+
+    Existence of lineitem.parquet alone is not enough (round-8
+    advisory): a crashed half-written derive, or one built under a
+    different SPARK_GRAFT_FRAG_ROWS_PER_FILE, would be silently reused
+    and skew the uniform-vs-fragmented comparison.  The marker is
+    written LAST, after every table lands, and records the knobs.
+    """
+    import json
+
+    try:
+        with open(MARKER) as fh:
+            m = json.load(fh)
+        return m.get("rows_per_file") == ROWS_PER_FILE and m.get("tables") == list(
+            TABLES
+        )
+    except Exception:
+        return False
+
+
 def _derive(spark) -> None:
+    import json
+    import shutil
+
+    shutil.rmtree(SF_FRAG, ignore_errors=True)  # stale/partial prior copy
     os.makedirs(SF_FRAG, exist_ok=True)
     for t in TABLES:
         src = spark.read.parquet(f"{SF_UNIFORM}/{t}.parquet")
@@ -82,6 +110,8 @@ def _derive(spark) -> None:
             f"{SF_FRAG}/{t}.parquet"
         )
         print(f"# fragmented {t}: {n} rows -> {files} files", file=sys.stderr)
+    with open(MARKER, "w") as fh:
+        json.dump({"rows_per_file": ROWS_PER_FILE, "tables": list(TABLES)}, fh)
 
 
 def _file_count(d: str) -> int:
@@ -106,7 +136,7 @@ def main(argv: list[str]) -> int:
     spark = get_spark("frag_probe", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(os.path.join(SF_FRAG, "lineitem.parquet")):
+    if not _marker_ok():
         _derive(spark)
 
     n_files = {"uniform": _file_count(SF_UNIFORM), "frag": _file_count(SF_FRAG)}
