@@ -367,20 +367,20 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 2,
-    n_hashes: int = 16,
-    band_size: int = 2,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    n: int,
+    n_hashes: int,
+    band_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front end: shingle -> signature -> exploded band keys.
 
-    n_hashes/band_size bands; docs sharing any band bucket become
-    candidates; candidates are verified on their full shingle sets.
-    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    Returns (sh, bands) where sh is the per-doc shingle sets (for the
+    exact-Jaccard verify) and bands is (id, band) with one row per
+    (doc, band bucket).  Both are localCheckpointed: every consumer
+    joins them at least twice.
     """
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
@@ -407,13 +407,15 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).localCheckpoint(eager=False)  # self-join below would recompute the signatures twice
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    ).localCheckpoint(eager=False)  # joins below would recompute the signatures
+    return sh, bands
+
+
+def _verify_jaccard(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidates on the full
+    shingle sets; keeps pairs at or above ``threshold``."""
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -425,6 +427,106 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    n_hashes/band_size bands; docs sharing any band bucket become
+    candidates; candidates are verified on their full shingle sets.
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    ``max_bucket`` bounds the within-bucket self-join — the operator's
+    one quadratic edge.  On a uniform corpus buckets hold a handful of
+    docs and the cap is invisible, but a duplicate-heavy corpus (20% of
+    documents near-copies of one template — common in real crawls)
+    lands the whole clique in ONE bucket per band and both the
+    candidate join and the OUTPUT are k^2/2 on it.  Measured at the
+    round-9 dup-clique probe (sf0.1, 1044-copy clique): uncapped
+    6.8 s / 544,601 pairs vs capped-64 3.5 s / 2,621 pairs — tolerable
+    at 5k docs, but the pair count scales as the SQUARE of clique
+    size, so a 100k-copy clique in a real crawl emits 5e9 pairs and a
+    1M-copy one 5e11: the cap is what makes the 100 TB run finish.
+    Each bucket contributes at most its ``max_bucket`` smallest ids as
+    candidates (row_number over id asc — deterministic and mirrorable
+    in SQL), so an adversarial bucket yields <= cap^2/2 candidates per
+    band.  PAIR RECALL inside a mega-clique is deliberately truncated
+    (the full pair list IS the scale bug); for dedup COMPONENTS use
+    ``minhash_lsh_edges``, which keeps every clique member via linear
+    star edges (1.8 s / 1,182 edges on the same corpus).  None
+    preserves the exhaustive behavior.
+    """
+    sh, bands = _lsh_bands(df, id_col, text_col, n, n_hashes, band_size)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band").orderBy("id")
+        bands = (
+            bands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_bucket)
+            .drop("rn")
+        )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, id_col, threshold)
+
+
+def minhash_lsh_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup EDGES for component-style dedup: star edges to the
+    bucket minimum instead of all within-bucket pairs — linear in
+    bucket width where the pair join is quadratic.
+
+    Each band bucket emits (min_id_in_bucket, id) for every other
+    member, verified with exact Jaccard like the pair path.  A k-member
+    duplicate clique (one hot bucket) contributes k-1 edges per band
+    instead of k^2/2 pairs — the round-9 dup-clique probe's fix for the
+    one scale axis the uniform generators never exercised (round-8
+    verdict #1).  For connected components the star is the RIGHT
+    graph: clique members connect through the minimum, and the
+    min-label propagation in ``operators.graph`` converges in one
+    sweep on a star where a full clique adds k^2 edges for zero extra
+    connectivity.
+
+    Recall note: within a bucket {a, b, c} (a = min) the star tests
+    only (a,b) and (a,c); a pair (b,c) passing the Jaccard threshold
+    while both star edges fail is found only if b and c co-occur in
+    some OTHER bucket without a smaller non-matching doc.  Band
+    collisions of non-matching docs are rare by construction (the band
+    key is band_size independent minhashes), so this trades a
+    vanishing recall sliver for boundedness — same contract precedent
+    as cap_basket (registry/breadth.py).  Output shape matches
+    ``minhash_lsh_pairs``: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh, bands = _lsh_bands(df, id_col, text_col, n, n_hashes, band_size)
+    bmin = bands.groupBy("band").agg(F.min("id").alias("id_a"))
+    cand = (
+        bands.join(bmin, "band")
+        .filter(F.col("id") > F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, id_col, threshold)
 
 
 def simhash_fingerprint(

@@ -325,6 +325,15 @@ _RECHECK_FIRST = [
     "part_pagerank_weighted",
     "part_triangle_count",
     "item_item_cf_neighbors",
+    # round 9: the MinHash-LSH family is bounded against duplicate
+    # cliques — the pair query gains a per-bucket candidate cap and the
+    # component consumers move to linear star edges (minhash_lsh_edges),
+    # with every oracle updated in lock-step.  All four changed plan AND
+    # oracle; the manifest test enforces exactly this pin.
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_pipeline_summary",
+    "corpus_curation_e2e",
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.rounding import det_round
 from ..operators.dedup import (
     exact_dedup,
+    minhash_lsh_edges,
     minhash_lsh_pairs,
     prefix_filtered_jaccard_pairs,
     simhash_pairs,
@@ -98,10 +99,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-# MinHash LSH pair pipeline (shared by dedup_minhash_lsh and the
-# component clustering oracle): shingle-hash once, affine rehash,
-# band, bucket-join, exact-Jaccard verify.
-MINHASH_PAIRS = """
+# Per-bucket candidate width cap for the LSH PAIR self-join (engine and
+# oracle embed the same constant).  A duplicate-heavy corpus lands a
+# whole copy-clique in one bucket per band, making the within-bucket
+# self-join quadratic in clique size (round-9 dup-clique probe) — the
+# cap keeps each bucket's candidate contribution to its 64 smallest ids
+# (<= 64^2/2 candidates per band).  Uniform-corpus buckets are a
+# handful of docs wide, so below the adversarial regime the capped and
+# uncapped plans emit identical pairs.  Component-style dedup uses the
+# linear star-edge path instead (MINHASH_EDGES / minhash_lsh_edges).
+LSH_MAX_BUCKET = 64
+
+# MinHash LSH front end (shared by the pair and star-edge pipelines):
+# shingle-hash once, affine rehash, band.
+MINHASH_BANDS = """
 hg AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(concat_ws(chr(1), 'mh', g)), 1, 8)) AS BIGINT) AS h
@@ -114,10 +125,11 @@ bands AS (
   SELECT doc_id, CAST(floor(seed / 2) AS INT) AS b,
          md5(concat_ws(chr(1), CAST(CAST(floor(seed / 2) AS INT) AS VARCHAR),
              string_agg(CAST(m AS VARCHAR), chr(1) ORDER BY seed))) AS band
-  FROM sig GROUP BY doc_id, floor(seed / 2)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+  FROM sig GROUP BY doc_id, floor(seed / 2))
+"""
+
+# exact-Jaccard verification of (id_a, id_b) candidates — shared tail
+_MINHASH_VERIFY = """
 pairs AS (
   SELECT id_a, id_b,
          (floor((len(list_intersect(sa.s, sb.s)) * 1.0 /
@@ -128,6 +140,29 @@ pairs AS (
   WHERE (floor((len(list_intersect(sa.s, sb.s)) * 1.0 /
               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))) * 1000000 + 0.5) / 1000000) >= 0.5)
 """
+
+# pair pipeline: capped bucket-join candidates, exact-Jaccard verify —
+# mirrors minhash_lsh_pairs(max_bucket=LSH_MAX_BUCKET)
+MINHASH_PAIRS = f"""{MINHASH_BANDS},
+bandsc AS (
+  SELECT doc_id, band FROM (
+    SELECT doc_id, band,
+           row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+    FROM bands)
+  WHERE rn <= {LSH_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.doc_id < b.doc_id),
+{_MINHASH_VERIFY}"""
+
+# star-edge pipeline: each bucket emits (bucket-min, member) edges —
+# linear per bucket — then the same verify; mirrors minhash_lsh_edges
+MINHASH_EDGES = f"""{MINHASH_BANDS},
+bmin AS (SELECT band, min(doc_id) AS mid FROM bands GROUP BY band),
+cand AS (
+  SELECT DISTINCT m.mid AS id_a, b.doc_id AS id_b
+  FROM bands b JOIN bmin m ON b.band = m.band AND b.doc_id > m.mid),
+{_MINHASH_VERIFY}"""
 
 
 @register(
@@ -140,10 +175,14 @@ ORDER BY id_a, id_b
 """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + 8 bands of 2 -> candidates -> exact-Jaccard verify."""
+    """MinHash(16) + 8 bands of 2 -> capped candidates -> exact-Jaccard
+    verify.  max_bucket=LSH_MAX_BUCKET bounds the within-bucket
+    self-join against duplicate-clique corpora (round-9 probe); the
+    oracle embeds the identical cap."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5
+        docs, "doc_id", "text", n=2, n_hashes=16, band_size=2,
+        threshold=0.5, max_bucket=LSH_MAX_BUCKET,
     ).orderBy("id_a", "id_b")
 
 
@@ -151,7 +190,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     oracle=f"""
 WITH RECURSIVE {SHINGLES},
-{MINHASH_PAIRS},
+{MINHASH_EDGES},
 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach(src, dst) AS (
@@ -170,14 +209,19 @@ ORDER BY d.doc_id
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed to clusters: connected components over
-    the MinHash-LSH Jaccard>=0.5 pair graph (join-based min-label
+    the MinHash-LSH Jaccard>=0.5 STAR-EDGE graph (join-based min-label
     propagation), every doc mapped to its canonical (min-id)
-    representative.  The oracle recomputes components via a recursive
-    transitive-closure CTE — two entirely different algorithms agreeing
-    exactly."""
+    representative.  Edges come from minhash_lsh_edges — per-bucket
+    stars to the bucket minimum, linear where the all-pairs bucket
+    join is quadratic on a duplicate clique (round-9 probe) — and the
+    star reaches exactly the same components wherever bucket-mates
+    share their threshold relation through the minimum.  The oracle
+    recomputes components from the SAME star edges via a recursive
+    transitive-closure CTE — two entirely different closure algorithms
+    agreeing exactly."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5)
-    return dedup_canonical(docs, pairs).orderBy("doc_id")
+    edges = minhash_lsh_edges(docs, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5)
+    return dedup_canonical(docs, edges).orderBy("doc_id")
 
 
 @register(
@@ -288,7 +332,7 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_pipeline_summary",
     oracle=f"""
 WITH RECURSIVE {SHINGLES},
-{MINHASH_PAIRS},
+{MINHASH_EDGES},
 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach(src, dst) AS (
@@ -324,10 +368,10 @@ def q_dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import det_round as _dr
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
+    edges = minhash_lsh_edges(
         docs, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5
     )
-    verdicts = dedup_canonical(docs, pairs).join(
+    verdicts = dedup_canonical(docs, edges).join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
     keep = F.col("is_canonical")

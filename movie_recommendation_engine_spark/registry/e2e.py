@@ -216,7 +216,7 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- corpus curation end-to-end ------------------------------------------
 
 from .text import FUNNEL_VERDICTS_SQL, NORM, WORDS  # noqa: E402
-from .dedup import MINHASH_PAIRS, SHINGLES  # noqa: E402
+from .dedup import MINHASH_EDGES, SHINGLES  # noqa: E402
 
 _CUR_W = {"en": 4, "de": 1, "es": 1, "fr": 1}
 _CUR_W_SQL = ", ".join(f"('{k}', {w})" for k, w in sorted(_CUR_W.items()))
@@ -233,7 +233,7 @@ e2 AS MATERIALIZED (
     SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM efp)
   WHERE doc_id = keep_id),
 {SHINGLES.replace("FROM documents", "FROM e2")},
-{MINHASH_PAIRS},
+{MINHASH_EDGES},
 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach(src, dst) AS (
@@ -287,7 +287,7 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     by both the next stage and its own count, computed once."""
     from pyspark.sql import Window
 
-    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.dedup import minhash_lsh_edges
     from ..operators.graph import dedup_canonical
     from ..operators.sampling import mixture_sample
     from ..operators.text import (
@@ -310,10 +310,10 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "lang")
         .localCheckpoint(eager=False)
     )
-    pairs = minhash_lsh_pairs(
+    edges = minhash_lsh_edges(
         e2, "doc_id", "text", n=2, n_hashes=16, band_size=2, threshold=0.5
     )
-    canon = dedup_canonical(e2, pairs)
+    canon = dedup_canonical(e2, edges)
     e3 = e2.join(
         canon.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=False)

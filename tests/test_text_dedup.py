@@ -426,3 +426,91 @@ def test_ancestor_roots_raises_when_forest_deeper_than_rounds(spark):
         ancestor_roots(chain, "node", "parent", rounds=5).collect()
     out = ancestor_roots(chain, "node", "parent", rounds=6)
     assert out.filter("node = 39").collect()[0].depth == 39
+
+
+# ---- round-9 duplicate-clique boundedness ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def clique_docs(spark):
+    """A 12-copy exact-duplicate clique + a near-dup pair + singletons —
+    the duplicate-heavy shape the uniform scale generators never
+    produce (hot LSH bucket)."""
+    template = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [(i, template) for i in range(1, 13)]
+    rows += [
+        (20, "november oscar papa quebec romeo sierra tango uniform victor"),
+        (21, "november oscar papa quebec romeo sierra tango uniform whiskey"),
+        (30, "one lonely document with its own entirely distinct words"),
+        (31, "another isolated text sharing no bigrams with anything else"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_star_edges_linear_on_clique(spark, clique_docs):
+    """A k-clique of exact copies yields k-1 star edges (all to the
+    minimum id), not k(k-1)/2 pairs."""
+    from movie_recommendation_engine_spark.operators.dedup import (
+        minhash_lsh_edges,
+    )
+
+    edges = minhash_lsh_edges(
+        clique_docs, "doc_id", "text", n=2, n_hashes=16, band_size=2,
+        threshold=0.5,
+    ).collect()
+    clique = [(r.id_a, r.id_b) for r in edges if r.id_b <= 12]
+    assert sorted(clique) == [(1, b) for b in range(2, 13)]  # star to min
+    assert all(r.jaccard == 1.0 for r in edges if r.id_b <= 12)
+    assert {(r.id_a, r.id_b) for r in edges if r.id_a >= 20} == {(20, 21)}
+
+
+def test_star_components_match_full_pair_components(spark, clique_docs):
+    """dedup_canonical over star edges reaches the same components as
+    over the full (uncapped) pair graph on the clique corpus."""
+    from movie_recommendation_engine_spark.operators.dedup import (
+        minhash_lsh_edges,
+        minhash_lsh_pairs,
+    )
+    from movie_recommendation_engine_spark.operators.graph import (
+        dedup_canonical,
+    )
+
+    kw = dict(n=2, n_hashes=16, band_size=2, threshold=0.5)
+    star = dedup_canonical(
+        clique_docs, minhash_lsh_edges(clique_docs, "doc_id", "text", **kw)
+    )
+    full = dedup_canonical(
+        clique_docs, minhash_lsh_pairs(clique_docs, "doc_id", "text", **kw)
+    )
+    assert sorted(star.collect()) == sorted(full.collect())
+
+
+def test_capped_pairs_equal_uncapped_below_cap(spark, clique_docs, docs):
+    """max_bucket larger than every bucket => identical output; a cap
+    below the clique width truncates the clique's pair list to the
+    cap's smallest ids while leaving non-clique pairs untouched."""
+    from movie_recommendation_engine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    kw = dict(n=2, n_hashes=16, band_size=2, threshold=0.5)
+    for frame in (docs, clique_docs):
+        uncapped = sorted(
+            minhash_lsh_pairs(frame, "doc_id", "text", **kw).collect()
+        )
+        capped = sorted(
+            minhash_lsh_pairs(
+                frame, "doc_id", "text", max_bucket=64, **kw
+            ).collect()
+        )
+        assert capped == uncapped
+
+    tight = minhash_lsh_pairs(
+        clique_docs, "doc_id", "text", max_bucket=4, **kw
+    ).collect()
+    clique_pairs = {(r.id_a, r.id_b) for r in tight if r.id_b <= 12}
+    # only the 4 smallest clique ids survive as candidates: C(4,2) pairs
+    assert clique_pairs == {
+        (a, b) for a in range(1, 5) for b in range(a + 1, 5)
+    }
+    assert {(r.id_a, r.id_b) for r in tight if r.id_a >= 20} == {(20, 21)}

@@ -75,6 +75,54 @@ def probe_ops():
     ]
 
 
+def _state_stamps(q) -> dict:
+    """Peak state-store footprint across the run's micro-batches, from
+    the query's progress telemetry: total state rows and memory at the
+    worst batch.  This is the number a capacity plan needs — watermark
+    eviction bounds it; a stream whose peak tracks input volume (not
+    the watermark window) is leaking state."""
+    rows = mem = 0
+    for pr in q.recentProgress:
+        ops = pr.get("stateOperators") or []
+        rows = max(rows, sum(int(o.get("numRowsTotal") or 0) for o in ops))
+        mem = max(
+            mem, sum(int(o.get("memoryUsedBytes") or 0) for o in ops)
+        )
+    return {"state_rows_peak": rows, "state_mb_peak": round(mem / 1e6, 2)}
+
+
+HOT_EVENTS = os.path.join(ROOT, ".scale", "sf0.1-hot-events", "events.parquet")
+HOT_MARKER = os.path.join(ROOT, ".scale", "sf0.1-hot-events", "_DERIVE_COMPLETE")
+
+
+def _derive_hot_events(spark, src: str) -> None:
+    """Hot-key events variant for the skew leg: ~20% of event_id rows
+    remapped onto ONE id (an at-least-once retry storm — the dedup
+    operator's adversarial input) and ~20% of user_id rows onto ONE
+    user (one mega-session / one serialized python fold).  Same
+    md5-mask recipe as gen_skew_sf.py; written as many small files so
+    maxFilesPerTrigger yields real micro-batches."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(os.path.dirname(HOT_EVENTS), ignore_errors=True)
+    df = spark.read.parquet(src)
+    n_files = max(
+        1, sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    ) if os.path.isdir(src) else 200
+    for col in ("event_id", "user_id"):
+        hot = df.agg(F.min(col)).collect()[0][0]
+        mask = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % 5 == 0
+        )
+        df = df.withColumn(col, F.when(mask, F.lit(hot)).otherwise(F.col(col)))
+    df.repartition(n_files).write.mode("overwrite").parquet(HOT_EVENTS)
+    with open(HOT_MARKER, "w") as fh:
+        fh.write("ok")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", default=DEFAULT_EVENTS)
@@ -161,16 +209,71 @@ def main() -> int:
                 "batches": counts["batches"],
                 "out_rows": counts["rows"],
                 "rows_per_s": int(n_input / wall),
+                **_state_stamps(q),
             }
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
+
+    # ---- hot-key (skew) leg: state boundedness under concentration ----
+    # dedup under a retry storm (20% of events share ONE event_id),
+    # sessionize/EWMA under one mega-user.  The claim probed: state
+    # peaks track the WATERMARK WINDOW, not input volume, and a hot key
+    # collapses into one state row instead of multiplying them.
+    if not os.path.exists(HOT_MARKER):
+        _derive_hot_events(spark, args.events)
+    skew_ops = [
+        ("dedup_events_within_watermark", "append"),
+        ("sessionize", "append"),
+        ("running_user_ewma", "update"),
+    ]
+    by_name = {n: (b, m) for n, b, m in probe_ops()}
+    skew_results: dict[str, dict] = {}
+    for name, mode in skew_ops:
+        if name not in by_name:
+            continue
+        build = by_name[name][0]
+        srow: dict = {}
+        for tag, events_dir in (("uniform", args.events), ("hot", HOT_EVENTS)):
+            counts = {"batches": 0, "rows": 0}
+
+            def sink(df, epoch, counts=counts):
+                counts["batches"] += 1
+                counts["rows"] += df.count()
+
+            ckpt = os.path.join(scratch, f"skew_{name}_{tag}")
+            stream = read_events_stream(
+                spark, events_dir, max_files_per_trigger=fpt_large
+            )
+            t0 = time.perf_counter()
+            q = (
+                build(stream)
+                .writeStream.outputMode(mode)
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            srow[tag] = {
+                "wall_s": round(wall, 2),
+                "out_rows": counts["rows"],
+                **_state_stamps(q),
+            }
+        srow["state_ratio"] = round(
+            srow["hot"]["state_rows_peak"]
+            / max(1, srow["uniform"]["state_rows_peak"]),
+            2,
+        )
+        skew_results[name] = srow
+        print(f"# skew {name}: {srow}", file=sys.stderr)
 
     spark.stop()
     shutil.rmtree(scratch, ignore_errors=True)
 
     lines = [
         "",
-        "## Streaming throughput probe (round 8)",
+        "## Streaming throughput probe (round 9)",
         "",
         f"The events table ({n_input} rows as {n_files} files) replayed "
         "through the file source with `trigger(availableNow)`, a "
@@ -208,6 +311,31 @@ def main() -> int:
         )
     lines.append("")
 
+    lines += [
+        "### Hot-key state boundedness (round 9)",
+        "",
+        "The same stateful operators replayed against a hot-key events "
+        "variant (20% of event_id onto ONE id — an at-least-once retry "
+        "storm — and 20% of user_id onto ONE user).  `state rows/MB "
+        "peak` is the worst micro-batch's state-store total from the "
+        "query's own progress telemetry.  A bounded operator's hot-key "
+        "state must stay at or BELOW uniform (duplicate keys collapse "
+        "into one state row; watermark eviction caps the horizon):",
+        "",
+        "| operator | uniform: out rows / state rows / MB peak "
+        "| hot: out rows / state rows / MB peak | hot/uniform state |",
+        "|---|---|---|---|",
+    ]
+    for name, r in skew_results.items():
+        u, h = r["uniform"], r["hot"]
+        lines.append(
+            f"| {name} | {u['out_rows']} / {u['state_rows_peak']} / "
+            f"{u['state_mb_peak']} | {h['out_rows']} / "
+            f"{h['state_rows_peak']} / {h['state_mb_peak']} "
+            f"| {r['state_ratio']} |"
+        )
+    lines.append("")
+
     path = os.path.join(ROOT, "BENCH_SCALE.md")
     with open(path) as fh:
         doc = fh.read()
@@ -219,7 +347,8 @@ def main() -> int:
     with open(path, "w") as fh:
         fh.write(doc.rstrip("\n") + "\n" + "\n".join(lines))
     print("\n".join(lines))
-    print(json.dumps({"probe": "streaming_throughput", "results": results}))
+    print(json.dumps({"probe": "streaming_throughput", "results": results,
+                      "skew": skew_results}))
     return 0
 
 
