@@ -69,7 +69,13 @@ def cmd_split(args) -> int:
 def cmd_popularity(args) -> int:
     spark = _spark("popularity")
     p = _pipeline(spark, args)
-    _write(p.popularity_top_k(args.k), args.out, args.format_out)
+    try:
+        _write(p.popularity_top_k(args.k), args.out, args.format_out)
+    finally:
+        # verbs may run inside a shared session (the e2e registry
+        # query, a notebook): release the pipeline's cache entries so
+        # repeated runs don't pin one RDD each (round-9 soak finding)
+        p.unpersist()
     print(f"wrote top-{args.k} popularity ranking to {args.out}", file=sys.stderr)
     return 0
 
@@ -77,12 +83,15 @@ def cmd_popularity(args) -> int:
 def cmd_als(args) -> int:
     spark = _spark("als")
     p = _pipeline(spark, args)
-    p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
-    if args.save_model:
-        p.als.save_model(args.save_model)
-        print(f"saved fitted ALS model to {args.save_model}", file=sys.stderr)
-    recs = p.als.recommend_top_k(args.k)
-    _write(recs, args.out, args.format_out)
+    try:
+        p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
+        if args.save_model:
+            p.als.save_model(args.save_model)
+            print(f"saved fitted ALS model to {args.save_model}", file=sys.stderr)
+        recs = p.als.recommend_top_k(args.k)
+        _write(recs, args.out, args.format_out)
+    finally:
+        p.unpersist()
     print(f"wrote top-{args.k} ALS recommendations to {args.out}", file=sys.stderr)
     return 0
 
@@ -90,19 +99,22 @@ def cmd_als(args) -> int:
 def cmd_evaluate(args) -> int:
     spark = _spark("evaluate")
     p = _pipeline(spark, args)
-    if args.model_dir:
-        # reuse the `als` verb's saved model — the split is recomputed
-        # (deterministic content-hash, so train/validation are identical
-        # to the fitting run's) but the expensive ALS fit is not
-        p.load_als(args.model_dir)
-    else:
-        p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
-    out = p.evaluate(k=args.k)
-    row = {
-        "rmse": out["rmse"].collect()[0][0],
-        **out["ranking"].collect()[0].asDict(),
-        "popularity_hit_ratio": p.popularity_hit_ratio(args.k).collect()[0][0],
-    }
+    try:
+        if args.model_dir:
+            # reuse the `als` verb's saved model — the split is recomputed
+            # (deterministic content-hash, so train/validation are identical
+            # to the fitting run's) but the expensive ALS fit is not
+            p.load_als(args.model_dir)
+        else:
+            p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
+        out = p.evaluate(k=args.k)
+        row = {
+            "rmse": out["rmse"].collect()[0][0],
+            **out["ranking"].collect()[0].asDict(),
+            "popularity_hit_ratio": p.popularity_hit_ratio(args.k).collect()[0][0],
+        }
+    finally:
+        p.unpersist()
     print(json.dumps(row))
     return 0
 

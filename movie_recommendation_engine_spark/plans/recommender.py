@@ -184,6 +184,19 @@ class AlsRecommender:
         self._loaded = True
         return self
 
+    def unpersist_factors(self) -> "AlsRecommender":
+        """Drop the factor-frame cache entries.  ``DataFrame.cache()``
+        registers in the session CacheManager, which pins the entry
+        until an explicit unpersist — in a shared long-lived session
+        (the e2e registry query, a notebook) every load/fit otherwise
+        leaves one more pinned RDD behind (round-9 six-sweep soak
+        finding).  Safe to call whether or not the frames were ever
+        cached."""
+        if self.model is not None:
+            self.model.userFactors.unpersist()
+            self.model.itemFactors.unpersist()
+        return self
+
     def transform(self, df: DataFrame) -> DataFrame:
         """Score (user, item) pairs (reference als.py:93). Physically:
         df ⋈ userFactors ⋈ itemFactors + dot product, unseen keys
