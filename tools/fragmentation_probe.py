@@ -180,7 +180,7 @@ def main(argv: list[str]) -> int:
     )
     lines = [
         "",
-        "## Fragmentation probe (round 8)",
+        "## Fragmentation probe (round 9)",
         "",
         "Scan-heavy queries on sf0.1 vs a content-identical copy "
         f"shattered into ~{ROWS_PER_FILE}-row parquet files "
