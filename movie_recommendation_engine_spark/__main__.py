@@ -5,16 +5,21 @@ who today runs ``spark-submit popularity_model.py`` / ``als.py`` /
     python -m movie_recommendation_engine_spark split \
         --ratings ratings.csv --out splits/
     python -m movie_recommendation_engine_spark popularity \
-        --ratings ratings.csv --k 100 --out top_movies/
+        --splits splits/ --k 100 --out top_movies/
     python -m movie_recommendation_engine_spark als \
-        --ratings ratings.csv --rank 100 --max-iter 3 --reg 0.15 \
+        --splits splits/ --rank 100 --max-iter 3 --reg 0.15 \
         --k 100 --out recs/
     python -m movie_recommendation_engine_spark evaluate \
-        --ratings ratings.csv --k 100
+        --splits splits/ --k 100
 
 Inputs may be CSV (header userId,movieId,rating,timestamp — the
 MovieLens layout, reference als.py:24) or parquet (``--format
-parquet``).  Outputs are parquet directories (``--format csv`` writes
+parquet``).  The popularity/als/evaluate verbs accept EITHER
+``--ratings`` (each verb re-derives the deterministic split — fine for
+one-off runs) or ``--splits`` pointing at the `split` verb's output
+(the reference's own pipeline shape: als.py:24-34 reads the splitter's
+files; labels are identical, each verb saves one full scan + per-user
+window).  Outputs are parquet directories (``--format csv`` writes
 headered CSV like the reference's splitter).  Every verb is one lazy
 Spark plan; only `evaluate` prints scalars to stdout.
 """
@@ -35,6 +40,8 @@ def _spark(app: str):
 def _load(spark, args):
     from .sources.readers import read_ratings_csv
 
+    if args.ratings is None:
+        raise SystemExit("one of --ratings or --splits is required")
     if args.format == "parquet":
         return spark.read.parquet(args.ratings)
     return read_ratings_csv(spark, args.ratings, header=not args.no_header)
@@ -52,6 +59,15 @@ def _write(df, path: str, fmt: str) -> None:
 def _pipeline(spark, args):
     from .plans.movielens import MovieLensPipeline
 
+    if getattr(args, "splits", None):
+        # reuse the `split` verb's partitioned parquet instead of
+        # re-splitting from the raw ratings — the reference's own flow
+        # (als.py:24-34 reads the splitter's outputs).  Re-splitting is
+        # deterministic (content-hash) so results are identical either
+        # way; this path just skips a full scan + per-user window PER
+        # VERB (measured ~1.7x on the e2e after the round-9 cache-leak
+        # fix removed the accidental cross-verb cache that hid it).
+        return MovieLensPipeline.from_labeled(spark.read.parquet(args.splits))
     p = MovieLensPipeline(_load(spark, args))
     p.split()
     return p
@@ -123,10 +139,17 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="movie_recommendation_engine_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    def common(sp):
-        sp.add_argument("--ratings", required=True, help="ratings CSV or parquet path")
+    def common(sp, splits: bool = False):
+        sp.add_argument("--ratings", required=not splits,
+                        help="ratings CSV or parquet path")
         sp.add_argument("--format", choices=["csv", "parquet"], default="csv")
         sp.add_argument("--no-header", action="store_true", help="headerless CSV (S2)")
+        if splits:
+            sp.add_argument(
+                "--splits", default=None,
+                help="read the `split` verb's partitioned parquet instead of "
+                     "re-splitting --ratings (same deterministic labels, one "
+                     "scan+window cheaper per verb)")
 
     sp = sub.add_parser("split", help="deterministic per-user 25/25/50 split")
     common(sp)
@@ -134,7 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_split)
 
     sp = sub.add_parser("popularity", help="weighted-rating popularity top-k")
-    common(sp)
+    common(sp, splits=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--k", type=int, default=100)
     sp.add_argument("--format-out", choices=["csv", "parquet"], default="parquet")
@@ -148,7 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--k", type=int, default=100)
 
     sp = sub.add_parser("als", help="ALS fit + top-k recommendations")
-    common(sp)
+    common(sp, splits=True)
     sp.add_argument("--out", required=True)
     sp.add_argument("--format-out", choices=["csv", "parquet"], default="parquet")
     sp.add_argument("--save-model", default=None,
@@ -157,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_als)
 
     sp = sub.add_parser("evaluate", help="split + ALS + RMSE/MAP@K + hit-ratio, one JSON line")
-    common(sp)
+    common(sp, splits=True)
     sp.add_argument("--model-dir", default=None,
                     help="evaluate a model saved by `als --save-model` instead of refitting")
     als_args(sp)

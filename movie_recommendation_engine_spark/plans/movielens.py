@@ -44,8 +44,30 @@ class MovieLensPipeline:
     def from_csv(cls, spark: SparkSession, path: str, **kwargs) -> "MovieLensPipeline":
         return cls(read_ratings_csv(spark, path), **kwargs)
 
+    @classmethod
+    def from_labeled(cls, labeled: DataFrame, **kwargs) -> "MovieLensPipeline":
+        """Build the pipeline from an ALREADY-SPLIT dataset — the output
+        of ``plans.splitter.split_and_write`` (a parquet directory
+        partitioned by ``split``) read back, mirroring the reference's
+        own flow where als.py:24-34 consumes the three files the
+        splitter wrote rather than re-splitting.  Skipping the re-split
+        matters: the split is a full-corpus scan + per-user window, and
+        a CLI run that chains popularity/als/evaluate over the same
+        ratings would otherwise pay it once PER VERB (the round-9
+        cache-leak fix removed the accidental cross-verb CacheManager
+        reuse that used to hide exactly that — see unpersist()).  The
+        read-back plan is a partition-pruned parquet scan instead."""
+        p = cls(labeled.drop("split"), **kwargs)
+        p.labeled = labeled.cache()
+        return p
+
     def split(self, fractions: dict[str, float] | None = None) -> DataFrame:
-        """Deterministic per-user split (reference E3, hash-based)."""
+        """Deterministic per-user split (reference E3, hash-based).
+
+        No-op if a split is already attached (``from_labeled``) and no
+        override fractions are requested."""
+        if self.labeled is not None and fractions is None:
+            return self.labeled
         self.labeled = split_assign(
             self.ratings,
             group_col=self.user_col,
@@ -64,7 +86,15 @@ class MovieLensPipeline:
         forever otherwise.  The round-9 six-sweep session soak measured
         exactly that: +1 persistent RDD and +0.7 MB storage per sweep,
         bisected to this split cache.  CLI verbs call this in a
-        ``finally``; one-shot processes die with the JVM either way."""
+        ``finally``; one-shot processes die with the JVM either way.
+
+        Unpersisting also ENDED the accidental cross-verb cache
+        coupling that round-9's fix exposed as a ~1.7x e2e regression:
+        verbs no longer inherit each other's split RDD through the
+        CacheManager, so cross-verb reuse is now EXPLICIT — write the
+        split once (the ``split`` verb / ``split_and_write``) and hand
+        it to later verbs via ``from_labeled`` (CLI: ``--splits``),
+        the reference's own pipeline shape (als.py:24-34)."""
         if self.labeled is not None:
             self.labeled.unpersist()
             self.labeled = None

@@ -93,3 +93,48 @@ def test_cli_als_save_model_evaluate_reuse(spark, ratings_csv, tmp_path, capsys)
     assert set(reused) == set(refit)
     for k in ("map_at_k", "hit_rate", "popularity_hit_ratio"):
         assert 0.0 <= reused[k] <= 1.0 and 0.0 <= refit[k] <= 1.0
+
+
+def test_cli_splits_reuse_reads_parquet(spark, ratings_csv, tmp_path, capsys):
+    """Round-10 regression guard for the round-9 e2e cost: with
+    ``--splits`` the downstream verbs READ the split verb's parquet —
+    the pipeline's labeled plan is a partition-prunable parquet scan
+    with no re-split window — and produce byte-identical artifacts to
+    the re-split (--ratings) path, since the split labels are
+    content-hash deterministic either way."""
+    from movie_recommendation_engine_spark.__main__ import main
+    from movie_recommendation_engine_spark.plans.movielens import (
+        MovieLensPipeline,
+    )
+
+    splits = tmp_path / "splits"
+    assert main(["split", "--ratings", ratings_csv, "--out", str(splits)]) == 0
+
+    # the attached plan is a parquet scan, not a recomputed window split
+    p = MovieLensPipeline.from_labeled(spark.read.parquet(str(splits)))
+    plan = p.labeled._sc._jvm.PythonSQLUtils.explainString(
+        p.labeled._jdf.queryExecution(), "extended"
+    )
+    assert "parquet" in plan.lower()
+    assert "window" not in plan.lower()
+    p.unpersist()
+
+    # artifact equality: popularity via --splits == via --ratings
+    top_a = tmp_path / "top_ratings"
+    top_b = tmp_path / "top_splits"
+    assert main(["popularity", "--ratings", ratings_csv, "--k", "7",
+                 "--out", str(top_a)]) == 0
+    assert main(["popularity", "--splits", str(splits), "--k", "7",
+                 "--out", str(top_b)]) == 0
+    rows_a = sorted(map(tuple, spark.read.parquet(str(top_a)).collect()))
+    rows_b = sorted(map(tuple, spark.read.parquet(str(top_b)).collect()))
+    assert rows_a == rows_b
+
+    # evaluate via --splits: same deterministic rmse as via --ratings
+    args = ["--rank", "4", "--max-iter", "1", "--k", "5"]
+    assert main(["evaluate", "--ratings", ratings_csv] + args) == 0
+    via_ratings = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["evaluate", "--splits", str(splits)] + args) == 0
+    via_splits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert via_splits["rmse"] == via_ratings["rmse"]
+    assert via_splits["n_users"] == via_ratings["n_users"]
