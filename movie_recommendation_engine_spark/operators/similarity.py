@@ -270,7 +270,7 @@ def arrow_dot_topk(
     vec_col: str = "features",
     as_lists: bool = False,
     chunk: int = 1024,
-    max_broadcast_bytes: int = 512 << 20,
+    max_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Distributed dot-product top-k with the CANDIDATE side broadcast —
     the matrix-factorization serving kernel (score = u·v, not cosine).
@@ -301,7 +301,14 @@ def arrow_dot_topk(
     collect now goes through Arrow and the bound prices what the
     driver really allocates.  512 MiB estimated ≈ a ~370k-item
     catalog at rank 100 (~150 MiB resident matrix); raise the cap
-    deliberately for bigger catalogs on big-memory drivers.
+    deliberately for bigger catalogs on big-memory drivers — per call
+    via ``max_broadcast_bytes`` (``AlsRecommender(max_broadcast_bytes=
+    ...)`` threads it through every serving entry point), or
+    process-wide via the ``SPARK_GRAFT_MAX_BROADCAST_BYTES`` env var
+    when the call site isn't yours to edit (``None`` = env var if set,
+    else 512 MiB).  A round-9 advisory flagged the tightened default
+    as unreachable through the plan layer; both override paths close
+    that.
 
     Scores are float32 (matching MLlib ALS's float factors/ratings);
     ties break on candidate id ascending inside the selected top-k.
@@ -317,6 +324,13 @@ def arrow_dot_topk(
     """
     import numpy as np
     import pandas as pd
+
+    if max_broadcast_bytes is None:
+        import os
+
+        max_broadcast_bytes = int(
+            os.environ.get("SPARK_GRAFT_MAX_BROADCAST_BYTES", 512 << 20)
+        )
 
     # enforce the boundedness contract BEFORE the collect, where a
     # violation would otherwise surface as a driver OOM with no hint of

@@ -115,6 +115,14 @@ class AlsRecommender:
     seed: int = 42
     num_blocks: int | None = None
     checkpoint_interval: int = 10
+    # driver-materialization cap for the Arrow/BLAS serving kernel's
+    # broadcast item catalog (operators.similarity.arrow_dot_topk).
+    # None = the kernel's default (SPARK_GRAFT_MAX_BROADCAST_BYTES env
+    # var if set, else 512 MiB ≈ a ~370k-item catalog at rank 100).
+    # Set it here to serve a bigger catalog deliberately on a
+    # big-memory driver — a round-9 advisory flagged the kernel's
+    # tightened default as unreachable through this plan-layer API.
+    max_broadcast_bytes: int | None = None
     model: object = field(default=None, repr=False)
     # True when the model came from load_model() (vs fit()) — kept as
     # provenance for callers/tests; flat/lists serving routes through
@@ -216,7 +224,8 @@ class AlsRecommender:
             ids = users.select(F.col(self.user_col).cast("int").alias("id"))
             uf = uf.join(F.broadcast(ids), "id")
         out = arrow_dot_topk(
-            uf, self.model.itemFactors, k=k, id_col="id", vec_col="features"
+            uf, self.model.itemFactors, k=k, id_col="id", vec_col="features",
+            max_broadcast_bytes=self.max_broadcast_bytes,
         )
         return out.select(
             F.col("query_id").alias(self.user_col),
@@ -310,6 +319,7 @@ class AlsRecommender:
             id_col="id",
             vec_col="features",
             as_lists=True,
+            max_broadcast_bytes=self.max_broadcast_bytes,
         ).select(F.col("query_id").alias(self.user_col), "recs")
 
     def user_factors(self) -> DataFrame:

@@ -204,3 +204,48 @@ def test_arrow_dot_topk_enforces_broadcast_bound(spark):
     with pytest.raises(ValueError, match="ivf_topk"):
         arrow_dot_topk(q, c, k=2, max_broadcast_bytes=8)
     assert arrow_dot_topk(q, c, k=2).count() == 4
+
+
+def test_arrow_dot_topk_env_override_and_plan_layer_cap(spark, monkeypatch):
+    """Both round-9-advisory override paths reach the kernel's bound:
+    SPARK_GRAFT_MAX_BROADCAST_BYTES (process-wide, for call sites you
+    don't own) governs the None default, and
+    AlsRecommender(max_broadcast_bytes=...) threads a per-model cap
+    through every serving entry point."""
+    import pytest
+
+    from movie_recommendation_engine_spark.operators.similarity import (
+        arrow_dot_topk,
+    )
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id int, features array<float>"
+    )
+    c = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [0.5, 2.0])], "id int, features array<float>"
+    )
+    # env var tightens the None default below this catalog's estimate
+    monkeypatch.setenv("SPARK_GRAFT_MAX_BROADCAST_BYTES", "8")
+    with pytest.raises(ValueError, match="ivf_topk"):
+        arrow_dot_topk(q, c, k=1)
+    # an explicit kwarg beats the env var
+    assert arrow_dot_topk(q, c, k=1, max_broadcast_bytes=1 << 20).count() == 2
+    monkeypatch.delenv("SPARK_GRAFT_MAX_BROADCAST_BYTES")
+
+    # plan layer: the cap set on the recommender reaches the kernel
+    from movie_recommendation_engine_spark.plans.recommender import (
+        AlsRecommender,
+    )
+
+    train = spark.createDataFrame(
+        [(u, i, float((u * i) % 5 + 1)) for u in range(1, 9) for i in range(1, 7)],
+        "userId int, movieId int, rating float",
+    )
+    rec = AlsRecommender(rank=2, max_iter=1, max_broadcast_bytes=8).fit(train)
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        rec.recommend_top_k(k=2).count()
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        rec.recommendation_lists(k=2).count()
+    rec.max_broadcast_bytes = None  # back to the default: serves fine
+    assert rec.recommend_top_k(k=2).count() > 0
+    rec.unpersist_factors()
