@@ -429,6 +429,16 @@ def _verify_jaccard(
     )
 
 
+# Default per-bucket candidate cap for minhash_lsh_pairs.  Generous:
+# uniform-corpus buckets are a handful of docs wide, so anything under
+# the cap behaves exhaustively — only an adversarial bucket (a
+# duplicate mega-clique) gets truncated, and THAT is the 5e11-pair
+# failure mode the default exists to prevent (round-10: a bare call
+# must be scale-safe; round 9 left None the default and every registry
+# consumer had to know to pass a cap).
+DEFAULT_MAX_BUCKET = 256
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -437,7 +447,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     band_size: int = 2,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -462,8 +472,15 @@ def minhash_lsh_pairs(
     band.  PAIR RECALL inside a mega-clique is deliberately truncated
     (the full pair list IS the scale bug); for dedup COMPONENTS use
     ``minhash_lsh_edges``, which keeps every clique member via linear
-    star edges (1.8 s / 1,182 edges on the same corpus).  None
-    preserves the exhaustive behavior.
+    star edges (1.8 s / 1,182 edges on the same corpus).
+
+    The DEFAULT is ``DEFAULT_MAX_BUCKET`` (256) — wide enough that
+    every non-adversarial bucket behaves exhaustively, so a bare call
+    on a crawl corpus is scale-safe out of the box (round-10: round 9
+    shipped ``None`` as the default and a user calling the operator
+    bare got the quadratic failure mode the probe had just
+    demonstrated).  Pass ``None`` to opt INTO exhaustive enumeration
+    deliberately (small corpora, recall studies).
     """
     sh, bands = _lsh_bands(df, id_col, text_col, n, n_hashes, band_size)
     if max_bucket is not None:

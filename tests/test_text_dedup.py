@@ -480,7 +480,8 @@ def test_star_components_match_full_pair_components(spark, clique_docs):
         clique_docs, minhash_lsh_edges(clique_docs, "doc_id", "text", **kw)
     )
     full = dedup_canonical(
-        clique_docs, minhash_lsh_pairs(clique_docs, "doc_id", "text", **kw)
+        clique_docs,
+        minhash_lsh_pairs(clique_docs, "doc_id", "text", max_bucket=None, **kw),
     )
     assert sorted(star.collect()) == sorted(full.collect())
 
@@ -496,7 +497,9 @@ def test_capped_pairs_equal_uncapped_below_cap(spark, clique_docs, docs):
     kw = dict(n=2, n_hashes=16, band_size=2, threshold=0.5)
     for frame in (docs, clique_docs):
         uncapped = sorted(
-            minhash_lsh_pairs(frame, "doc_id", "text", **kw).collect()
+            minhash_lsh_pairs(
+                frame, "doc_id", "text", max_bucket=None, **kw
+            ).collect()
         )
         capped = sorted(
             minhash_lsh_pairs(
@@ -514,3 +517,74 @@ def test_capped_pairs_equal_uncapped_below_cap(spark, clique_docs, docs):
         (a, b) for a in range(1, 5) for b in range(a + 1, 5)
     }
     assert {(r.id_a, r.id_b) for r in tight if r.id_a >= 20} == {(20, 21)}
+
+
+def test_bare_minhash_lsh_pairs_caps_mega_clique(spark):
+    """Round-10 safe default: a BARE minhash_lsh_pairs call (no
+    max_bucket) on a duplicate mega-clique truncates the within-bucket
+    candidates to DEFAULT_MAX_BUCKET smallest ids instead of emitting
+    the full k^2/2 pair explosion — the 5e11-pair crawl failure mode
+    the round-9 probe demonstrated must not be the default behavior."""
+    from movie_recommendation_engine_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        minhash_lsh_pairs,
+    )
+
+    k = DEFAULT_MAX_BUCKET + 44  # one clique wider than the cap
+    text = "golf hotel india juliett kilo lima mike november oscar papa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, k + 1)], "doc_id int, text string"
+    )
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    cap = DEFAULT_MAX_BUCKET
+    assert len(pairs) == cap * (cap - 1) // 2  # capped, not k*(k-1)/2
+    assert max(max(r.id_a, r.id_b) for r in pairs) == cap  # smallest ids kept
+
+
+def test_star_recall_matches_exhaustive_on_near_dups(spark):
+    """Round-10 ADVICE cross-check: dedup components from star edges are
+    verified against the EXHAUSTIVE (uncapped pair-graph) components on
+    a corpus of NEAR-duplicates (perturbed copies, jaccard < 1), not
+    just exact clones — independent of the registry oracle, which
+    mirrors the star construction and so could never see a recall loss
+    in candidate generation.  The star path tests only (bucket-min,
+    member) pairs; a (b, c) link missed because both fail the Jaccard
+    verify against a non-matching bucket minimum would surface here as
+    a component mismatch."""
+    import random
+
+    from movie_recommendation_engine_spark.operators.dedup import (
+        minhash_lsh_edges,
+        minhash_lsh_pairs,
+    )
+    from movie_recommendation_engine_spark.operators.graph import (
+        dedup_canonical,
+    )
+
+    rng = random.Random(1031)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    rows = []
+    doc_id = 1
+    for g in range(6):  # 6 near-dup groups of 4-7 perturbed copies
+        base = rng.sample(vocab, 14)
+        for _ in range(rng.randint(4, 7)):
+            words = list(base)
+            for _ in range(rng.randint(0, 2)):  # light perturbation
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(words)))
+            doc_id += 1
+    for _ in range(10):  # singletons: unrelated docs
+        rows.append((doc_id, " ".join(rng.sample(vocab, 14))))
+        doc_id += 1
+    rng.shuffle(rows)  # ids not grouped -> bucket minima are arbitrary
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    kw = dict(n=2, n_hashes=16, band_size=2, threshold=0.5)
+    star = dedup_canonical(
+        docs, minhash_lsh_edges(docs, "doc_id", "text", **kw)
+    )
+    exhaustive = dedup_canonical(
+        docs,
+        minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=None, **kw),
+    )
+    assert sorted(star.collect()) == sorted(exhaustive.collect())
