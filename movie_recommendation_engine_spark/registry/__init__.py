@@ -52,6 +52,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _STAGING_DIRS: list[str] = []
+# (name, sf_dir) -> live dirs, newest last.  Bounded at _STAGING_KEEP
+# per key: a long-lived session (the six-sweep soak runs ~8 sink
+# queries per registry sweep) would otherwise accumulate one
+# data-bearing temp dir per invocation until atexit (round-9 advisory).
+# Keeping the newest TWO — not just the current one — stays safe under
+# the concurrency probe, where a second thread may still be lazily
+# reading the PREVIOUS invocation's staged parquet when this one runs.
+_STAGING_BY_KEY: dict[tuple[str, str], list[str]] = {}
+_STAGING_KEEP = 2
 
 
 def staging_dir(name: str, sf_dir: str) -> str:
@@ -61,11 +70,15 @@ def staging_dir(name: str, sf_dir: str) -> str:
     cross-process write-then-read race (gate + bench concurrently), but
     two THREADS in one process running the same query still shared a
     path, and the dirs were never cleaned up (round-8 advisory).  Every
-    invocation now gets its own dir, registered for atexit removal so
-    repeated sessions don't accumulate garbage in the temp root.
+    invocation gets its own dir, registered for atexit removal; dirs
+    beyond the newest _STAGING_KEEP per (name, sf_dir) are pruned
+    eagerly at the NEXT invocation (their results are long materialized
+    by then), so a long-lived session's temp footprint is bounded
+    instead of growing per sweep (round-9 advisory).
     """
     import hashlib
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -74,6 +87,13 @@ def staging_dir(name: str, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"mres_{name}_{tag}_{os.getpid()}_{uuid.uuid4().hex[:12]}",
     )
+    live = _STAGING_BY_KEY.setdefault((name, sf_dir), [])
+    live.append(d)
+    while len(live) > _STAGING_KEEP:
+        old = live.pop(0)
+        shutil.rmtree(old, ignore_errors=True)
+        if old in _STAGING_DIRS:
+            _STAGING_DIRS.remove(old)
     _STAGING_DIRS.append(d)
     return d
 
@@ -83,6 +103,7 @@ def _cleanup_staging_dirs() -> None:
 
     while _STAGING_DIRS:
         shutil.rmtree(_STAGING_DIRS.pop(), ignore_errors=True)
+    _STAGING_BY_KEY.clear()
 
 
 import atexit  # noqa: E402

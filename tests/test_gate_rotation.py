@@ -188,3 +188,34 @@ def test_new_queries_carry_oracles_unless_rows_only_by_design():
         "als_rmse_eval",
         "ann_ivf_kmeans_top5",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
+
+
+def test_staging_dirs_bounded_per_key():
+    """Round-10 (round-9 advisory): repeated invocations of the same
+    sink query in one long-lived session must not accumulate staged
+    temp dirs — only the newest _STAGING_KEEP per (name, sf_dir)
+    survive (two, not one: a concurrent sweep thread may still be
+    lazily reading the previous invocation's staged parquet).  Other
+    keys are untouched."""
+    import os
+
+    from movie_recommendation_engine_spark import registry as reg
+
+    created = []
+    for _ in range(5):
+        d = reg.staging_dir("boundtest", "/tmp/sfX")
+        os.makedirs(d, exist_ok=True)
+        created.append(d)
+    other = reg.staging_dir("othertest", "/tmp/sfX")
+    os.makedirs(other, exist_ok=True)
+
+    try:
+        live = [d for d in created if os.path.exists(d)]
+        assert live == created[-reg._STAGING_KEEP:]
+        assert [d for d in created if d in reg._STAGING_DIRS] == live
+        assert os.path.exists(other)  # a different key prunes nothing
+    finally:
+        import shutil
+
+        for d in created + [other]:
+            shutil.rmtree(d, ignore_errors=True)
