@@ -166,6 +166,29 @@ def main() -> None:
         km.transform(vec).count()
     except Exception as ex:
         print(f"# bench KMeans warmup failed: {ex}", file=sys.stderr)
+    # ...and the Python-worker/Arrow path: the first mapInPandas in a
+    # JVM spawns the Python worker pool (32 processes, each importing
+    # numpy/pandas) and initializes the Arrow serialization lanes —
+    # measured ~5-35 s billed to whichever Arrow-kernel query the gate
+    # rotation runs first (round 10: the e2e leads the window and paid
+    # it inside its own timing).  Same warmup class as the ALS/KMeans
+    # fits above: absorb one-time JVM/session costs so per-query
+    # numbers measure plans.
+    try:
+        from movie_recommendation_engine_spark.operators.similarity import (
+            arrow_dot_topk,
+        )
+        from pyspark.sql import functions as F
+
+        toy = spark.range(256).select(
+            F.col("id").cast("int").alias("id"),
+            F.array(
+                (F.col("id") % 7).cast("float"), (F.col("id") % 5).cast("float")
+            ).alias("features"),
+        )
+        arrow_dot_topk(toy, toy, k=3, id_col="id", vec_col="features").count()
+    except Exception as ex:
+        print(f"# bench Arrow warmup failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     import gc
