@@ -118,7 +118,7 @@ def main() -> int:
 
     lines = [
         "",
-        "## Session soak (round 9)",
+        "## Session soak (round 10)",
         "",
         f"The full registry ({len(QUERIES)} queries) swept "
         f"{args.sweeps}x in ONE long-lived JVM at "
