@@ -81,15 +81,33 @@ def main() -> int:
     oracles = e.oracle_sql()
     names = sys.argv[1:] or list(qs)
     failures = 0
-    for name in names:
+
+    def _release(i: int) -> None:
+        """Drop this query's JVM state before the next one — bench.py's
+        per-query hygiene (its comment block documents the measured
+        pile-up), which the CHECK loop also needs: a full-registry sweep
+        in the 1 GiB VANILLA session accumulated enough checkpoint/
+        broadcast blocks across ~200 queries that part_pagerank's
+        broadcast build OOMed at sf0.1 while passing standalone
+        (round 10 — position-dependent, the rotation had moved it)."""
+        import gc
+
+        gc.collect()
+        if (i + 1) % 20 == 0:
+            spark.sparkContext._jvm.java.lang.System.gc()
+
+    for i, name in enumerate(names):
         try:
             sdf = qs[name](spark, SF_DIR)
             spdf = sdf.toPandas()
             scols = list(spdf.columns)
+            sdf = None
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
             continue
+        finally:
+            _release(i)
         if name not in oracles:
             # the driver still runs its canon on rows-only queries (a raw
             # array column crashes it even without an oracle) — so do we.
