@@ -56,9 +56,23 @@ class MovieLensPipeline:
         ratings would otherwise pay it once PER VERB (the round-9
         cache-leak fix removed the accidental cross-verb CacheManager
         reuse that used to hide exactly that — see unpersist()).  The
-        read-back plan is a partition-pruned parquet scan instead."""
+        read-back plan is a partition-pruned parquet scan instead.
+
+        Deliberately NOT cached, unlike split(): caching would pin the
+        filter above an InMemoryRelation, forcing one full scan of all
+        three split partitions even for a train-only verb and blocking
+        partition pruning from ever reaching the file scan.  A
+        ``split=...`` read of a partitioned parquet dataset prunes at
+        the source (PartitionFilters — pinned by
+        test_cli_splits_reuse_reads_parquet), so each _part() call
+        reads only its own partition's files; at 100 TB that is the
+        difference between re-reading the corpus per verb and touching
+        a quarter of it, and under a constrained heap it holds zero
+        cache memory (split() keeps its cache because there the
+        recompute is a full scan + per-user window, not a pruned
+        read)."""
         p = cls(labeled.drop("split"), **kwargs)
-        p.labeled = labeled.cache()
+        p.labeled = labeled
         return p
 
     def split(self, fractions: dict[str, float] | None = None) -> DataFrame:

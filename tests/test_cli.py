@@ -117,6 +117,20 @@ def test_cli_splits_reuse_reads_parquet(spark, ratings_csv, tmp_path, capsys):
     )
     assert "parquet" in plan.lower()
     assert "window" not in plan.lower()
+
+    # ...and a per-split slice PRUNES AT THE SOURCE: the split filter
+    # must land in the scan's PartitionFilters (not above a cached
+    # InMemoryRelation — from_labeled deliberately does not cache), so
+    # a train-only verb reads only the train partition's files
+    import pyspark.sql.functions as F
+
+    train = p.labeled.filter(F.col("split") == "train")
+    tplan = train._sc._jvm.PythonSQLUtils.explainString(
+        train._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in tplan.splitlines() if "PartitionFilters" in l]
+    assert pf and "split" in pf[0] and "train" in pf[0], tplan
+    assert "InMemoryRelation" not in tplan
     p.unpersist()
 
     # artifact equality: popularity via --splits == via --ratings
