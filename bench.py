@@ -282,7 +282,12 @@ def main() -> None:
     sweep_queries = {}
     for name, s in steady.items():
         sweep_queries[name] = timings[name]
-        adjudicated[name] = s
+        # a "steady" figure must never exceed its own raw: the retime
+        # can land in a GC/noise pocket the sweep missed (round-10
+        # artifact carried customer_link_prediction_aa at 8.89 s steady
+        # vs 4.32 s raw), and min(raw, retime) is what the best
+        # observed execution of the plan actually cost
+        adjudicated[name] = min(s, timings[name])
     full = {
         "metric": "total_query_wall_sec",
         "value": sweep_total,
@@ -299,9 +304,10 @@ def main() -> None:
     if sweep_queries:
         full["sweep_queries"] = sweep_queries
         full["sweep_queries_note"] = (
-            "queries[] holds the steady-state retime (min of 2, same "
-            "session) for these; sweep_queries[] holds their raw in-sweep "
-            "figure; value/sweep_total_sec always sum the raw sweep"
+            "queries[] holds min(raw, steady retime) for these — the "
+            "cheapest observed execution, never above its own raw; "
+            "sweep_queries[] holds their raw in-sweep figure; "
+            "value/sweep_total_sec always sum the raw sweep"
         )
     full_line = json.dumps(full)
     # The caller's stdout capture stores only a bounded tail (BENCH_r02/

@@ -60,6 +60,15 @@ def _pipeline(spark, args):
     from .plans.movielens import MovieLensPipeline
 
     if getattr(args, "splits", None):
+        if args.ratings is not None:
+            # silently preferring --splits could mask a stale splits
+            # directory while the user believes fresh --ratings are in
+            # use (round-10 advisory) — refuse the ambiguous pair
+            raise SystemExit(
+                "--ratings and --splits are mutually exclusive: --splits "
+                "already contains the split ratings; drop one (re-run "
+                "`split` first if the splits directory is stale)"
+            )
         # reuse the `split` verb's partitioned parquet instead of
         # re-splitting from the raw ratings — the reference's own flow
         # (als.py:24-34 reads the splitter's outputs).  Re-splitting is
@@ -124,10 +133,20 @@ def cmd_evaluate(args) -> int:
         else:
             p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
         out = p.evaluate(k=args.k)
+        ranked = None
+        if args.popularity:
+            # reuse the `popularity` verb's written table instead of
+            # refitting the top-k from train — at scale the refit is a
+            # full train-split aggregate per evaluate run (mirror of
+            # the --splits reuse pattern); the table must have been
+            # written at the same k
+            ranked = spark.read.parquet(args.popularity)
         row = {
             "rmse": out["rmse"].collect()[0][0],
             **out["ranking"].collect()[0].asDict(),
-            "popularity_hit_ratio": p.popularity_hit_ratio(args.k).collect()[0][0],
+            "popularity_hit_ratio": p.popularity_hit_ratio(
+                args.k, ranked=ranked
+            ).collect()[0][0],
         }
     finally:
         p.unpersist()
@@ -183,6 +202,10 @@ def main(argv: list[str] | None = None) -> int:
     common(sp, splits=True)
     sp.add_argument("--model-dir", default=None,
                     help="evaluate a model saved by `als --save-model` instead of refitting")
+    sp.add_argument("--popularity", default=None,
+                    help="read the `popularity` verb's output (written at the "
+                         "same --k) for the hit-ratio instead of refitting the "
+                         "top-k from the train split")
     als_args(sp)
     sp.set_defaults(fn=cmd_evaluate)
 

@@ -328,9 +328,26 @@ def arrow_dot_topk(
     if max_broadcast_bytes is None:
         import os
 
-        max_broadcast_bytes = int(
-            os.environ.get("SPARK_GRAFT_MAX_BROADCAST_BYTES", 512 << 20)
-        )
+        raw = os.environ.get("SPARK_GRAFT_MAX_BROADCAST_BYTES")
+        if raw is None:
+            max_broadcast_bytes = 512 << 20
+        else:
+            # fail with the env var's NAME in the message: a bare
+            # int('512m') ValueError at serving time gives no hint which
+            # knob was malformed, and a non-positive bound would
+            # "disable" serving with a confusing capacity error
+            try:
+                max_broadcast_bytes = int(raw)
+            except ValueError:
+                raise ValueError(
+                    "SPARK_GRAFT_MAX_BROADCAST_BYTES must be an integer "
+                    f"byte count (e.g. 536870912), got {raw!r}"
+                ) from None
+            if max_broadcast_bytes <= 0:
+                raise ValueError(
+                    "SPARK_GRAFT_MAX_BROADCAST_BYTES must be > 0, got "
+                    f"{raw!r} — unset it to use the 512 MiB default"
+                )
 
     # enforce the boundedness contract BEFORE the collect, where a
     # violation would otherwise surface as a driver OOM with no hint of

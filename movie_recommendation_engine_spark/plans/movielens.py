@@ -30,6 +30,18 @@ from .metrics import (
 from .popularity import popularity_top_k
 from .recommender import AlsRecommender
 
+SPLIT_LABELS = frozenset({"train", "validation", "test"})
+
+
+class InvalidSplitsError(ValueError):
+    """A dataset handed to ``MovieLensPipeline.from_labeled`` (CLI:
+    ``--splits``) is not the ``split`` verb's output — missing the
+    ``split`` column or carrying labels outside train/validation/test.
+    Named so the failure surfaces at pipeline construction instead of
+    as an unattributed AnalysisException (or silently empty splits)
+    deep inside a later verb; reference-flow parity: als.py:24-34
+    fails loudly when the splitter's files are absent."""
+
 
 @dataclass
 class MovieLensPipeline:
@@ -70,7 +82,28 @@ class MovieLensPipeline:
         a quarter of it, and under a constrained heap it holds zero
         cache memory (split() keeps its cache because there the
         recompute is a full scan + per-user window, not a pruned
-        read)."""
+        read).
+
+        Fails fast (``InvalidSplitsError``) if the dataset lacks a
+        ``split`` column or its labels are not a subset of
+        train/validation/test — ``split`` is a partition column on the
+        verb's output, so the distinct-labels check is answered from
+        partition values / parquet footers, never a data scan."""
+        if "split" not in labeled.columns:
+            raise InvalidSplitsError(
+                "from_labeled expects the `split` verb's output (a parquet "
+                "dataset partitioned by a `split` column); got columns "
+                f"{labeled.columns} — re-point --splits at the splitter's "
+                "output directory, or pass raw ratings via --ratings"
+            )
+        labels = {r[0] for r in labeled.select("split").distinct().collect()}
+        bad = labels - SPLIT_LABELS
+        if bad:
+            raise InvalidSplitsError(
+                f"from_labeled: unknown split labels {sorted(bad)} "
+                f"(expected a subset of {sorted(SPLIT_LABELS)}) — the "
+                "--splits directory is not the `split` verb's output"
+            )
         p = cls(labeled.drop("split"), **kwargs)
         p.labeled = labeled
         return p
@@ -172,9 +205,26 @@ class MovieLensPipeline:
             "ranking": summarize_ranking(per_user),
         }
 
-    def popularity_hit_ratio(self, k: int = 100, on: str = "validation") -> DataFrame:
+    def popularity_hit_ratio(
+        self, k: int = 100, on: str = "validation", ranked: DataFrame | None = None
+    ) -> DataFrame:
         """The reference's global row-level hit-ratio for the popularity
-        list (popularity_model.py:65-77 semantics, distributed)."""
-        ranked = self.popularity_top_k(k)
+        list (popularity_model.py:65-77 semantics, distributed).
+
+        Pass ``ranked`` (the ``popularity`` verb's written table, CLI:
+        ``evaluate --popularity DIR``) to score an already-materialized
+        top-k instead of refitting it from the train split — the same
+        write-once-reuse shape as ``from_labeled``/``--splits``; at
+        scale the refit is a full train aggregate per evaluate run.
+        Membership, not order, drives the hit-ratio, so the table only
+        needs the item column."""
+        if ranked is None:
+            ranked = self.popularity_top_k(k)
+        elif self.item_col not in ranked.columns:
+            raise InvalidSplitsError(
+                f"popularity_hit_ratio: ranked table lacks the item column "
+                f"{self.item_col!r} (got {ranked.columns}) — point "
+                "--popularity at the `popularity` verb's output directory"
+            )
         recs_list = ranked.agg(F.collect_list(self.item_col).alias("recs"))
         return global_hit_ratio(self._part(on), recs_list, item_col=self.item_col)

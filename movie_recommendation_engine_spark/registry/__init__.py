@@ -51,6 +51,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_testdata(spark, sf_dir, name)
 
 
+import threading  # noqa: E402
+
 _STAGING_DIRS: list[str] = []
 # (name, sf_dir) -> live dirs, newest last.  Bounded at _STAGING_KEEP
 # per key: a long-lived session (the six-sweep soak runs ~8 sink
@@ -61,6 +63,17 @@ _STAGING_DIRS: list[str] = []
 # reading the PREVIOUS invocation's staged parquet when this one runs.
 _STAGING_BY_KEY: dict[tuple[str, str], list[str]] = {}
 _STAGING_KEEP = 2
+# dirs pruned out of the keep window but NOT yet deleted: removal is
+# deferred to the same key's NEXT invocation, so a slow concurrent
+# consumer gets keep-window laps PLUS one full extra lap before its
+# staged parquet can disappear (round-10 advisory: eager rmtree could
+# still race a consumer lagging more than one invocation).
+_STAGING_RETIRED: dict[tuple[str, str], list[str]] = {}
+# registry mutations happen under one lock: the documented two-thread
+# concurrency probe can interleave staging_dir calls, and unlocked
+# append/pop pairs could transiently over-prune below _STAGING_KEEP
+# (round-10 advisory).
+_STAGING_LOCK = threading.Lock()
 
 
 def staging_dir(name: str, sf_dir: str) -> str:
@@ -71,10 +84,12 @@ def staging_dir(name: str, sf_dir: str) -> str:
     two THREADS in one process running the same query still shared a
     path, and the dirs were never cleaned up (round-8 advisory).  Every
     invocation gets its own dir, registered for atexit removal; dirs
-    beyond the newest _STAGING_KEEP per (name, sf_dir) are pruned
-    eagerly at the NEXT invocation (their results are long materialized
-    by then), so a long-lived session's temp footprint is bounded
-    instead of growing per sweep (round-9 advisory).
+    beyond the newest _STAGING_KEEP per (name, sf_dir) are RETIRED at
+    the next invocation and deleted one invocation later still (their
+    results are long materialized by then), so a long-lived session's
+    temp footprint stays bounded (round-9 advisory) while a consumer
+    lagging a full extra lap behind the prune cycle still finds its
+    staged parquet on disk (round-10 advisory).
     """
     import hashlib
     import os
@@ -87,23 +102,36 @@ def staging_dir(name: str, sf_dir: str) -> str:
         tempfile.gettempdir(),
         f"mres_{name}_{tag}_{os.getpid()}_{uuid.uuid4().hex[:12]}",
     )
-    live = _STAGING_BY_KEY.setdefault((name, sf_dir), [])
-    live.append(d)
-    while len(live) > _STAGING_KEEP:
-        old = live.pop(0)
+    key = (name, sf_dir)
+    with _STAGING_LOCK:
+        # delete what the PREVIOUS invocation retired (deferred one full
+        # lap), then retire — don't delete — anything now past the keep
+        # window; atexit still covers retired dirs via _STAGING_DIRS
+        doomed = _STAGING_RETIRED.pop(key, [])
+        live = _STAGING_BY_KEY.setdefault(key, [])
+        live.append(d)
+        retired = _STAGING_RETIRED.setdefault(key, [])
+        while len(live) > _STAGING_KEEP:
+            retired.append(live.pop(0))
+        _STAGING_DIRS.append(d)
+    for old in doomed:
         shutil.rmtree(old, ignore_errors=True)
-        if old in _STAGING_DIRS:
-            _STAGING_DIRS.remove(old)
-    _STAGING_DIRS.append(d)
+        with _STAGING_LOCK:
+            if old in _STAGING_DIRS:
+                _STAGING_DIRS.remove(old)
     return d
 
 
 def _cleanup_staging_dirs() -> None:
     import shutil
 
-    while _STAGING_DIRS:
-        shutil.rmtree(_STAGING_DIRS.pop(), ignore_errors=True)
-    _STAGING_BY_KEY.clear()
+    with _STAGING_LOCK:
+        doomed = list(_STAGING_DIRS)
+        _STAGING_DIRS.clear()
+        _STAGING_BY_KEY.clear()
+        _STAGING_RETIRED.clear()
+    for d in doomed:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 import atexit  # noqa: E402

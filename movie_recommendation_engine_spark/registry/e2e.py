@@ -159,11 +159,16 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["als", "--splits", split_dir, "--rank", "4", "--max-iter", "2",
          "--reg", "0.1", "--k", "5", "--out", recs_dir]
     )
+    # evaluate reuses BOTH upstream artifacts: the split verb's
+    # partitioned parquet (--splits, round 10) and the popularity verb's
+    # top-100 table (--popularity, round 11) — without the latter the
+    # hit-ratio refits the popularity aggregate over the whole train
+    # split per evaluate run (a full popularity refit at 100x scale).
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         cli_main(
-            ["evaluate", "--splits", split_dir, "--rank", "8", "--max-iter", "4",
-             "--reg", "0.1", "--k", "100"]
+            ["evaluate", "--splits", split_dir, "--popularity", pop_dir,
+             "--rank", "8", "--max-iter", "4", "--reg", "0.1", "--k", "100"]
         )
     metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
 

@@ -230,6 +230,16 @@ def test_arrow_dot_topk_env_override_and_plan_layer_cap(spark, monkeypatch):
         arrow_dot_topk(q, c, k=1)
     # an explicit kwarg beats the env var
     assert arrow_dot_topk(q, c, k=1, max_broadcast_bytes=1 << 20).count() == 2
+
+    # round-11 (round-10 advisory): a malformed value must fail NAMING
+    # the env var, and non-positive values must be rejected rather than
+    # silently disabling serving
+    monkeypatch.setenv("SPARK_GRAFT_MAX_BROADCAST_BYTES", "512m")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_MAX_BROADCAST_BYTES"):
+        arrow_dot_topk(q, c, k=1)
+    monkeypatch.setenv("SPARK_GRAFT_MAX_BROADCAST_BYTES", "0")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_MAX_BROADCAST_BYTES"):
+        arrow_dot_topk(q, c, k=1)
     monkeypatch.delenv("SPARK_GRAFT_MAX_BROADCAST_BYTES")
 
     # plan layer: the cap set on the recommender reaches the kernel

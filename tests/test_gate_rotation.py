@@ -193,10 +193,11 @@ def test_new_queries_carry_oracles_unless_rows_only_by_design():
 def test_staging_dirs_bounded_per_key():
     """Round-10 (round-9 advisory): repeated invocations of the same
     sink query in one long-lived session must not accumulate staged
-    temp dirs — only the newest _STAGING_KEEP per (name, sf_dir)
-    survive (two, not one: a concurrent sweep thread may still be
-    lazily reading the previous invocation's staged parquet).  Other
-    keys are untouched."""
+    temp dirs.  Round-11 (round-10 advisory): pruning is DEFERRED one
+    lap — the newest _STAGING_KEEP stay in the keep window, the one
+    just pruned survives until the key's NEXT invocation, so a slow
+    concurrent consumer gets a full extra lap before its staged parquet
+    disappears.  Other keys are untouched."""
     import os
 
     from movie_recommendation_engine_spark import registry as reg
@@ -211,11 +212,55 @@ def test_staging_dirs_bounded_per_key():
 
     try:
         live = [d for d in created if os.path.exists(d)]
-        assert live == created[-reg._STAGING_KEEP:]
+        # keep window (2) + the one retired-but-not-yet-deleted lap
+        assert live == created[-(reg._STAGING_KEEP + 1):]
         assert [d for d in created if d in reg._STAGING_DIRS] == live
         assert os.path.exists(other)  # a different key prunes nothing
+        # the retired dir is deleted on the key's NEXT invocation
+        created.append(reg.staging_dir("boundtest", "/tmp/sfX"))
+        assert not os.path.exists(live[0])
+        assert live[0] not in reg._STAGING_DIRS
     finally:
         import shutil
 
         for d in created + [other]:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_staging_dir_thread_safe():
+    """Round-11 (round-10 advisory): racing staging_dir calls on one key
+    must never over-prune below _STAGING_KEEP or corrupt the bookkeeping
+    lists — mutations happen under _STAGING_LOCK."""
+    import threading
+
+    from movie_recommendation_engine_spark import registry as reg
+
+    errors: list[BaseException] = []
+
+    def hammer():
+        try:
+            for _ in range(50):
+                reg.staging_dir("conctest", "/tmp/sfX")
+        except BaseException as ex:  # noqa: BLE001 — surfaced below
+            errors.append(ex)
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    key = ("conctest", "/tmp/sfX")
+    live = reg._STAGING_BY_KEY[key]
+    assert len(live) == reg._STAGING_KEEP
+    assert len(set(live)) == len(live)
+    # retired backlog is bounded: each call drains the key's retired
+    # list before adding at most one entry
+    assert len(reg._STAGING_RETIRED.get(key, [])) <= 4
+    # no dirs were created on disk (staging_dir only names them), so
+    # bookkeeping cleanup is all that's needed
+    for d in list(reg._STAGING_BY_KEY.pop(key, [])):
+        if d in reg._STAGING_DIRS:
+            reg._STAGING_DIRS.remove(d)
+    reg._STAGING_RETIRED.pop(key, None)
