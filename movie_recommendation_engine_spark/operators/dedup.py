@@ -669,16 +669,7 @@ def simhash_pairs(
     tables (Manku et al. 2007 §3) rather than wider single blocks.
     """
     fp = simhash_fingerprint(df, id_col, text_col, n=n, bits=bits).localCheckpoint(eager=False)
-    n_blocks = max_hamming + 1
-    width = -(-bits // n_blocks)  # ceil
-    mask = (1 << width) - 1
-    keys = [
-        F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
-        for b in range(n_blocks)
-    ]
-    blocks = fp.select(
-        F.col(id_col).alias("id"), F.posexplode(F.array(*keys))
-    ).select("id", F.col("pos").alias("blk"), F.col("col").alias("key"))
+    blocks = _simhash_blocks(fp, id_col, max_hamming, bits)
     cand = (
         blocks.alias("a")
         .join(
@@ -690,6 +681,31 @@ def simhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return _verify_hamming(cand, fp, id_col, max_hamming)
+
+
+def _simhash_blocks(fp: DataFrame, id_col: str, max_hamming: int, bits: int) -> DataFrame:
+    """Pigeonhole banding of a fingerprint table: (id, blk, key) with one
+    row per disjoint bit block — two fingerprints within ``max_hamming``
+    bits are identical in at least one of the ``max_hamming + 1`` blocks,
+    so an equi-join on (blk, key) has guaranteed recall."""
+    n_blocks = max_hamming + 1
+    width = -(-bits // n_blocks)  # ceil
+    mask = (1 << width) - 1
+    keys = [
+        F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+        for b in range(n_blocks)
+    ]
+    return fp.select(
+        F.col(id_col).alias("id"), F.posexplode(F.array(*keys))
+    ).select("id", F.col("pos").alias("blk"), F.col("col").alias("key"))
+
+
+def _verify_hamming(
+    cand: DataFrame, fp: DataFrame, id_col: str, max_hamming: int
+) -> DataFrame:
+    """Exact Hamming verification of (id_a, id_b) candidates on the full
+    fingerprints; keeps pairs within ``max_hamming`` bits."""
     a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
@@ -700,6 +716,52 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    max_hamming: int = 6,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup EDGES under Hamming banding for component-style dedup:
+    star edges to each block bucket's minimum id instead of all
+    within-bucket pairs — the SimHash twin of ``minhash_lsh_edges``
+    (round-11: the dedup-family API is symmetric; until now clique-heavy
+    corpora only had a linear component path under Jaccard banding).
+
+    Each (block, key) bucket emits (min_id_in_bucket, id) for every
+    other member, verified on the full fingerprints like the pair path.
+    A k-member duplicate clique — identical fingerprints, so one hot
+    bucket per block — contributes k-1 edges per block instead of
+    ``simhash_pairs``'s k^2/2 enumerated pairs, which is the right graph
+    for connected components: clique members connect through the
+    minimum, and min-label propagation (``operators.graph``) converges
+    in one sweep on a star.
+
+    Recall note (same contract as ``minhash_lsh_edges``): within a
+    bucket {a, b, c} (a = min) the star tests only (a,b) and (a,c); a
+    qualifying pair (b,c) whose star edges both fail is found only if b
+    and c share some other block without a smaller non-matching doc.
+    Pigeonhole guarantees every pair within ``max_hamming`` shares a
+    block, so the sliver is pairs co-bucketed ONLY under a smaller
+    fingerprint that matches neither — rare by construction at the
+    60/3 operating point where chance block collisions are ~n/32768
+    per bucket.  Output shape matches ``simhash_pairs``:
+    (id_a, id_b, hamming), id_a < id_b.
+    """
+    fp = simhash_fingerprint(df, id_col, text_col, n=n, bits=bits).localCheckpoint(eager=False)
+    blocks = _simhash_blocks(fp, id_col, max_hamming, bits)
+    bmin = blocks.groupBy("blk", "key").agg(F.min("id").alias("id_a"))
+    cand = (
+        blocks.join(bmin, ["blk", "key"])
+        .filter(F.col("id") > F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_hamming(cand, fp, id_col, max_hamming)
 
 
 def cross_split_contamination(

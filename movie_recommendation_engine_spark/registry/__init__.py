@@ -349,22 +349,21 @@ _GATE_LAST = [
 # CODE PATHS changed this round (they gate ahead of the staleness
 # order); keep it short — every pinned name displaces a stale one.
 _RECHECK_FIRST = [
-    # round 10: the e2e's downstream CLI verbs read the split verb's
-    # partitioned parquet (--splits) instead of re-splitting from CSV
-    # per verb — the plan changed (oracle unchanged: the split labels
-    # are content-hash deterministic), so the recovered-regression run
-    # needs driver evidence (round-9 verdict #1's done-criterion).
+    # round 11: the e2e's evaluate verb reuses the popularity verb's
+    # written table (--popularity) for the hit-ratio instead of
+    # refitting the top-k from train, and from_labeled gained the
+    # fail-fast split-schema validation — the e2e plan changed (oracle
+    # unchanged: the table IS the refit's deterministic output).
     "movielens_e2e_cli",
-    # round 10: arrow_dot_topk's bound default resolution changed
-    # (None -> SPARK_GRAFT_MAX_BROADCAST_BYTES env var, else the same
-    # 512 MiB) and AlsRecommender threads max_broadcast_bytes through
-    # every serving entry point — resolved value identical, but the
-    # serving kernel's guard path changed; re-gate its hash consumer.
+    # round 11: arrow_dot_topk's env-var bound parse changed (named
+    # error on malformed/non-positive SPARK_GRAFT_MAX_BROADCAST_BYTES)
+    # — resolved default identical, but the serving kernel's guard path
+    # changed; re-gate its hash consumer (same precedent as round 10).
     "als_recommend_invariants",
-    # round 10: staging_dir prunes beyond the newest two dirs per
-    # (name, sf_dir) key (round-9 advisory) — plan-identical, but the
-    # sink queries' write-then-read housekeeping changed; same pin
-    # precedent as round 9's uuid-staging change.
+    # round 11: staging_dir housekeeping changed again (mutations under
+    # a lock, pruned dirs deleted one invocation later — round-10
+    # advisory); plan-identical, but the sink queries' write-then-read
+    # scratch lifecycle changed; same pin precedent as rounds 9/10.
     "csv_roundtrip_agg",
     "json_roundtrip_agg",
     "orc_roundtrip_agg",
@@ -372,6 +371,11 @@ _RECHECK_FIRST = [
     "incremental_rollup_maintenance",
     "text_log_roundtrip_agg",
     "customer_time_travel",
+    # round 11: simhash_pairs' block/verify construction was factored
+    # into shared helpers for the new simhash_edges star path — plan
+    # and oracle identical, but the code path changed; re-gate its
+    # consumer (the new dedup_simhash_components gates as pending).
+    "dedup_simhash",
 ]
 
 

@@ -18,6 +18,7 @@ from ..operators.dedup import (
     minhash_lsh_edges,
     minhash_lsh_pairs,
     prefix_filtered_jaccard_pairs,
+    simhash_edges,
     simhash_pairs,
 )
 from ..operators.graph import dedup_canonical
@@ -224,11 +225,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_canonical(docs, edges).orderBy("doc_id")
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-WITH {SHINGLES},
-hb AS (
+# 60-bit SimHash fingerprint per doc (integer vote arithmetic —
+# bit-identical to operators.dedup.simhash_fingerprint), shared by the
+# pair and star-edge pipelines
+SIMHASH_FP = """hb AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(concat_ws(chr(1), 'sh', g)), 1, 15)) AS BIGINT) AS h
   FROM ex),
@@ -239,7 +239,14 @@ votes AS (
 fp AS (
   SELECT doc_id,
          sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS f
-  FROM votes GROUP BY doc_id)
+  FROM votes GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {SHINGLES},
+{SIMHASH_FP}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= 3
@@ -260,6 +267,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         docs, "doc_id", "text", n=2, max_hamming=3, bits=60
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_components",
+    oracle=f"""
+WITH RECURSIVE {SHINGLES},
+{SIMHASH_FP},
+blocks AS (
+  SELECT doc_id, CAST(b.range AS INT) AS blk,
+         (f >> (CAST(b.range AS INT) * 15)) & 32767 AS key
+  FROM fp, range(4) b),
+bmin AS (SELECT blk, key, min(doc_id) AS id_a FROM blocks GROUP BY blk, key),
+cand AS (
+  SELECT DISTINCT m.id_a, b.doc_id AS id_b
+  FROM blocks b JOIN bmin m ON b.blk = m.blk AND b.key = m.key
+  WHERE b.doc_id > m.id_a),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN fp fa ON fa.doc_id = id_a JOIN fp fb ON fb.doc_id = id_b
+  WHERE bit_count(xor(fa.f, fb.f)) <= 3),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_dedup_simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters: connected components over the Hamming
+    <=3 STAR-EDGE graph (simhash_edges — per-block-bucket stars to the
+    bucket minimum, k-1 edges per clique per block where simhash_pairs
+    enumerates k^2/2), every doc mapped to its canonical (min-id)
+    representative.  The SimHash twin of dedup_components (round-11:
+    clique-heavy corpora get a linear component path under Hamming
+    banding too, closing the dedup-family asymmetry).  The oracle
+    rebuilds the SAME star edges in SQL — fingerprint votes, 4x15-bit
+    pigeonhole blocks, bucket-min stars, exact-Hamming verify — then
+    recomputes components via a recursive transitive-closure CTE, so two
+    entirely different closure algorithms must agree exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = simhash_edges(docs, "doc_id", "text", n=2, max_hamming=3, bits=60)
+    return dedup_canonical(docs, edges).orderBy("doc_id")
 
 
 _H_CONTAM = f"({duck_hash_sql('contam', 'doc_id')}) < 0.8"
