@@ -67,6 +67,11 @@ DEFAULT_QUERIES = [
     "corpus_curation_e2e",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    # round-11: the SimHash star-edge component path — must stay flat on
+    # the clique corpus like its minhash twin (dedup_components), since
+    # identical fingerprints land the whole clique in one bucket per
+    # block and the star emits k-1 edges instead of k^2/2 pairs
+    "dedup_simhash_components",
     "split_contamination",
     "doc_shingle_novelty",
 ]
