@@ -86,9 +86,12 @@ class MovieLensPipeline:
 
         Fails fast (``InvalidSplitsError``) if the dataset lacks a
         ``split`` column or its labels are not a subset of
-        train/validation/test — ``split`` is a partition column on the
-        verb's output, so the distinct-labels check is answered from
-        partition values / parquet footers, never a data scan."""
+        train/validation/test.  On the ``split`` verb's output ``split``
+        is a partition column, so the distinct-labels probe reads
+        partition values / parquet footers, not data pages; on a
+        hand-built frame that carries ``split`` as a DATA column the
+        probe is one column-pruned scan — still cheap, and a one-time
+        cost at pipeline construction."""
         if "split" not in labeled.columns:
             raise InvalidSplitsError(
                 "from_labeled expects the `split` verb's output (a parquet "
