@@ -60,15 +60,10 @@ def _pipeline(spark, args):
     from .plans.movielens import MovieLensPipeline
 
     if getattr(args, "splits", None):
-        if args.ratings is not None:
-            # silently preferring --splits could mask a stale splits
-            # directory while the user believes fresh --ratings are in
-            # use (round-10 advisory) — refuse the ambiguous pair
-            raise SystemExit(
-                "--ratings and --splits are mutually exclusive: --splits "
-                "already contains the split ratings; drop one (re-run "
-                "`split` first if the splits directory is stale)"
-            )
+        # (--ratings together with --splits is rejected at PARSE time by
+        # the argparse mutually-exclusive group — silently preferring
+        # --splits could mask a stale splits directory while the user
+        # believes fresh --ratings are in use; round-10 advisory)
         # reuse the `split` verb's partitioned parquet instead of
         # re-splitting from the raw ratings — the reference's own flow
         # (als.py:24-34 reads the splitter's outputs).  Re-splitting is
@@ -138,9 +133,19 @@ def cmd_evaluate(args) -> int:
             # reuse the `popularity` verb's written table instead of
             # refitting the top-k from train — at scale the refit is a
             # full train-split aggregate per evaluate run (mirror of
-            # the --splits reuse pattern); the table must have been
-            # written at the same k
-            ranked = spark.read.parquet(args.popularity)
+            # the --splits reuse pattern); a table written at a larger
+            # --k is sliced down by score, see popularity_hit_ratio
+            try:
+                ranked = spark.read.parquet(args.popularity)
+            except Exception as ex:
+                # a CSV-written table (--format-out csv) or a wrong path
+                # otherwise surfaces as a raw AnalysisException with no
+                # mention of which flag pointed at it
+                raise SystemExit(
+                    f"--popularity {args.popularity} is not readable "
+                    "parquet (was the popularity verb run with "
+                    f"--format-out csv, or is the path wrong?): {ex}"
+                ) from None
         row = {
             "rmse": out["rmse"].collect()[0][0],
             **out["ranking"].collect()[0].asDict(),
@@ -159,16 +164,22 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common(sp, splits: bool = False):
-        sp.add_argument("--ratings", required=not splits,
-                        help="ratings CSV or parquet path")
-        sp.add_argument("--format", choices=["csv", "parquet"], default="csv")
-        sp.add_argument("--no-header", action="store_true", help="headerless CSV (S2)")
         if splits:
-            sp.add_argument(
+            # argparse owns the exclusivity: both flags name the same
+            # input, and rejecting the pair at parse time costs nothing
+            # (a runtime check would first pay SparkSession startup)
+            grp = sp.add_mutually_exclusive_group(required=True)
+            grp.add_argument("--ratings", help="ratings CSV or parquet path")
+            grp.add_argument(
                 "--splits", default=None,
                 help="read the `split` verb's partitioned parquet instead of "
                      "re-splitting --ratings (same deterministic labels, one "
                      "scan+window cheaper per verb)")
+        else:
+            sp.add_argument("--ratings", required=True,
+                            help="ratings CSV or parquet path")
+        sp.add_argument("--format", choices=["csv", "parquet"], default="csv")
+        sp.add_argument("--no-header", action="store_true", help="headerless CSV (S2)")
 
     sp = sub.add_parser("split", help="deterministic per-user 25/25/50 split")
     common(sp)

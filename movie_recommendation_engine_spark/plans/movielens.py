@@ -33,14 +33,25 @@ from .recommender import AlsRecommender
 SPLIT_LABELS = frozenset({"train", "validation", "test"})
 
 
-class InvalidSplitsError(ValueError):
-    """A dataset handed to ``MovieLensPipeline.from_labeled`` (CLI:
-    ``--splits``) is not the ``split`` verb's output — missing the
-    ``split`` column or carrying labels outside train/validation/test.
-    Named so the failure surfaces at pipeline construction instead of
-    as an unattributed AnalysisException (or silently empty splits)
-    deep inside a later verb; reference-flow parity: als.py:24-34
-    fails loudly when the splitter's files are absent."""
+class InvalidArtifactError(ValueError):
+    """A dataset handed back to the pipeline as a reused verb artifact
+    (``--splits``, ``--popularity``) does not have the shape that verb
+    writes.  Named so the failure surfaces at the reuse site instead of
+    as an unattributed AnalysisException (or a silently wrong metric)
+    deep inside a later verb; reference-flow parity: als.py:24-34 fails
+    loudly when the splitter's files are absent."""
+
+
+class InvalidSplitsError(InvalidArtifactError):
+    """The ``--splits`` dataset is not the ``split`` verb's output —
+    missing the ``split`` column or carrying labels outside
+    train/validation/test."""
+
+
+class InvalidPopularityError(InvalidArtifactError):
+    """The ``--popularity`` table is not usable as the ``popularity``
+    verb's output for the requested k — missing the item column, or
+    wider than k with no score column to slice it deterministically."""
 
 
 @dataclass
@@ -102,10 +113,28 @@ class MovieLensPipeline:
         labels = {r[0] for r in labeled.select("split").distinct().collect()}
         bad = labels - SPLIT_LABELS
         if bad:
+            # key=repr: a null split row would otherwise crash the
+            # str/None sort INSIDE the error path, masking the named
+            # error with a TypeError
             raise InvalidSplitsError(
-                f"from_labeled: unknown split labels {sorted(bad)} "
-                f"(expected a subset of {sorted(SPLIT_LABELS)}) — the "
-                "--splits directory is not the `split` verb's output"
+                f"from_labeled: unknown split labels "
+                f"{sorted(bad, key=repr)} (expected a subset of "
+                f"{sorted(SPLIT_LABELS)}) — the --splits directory is "
+                "not the `split` verb's output"
+            )
+        missing = SPLIT_LABELS - labels
+        if missing:
+            # warn, don't raise: a partially-written splits dir is the
+            # likely cause, but a legitimately tiny corpus can lack a
+            # label (per-user ceil splits give 1-2-rating users no
+            # train/test rows), so a hard error would false-positive
+            import sys
+
+            print(
+                f"warning: --splits dataset has no {sorted(missing)} "
+                "rows — verbs evaluating on those splits will see empty "
+                "data (partially-written split output?)",
+                file=sys.stderr,
             )
         p = cls(labeled.drop("split"), **kwargs)
         p.labeled = labeled
@@ -219,15 +248,38 @@ class MovieLensPipeline:
         top-k instead of refitting it from the train split — the same
         write-once-reuse shape as ``from_labeled``/``--splits``; at
         scale the refit is a full train aggregate per evaluate run.
-        Membership, not order, drives the hit-ratio, so the table only
-        needs the item column."""
+
+        k-contract for a reused table: a table written at a LARGER k is
+        sliced to this call's top k by (score desc, item asc) — exactly
+        ``popularity_top_k``'s ordering, so the sliced metric equals the
+        refit's (pinned in tests).  Without a score column the slice is
+        impossible, so a wider-than-k table raises
+        ``InvalidPopularityError`` instead of silently inflating the
+        hit-ratio.  A table with FEWER than k rows is accepted as-is:
+        it is indistinguishable from the refit's own legitimate
+        truncation (the num_ratings >= threshold filter can yield under
+        k items), so write the table at a --k >= the evaluate --k."""
         if ranked is None:
             ranked = self.popularity_top_k(k)
-        elif self.item_col not in ranked.columns:
-            raise InvalidSplitsError(
-                f"popularity_hit_ratio: ranked table lacks the item column "
-                f"{self.item_col!r} (got {ranked.columns}) — point "
-                "--popularity at the `popularity` verb's output directory"
-            )
+        else:
+            if self.item_col not in ranked.columns:
+                raise InvalidPopularityError(
+                    f"popularity_hit_ratio: ranked table lacks the item "
+                    f"column {self.item_col!r} (got {ranked.columns}) — "
+                    "point --popularity at the `popularity` verb's output "
+                    "directory"
+                )
+            if "score" in ranked.columns:
+                ranked = ranked.orderBy(
+                    F.col("score").desc(), F.col(self.item_col).asc()
+                ).limit(k)
+            elif ranked.count() > k:
+                raise InvalidPopularityError(
+                    f"popularity_hit_ratio: ranked table has more than "
+                    f"k={k} rows and no score column to slice it — it was "
+                    "written at a larger --k; re-run evaluate with the "
+                    "matching --k or pass the verb's full output (which "
+                    "carries score)"
+                )
         recs_list = ranked.agg(F.collect_list(self.item_col).alias("recs"))
         return global_hit_ratio(self._part(on), recs_list, item_col=self.item_col)

@@ -191,17 +191,24 @@ def test_from_labeled_fails_fast_on_bad_splits(spark, ratings_csv, tmp_path):
     p.unpersist()
 
 
-def test_cli_ratings_and_splits_conflict(ratings_csv, tmp_path):
+def test_cli_ratings_and_splits_conflict(ratings_csv, tmp_path, capsys):
     """Round-11 (round-10 advisory): passing BOTH --ratings and --splits
     is refused instead of silently preferring --splits (which could mask
     a stale splits directory while the user believes fresh ratings are
-    in use)."""
+    in use).  The refusal happens at argparse PARSE time — before any
+    SparkSession is paid for — via a mutually exclusive group."""
     from movie_recommendation_engine_spark.__main__ import main
 
-    with pytest.raises(SystemExit, match="mutually exclusive"):
+    with pytest.raises(SystemExit):
         main(["popularity", "--ratings", ratings_csv,
               "--splits", str(tmp_path / "whatever"),
               "--k", "5", "--out", str(tmp_path / "top")])
+    assert "not allowed with" in capsys.readouterr().err
+
+    # ...and omitting both is equally a parse-time usage error
+    with pytest.raises(SystemExit):
+        main(["popularity", "--k", "5", "--out", str(tmp_path / "top")])
+    assert "required" in capsys.readouterr().err
 
 
 def test_cli_evaluate_popularity_reuse(spark, ratings_csv, tmp_path, capsys):
@@ -212,7 +219,7 @@ def test_cli_evaluate_popularity_reuse(spark, ratings_csv, tmp_path, capsys):
     --splits reuse contract."""
     from movie_recommendation_engine_spark.__main__ import main
     from movie_recommendation_engine_spark.plans.movielens import (
-        InvalidSplitsError,
+        InvalidPopularityError,
         MovieLensPipeline,
     )
 
@@ -234,6 +241,84 @@ def test_cli_evaluate_popularity_reuse(spark, ratings_csv, tmp_path, capsys):
     # a table without the item column fails with a named error
     p = MovieLensPipeline.from_labeled(spark.read.parquet(str(splits)))
     bad = spark.createDataFrame([(1.0,)], "score double")
-    with pytest.raises(InvalidSplitsError, match="movieId"):
+    with pytest.raises(InvalidPopularityError, match="movieId"):
         p.popularity_hit_ratio(5, ranked=bad)
+    p.unpersist()
+
+
+def test_popularity_reuse_k_contract(spark, ratings_csv, tmp_path):
+    """Round-11 review fixes: a reused popularity table written at a
+    LARGER k is sliced to the call's top k by (score desc, item asc) —
+    the metric equals the refit's at that k — and a wider-than-k table
+    WITHOUT a score column is refused instead of silently inflating the
+    hit-ratio."""
+    from movie_recommendation_engine_spark.__main__ import main
+    from movie_recommendation_engine_spark.plans.movielens import (
+        InvalidPopularityError,
+        MovieLensPipeline,
+    )
+
+    splits = tmp_path / "splits"
+    top10 = tmp_path / "top10"
+    assert main(["split", "--ratings", ratings_csv, "--out", str(splits)]) == 0
+    assert main(["popularity", "--splits", str(splits), "--k", "10",
+                 "--out", str(top10)]) == 0
+
+    p = MovieLensPipeline.from_labeled(spark.read.parquet(str(splits)))
+    try:
+        table = spark.read.parquet(str(top10))
+        sliced = p.popularity_hit_ratio(3, ranked=table).collect()[0][0]
+        refit = p.popularity_hit_ratio(3).collect()[0][0]
+        assert sliced == refit
+
+        # score-less AND wider than k: no deterministic slice exists
+        scoreless = table.select("movieId")
+        if scoreless.count() > 3:
+            with pytest.raises(InvalidPopularityError, match="score"):
+                p.popularity_hit_ratio(3, ranked=scoreless)
+    finally:
+        p.unpersist()
+
+
+def test_cli_popularity_reuse_rejects_unreadable_dir(ratings_csv, tmp_path, capsys):
+    """evaluate --popularity pointed at a CSV-written table (or any
+    non-parquet path) fails naming the flag, not with a raw
+    AnalysisException."""
+    from movie_recommendation_engine_spark.__main__ import main
+
+    splits = tmp_path / "splits"
+    top_csv = tmp_path / "top_csv"
+    assert main(["split", "--ratings", ratings_csv, "--out", str(splits)]) == 0
+    assert main(["popularity", "--splits", str(splits), "--k", "5",
+                 "--format-out", "csv", "--out", str(top_csv)]) == 0
+    with pytest.raises(SystemExit, match="--popularity"):
+        main(["evaluate", "--splits", str(splits),
+              "--popularity", str(top_csv),
+              "--rank", "4", "--max-iter", "1", "--k", "5"])
+
+
+def test_from_labeled_label_edge_cases(spark, capsys):
+    """A null split label mixed with a foreign one still raises the
+    NAMED error (the sort inside the message is repr-keyed, not
+    str-vs-None), and a dataset missing one of the three labels warns
+    on stderr instead of erroring (tiny corpora can legitimately lack
+    a label)."""
+    from movie_recommendation_engine_spark.plans.movielens import (
+        InvalidSplitsError,
+        MovieLensPipeline,
+    )
+
+    nulled = spark.createDataFrame(
+        [(1, 2, 3.0, "train"), (1, 3, 4.0, None), (1, 4, 2.0, "holdout")],
+        "userId int, movieId int, rating float, split string",
+    )
+    with pytest.raises(InvalidSplitsError, match="holdout"):
+        MovieLensPipeline.from_labeled(nulled)
+
+    partial = spark.createDataFrame(
+        [(1, 2, 3.0, "train"), (1, 3, 4.0, "validation")],
+        "userId int, movieId int, rating float, split string",
+    )
+    p = MovieLensPipeline.from_labeled(partial)
+    assert "no ['test'] rows" in capsys.readouterr().err
     p.unpersist()
