@@ -38,10 +38,12 @@ def _spark(app: str):
 
 
 def _load(spark, args):
+    # args.ratings is always set here: `split` requires it, and the
+    # splits-capable verbs enforce exactly-one-of --ratings/--splits at
+    # parse time (mutually exclusive group), with _pipeline routing the
+    # --splits case away before calling _load
     from .sources.readers import read_ratings_csv
 
-    if args.ratings is None:
-        raise SystemExit("one of --ratings or --splits is required")
     if args.format == "parquet":
         return spark.read.parquet(args.ratings)
     return read_ratings_csv(spark, args.ratings, header=not args.no_header)
@@ -120,6 +122,31 @@ def cmd_evaluate(args) -> int:
     spark = _spark("evaluate")
     p = _pipeline(spark, args)
     try:
+        ranked = None
+        if args.popularity:
+            # reuse the `popularity` verb's written table instead of
+            # refitting the top-k from train — at scale the refit is a
+            # full train-split aggregate per evaluate run (mirror of
+            # the --splits reuse pattern); a table written at a larger
+            # --k is sliced down by score, see popularity_hit_ratio.
+            # Validated BEFORE the ALS fit: a typo'd path or a
+            # CSV-written table must not cost minutes of fitting first
+            # (same fail-fast rationale as the parse-time --ratings/
+            # --splits group).
+            try:
+                ranked = spark.read.parquet(args.popularity)
+            except Exception as ex:
+                raise SystemExit(
+                    f"--popularity {args.popularity} is not readable "
+                    "parquet (was the popularity verb run with "
+                    f"--format-out csv, or is the path wrong?): {ex}"
+                ) from None
+            if p.item_col not in ranked.columns:
+                raise SystemExit(
+                    f"--popularity {args.popularity} lacks the item "
+                    f"column {p.item_col!r} (got {ranked.columns}) — "
+                    "point it at the `popularity` verb's output directory"
+                )
         if args.model_dir:
             # reuse the `als` verb's saved model — the split is recomputed
             # (deterministic content-hash, so train/validation are identical
@@ -128,24 +155,6 @@ def cmd_evaluate(args) -> int:
         else:
             p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
         out = p.evaluate(k=args.k)
-        ranked = None
-        if args.popularity:
-            # reuse the `popularity` verb's written table instead of
-            # refitting the top-k from train — at scale the refit is a
-            # full train-split aggregate per evaluate run (mirror of
-            # the --splits reuse pattern); a table written at a larger
-            # --k is sliced down by score, see popularity_hit_ratio
-            try:
-                ranked = spark.read.parquet(args.popularity)
-            except Exception as ex:
-                # a CSV-written table (--format-out csv) or a wrong path
-                # otherwise surfaces as a raw AnalysisException with no
-                # mention of which flag pointed at it
-                raise SystemExit(
-                    f"--popularity {args.popularity} is not readable "
-                    "parquet (was the popularity verb run with "
-                    f"--format-out csv, or is the path wrong?): {ex}"
-                ) from None
         row = {
             "rmse": out["rmse"].collect()[0][0],
             **out["ranking"].collect()[0].asDict(),

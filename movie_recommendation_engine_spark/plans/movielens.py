@@ -269,17 +269,33 @@ class MovieLensPipeline:
                     "point --popularity at the `popularity` verb's output "
                     "directory"
                 )
-            if "score" in ranked.columns:
+            # one count up front: the table is a top-k export (small by
+            # construction), and the row count decides both guards
+            n = ranked.count()
+            if n > k:
+                if "score" not in ranked.columns:
+                    raise InvalidPopularityError(
+                        f"popularity_hit_ratio: ranked table has {n} rows "
+                        f"(> k={k}) and no score column to slice it — it "
+                        "was written at a larger --k; re-run evaluate with "
+                        "the matching --k or pass the verb's full output "
+                        "(which carries score)"
+                    )
                 ranked = ranked.orderBy(
                     F.col("score").desc(), F.col(self.item_col).asc()
                 ).limit(k)
-            elif ranked.count() > k:
-                raise InvalidPopularityError(
-                    f"popularity_hit_ratio: ranked table has more than "
-                    f"k={k} rows and no score column to slice it — it was "
-                    "written at a larger --k; re-run evaluate with the "
-                    "matching --k or pass the verb's full output (which "
-                    "carries score)"
+            elif n < k:
+                # accepted (indistinguishable from the refit's own
+                # threshold truncation) but worth a trace: a table
+                # written at a SMALLER --k silently deflates the metric
+                import sys
+
+                print(
+                    f"warning: --popularity table has {n} rows for "
+                    f"k={k} — if it was written at a smaller --k the "
+                    "hit-ratio covers fewer recommendations than a "
+                    "refit would",
+                    file=sys.stderr,
                 )
         recs_list = ranked.agg(F.collect_list(self.item_col).alias("recs"))
         return global_hit_ratio(self._part(on), recs_list, item_col=self.item_col)

@@ -246,12 +246,13 @@ def test_cli_evaluate_popularity_reuse(spark, ratings_csv, tmp_path, capsys):
     p.unpersist()
 
 
-def test_popularity_reuse_k_contract(spark, ratings_csv, tmp_path):
+def test_popularity_reuse_k_contract(spark, ratings_csv, tmp_path, capsys):
     """Round-11 review fixes: a reused popularity table written at a
     LARGER k is sliced to the call's top k by (score desc, item asc) —
-    the metric equals the refit's at that k — and a wider-than-k table
+    the metric equals the refit's at that k — a wider-than-k table
     WITHOUT a score column is refused instead of silently inflating the
-    hit-ratio."""
+    hit-ratio, and an under-k table (possibly a smaller --k) warns on
+    stderr instead of silently deflating it."""
     from movie_recommendation_engine_spark.__main__ import main
     from movie_recommendation_engine_spark.plans.movielens import (
         InvalidPopularityError,
@@ -276,6 +277,12 @@ def test_popularity_reuse_k_contract(spark, ratings_csv, tmp_path):
         if scoreless.count() > 3:
             with pytest.raises(InvalidPopularityError, match="score"):
                 p.popularity_hit_ratio(3, ranked=scoreless)
+
+        # under-k table: accepted (refit's own threshold can truncate
+        # below k) but traced on stderr
+        capsys.readouterr()
+        p.popularity_hit_ratio(100, ranked=table).collect()
+        assert "--popularity table has" in capsys.readouterr().err
     finally:
         p.unpersist()
 

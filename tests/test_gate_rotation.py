@@ -259,8 +259,12 @@ def test_staging_dir_thread_safe():
     # list before adding at most one entry
     assert len(reg._STAGING_RETIRED.get(key, [])) <= 4
     # no dirs were created on disk (staging_dir only names them), so
-    # bookkeeping cleanup is all that's needed
-    for d in list(reg._STAGING_BY_KEY.pop(key, [])):
+    # bookkeeping cleanup is all that's needed — including the retired
+    # entries, which stay listed in _STAGING_DIRS until their key's
+    # next invocation (which never comes here)
+    for d in list(reg._STAGING_BY_KEY.pop(key, [])) + list(
+        reg._STAGING_RETIRED.get(key, [])
+    ):
         if d in reg._STAGING_DIRS:
             reg._STAGING_DIRS.remove(d)
     reg._STAGING_RETIRED.pop(key, None)
