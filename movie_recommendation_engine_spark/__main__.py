@@ -92,7 +92,10 @@ def cmd_popularity(args) -> int:
     spark = _spark("popularity")
     p = _pipeline(spark, args)
     try:
-        _write(p.popularity_top_k(args.k), args.out, args.format_out)
+        # popularity_table = popularity_top_k + the train_fp provenance
+        # stamp, so `evaluate --popularity` can detect a table fitted on
+        # different ratings or a stale split (round-12 advisory)
+        _write(p.popularity_table(args.k), args.out, args.format_out)
     finally:
         # verbs may run inside a shared session (the e2e registry
         # query, a notebook): release the pipeline's cache entries so
@@ -119,6 +122,8 @@ def cmd_als(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
+    from .plans.movielens import InvalidArtifactError
+
     spark = _spark("evaluate")
     p = _pipeline(spark, args)
     try:
@@ -127,12 +132,15 @@ def cmd_evaluate(args) -> int:
             # reuse the `popularity` verb's written table instead of
             # refitting the top-k from train — at scale the refit is a
             # full train-split aggregate per evaluate run (mirror of
-            # the --splits reuse pattern); a table written at a larger
-            # --k is sliced down by score, see popularity_hit_ratio.
-            # Validated BEFORE the ALS fit: a typo'd path or a
-            # CSV-written table must not cost minutes of fitting first
-            # (same fail-fast rationale as the parse-time --ratings/
-            # --splits group).
+            # the --splits reuse pattern).  The FULL validation
+            # (schema, provenance stamp, k-contract slice — see
+            # validate_popularity) runs here, BEFORE the ALS fit: a
+            # typo'd path, a CSV-written table, a wider-than-k table
+            # without a score column, or a table fitted on different
+            # ratings must not cost minutes of fitting first (same
+            # fail-fast rationale as the parse-time --ratings/--splits
+            # group), and every violation surfaces as a named
+            # SystemExit, not a raw traceback (round-11 advisory).
             try:
                 ranked = spark.read.parquet(args.popularity)
             except Exception as ex:
@@ -141,12 +149,10 @@ def cmd_evaluate(args) -> int:
                     "parquet (was the popularity verb run with "
                     f"--format-out csv, or is the path wrong?): {ex}"
                 ) from None
-            if p.item_col not in ranked.columns:
-                raise SystemExit(
-                    f"--popularity {args.popularity} lacks the item "
-                    f"column {p.item_col!r} (got {ranked.columns}) — "
-                    "point it at the `popularity` verb's output directory"
-                )
+            try:
+                ranked = p.validate_popularity(ranked, args.k)
+            except InvalidArtifactError as ex:
+                raise SystemExit(f"--popularity {args.popularity}: {ex}") from None
         if args.model_dir:
             # reuse the `als` verb's saved model — the split is recomputed
             # (deterministic content-hash, so train/validation are identical

@@ -669,6 +669,18 @@ def simhash_pairs(
     tables (Manku et al. 2007 §3) rather than wider single blocks.
     """
     fp = simhash_fingerprint(df, id_col, text_col, n=n, bits=bits).localCheckpoint(eager=False)
+    return _simhash_pair_edges(fp, id_col, max_hamming, bits)
+
+
+def _simhash_pair_edges(
+    fp: DataFrame, id_col: str, max_hamming: int, bits: int
+) -> DataFrame:
+    """The pair-graph stage of ``simhash_pairs`` on an already-computed
+    fingerprint table: all within-bucket pairs, Hamming-verified.
+    Factored out (round 12) so boundary tests can drive the REAL
+    candidate construction with hand-crafted fingerprints instead of
+    re-deriving it — the registry oracle mirrors this construction, so
+    only a test on the code itself can pin its edge behavior."""
     blocks = _simhash_blocks(fp, id_col, max_hamming, bits)
     cand = (
         blocks.alias("a")
@@ -753,6 +765,20 @@ def simhash_edges(
     (id_a, id_b, hamming), id_a < id_b.
     """
     fp = simhash_fingerprint(df, id_col, text_col, n=n, bits=bits).localCheckpoint(eager=False)
+    return _simhash_star_edges(fp, id_col, max_hamming, bits)
+
+
+def _simhash_star_edges(
+    fp: DataFrame, id_col: str, max_hamming: int, bits: int
+) -> DataFrame:
+    """The star-edge stage of ``simhash_edges`` on an already-computed
+    fingerprint table: (bucket-min, member) candidates per block
+    bucket, Hamming-verified.  Factored out (round 12) with
+    ``_simhash_pair_edges`` so the recall-sliver boundary — a
+    qualifying pair both of whose star edges fail verification against
+    a shadowing bucket minimum — is pinned by tests on the real
+    construction (see tests/test_text_dedup.py::
+    test_simhash_star_sliver_boundary)."""
     blocks = _simhash_blocks(fp, id_col, max_hamming, bits)
     bmin = blocks.groupBy("blk", "key").agg(F.min("id").alias("id_a"))
     cand = (

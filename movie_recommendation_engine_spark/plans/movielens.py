@@ -32,6 +32,14 @@ from .recommender import AlsRecommender
 
 SPLIT_LABELS = frozenset({"train", "validation", "test"})
 
+# Provenance stamp column written by the `popularity` verb (round-12
+# advisory): a content fingerprint of the TRAIN SPLIT the table was
+# fitted on, so `evaluate --popularity` can detect a table built from
+# different ratings or a stale split — the quietest failure mode of
+# artifact reuse (every shape check passes, the metric is silently
+# wrong).  Same validation philosophy as from_labeled's label checks.
+POPULARITY_FP_COL = "train_fp"
+
 
 class InvalidArtifactError(ValueError):
     """A dataset handed back to the pipeline as a reused verb artifact
@@ -195,6 +203,129 @@ class MovieLensPipeline:
             rating_col=self.rating_col,
         )
 
+    def train_fingerprint(self) -> DataFrame:
+        """One-row content fingerprint of the train split: row count +
+        exact decimal sum of a per-row xxhash64 over the normalized
+        (user, item, rating) triple.  Order- and partitioning-
+        independent (a commutative sum of per-row hashes), and computed
+        from the same engine on both the stamp and the check side, so
+        no cross-engine hash parity is needed (unlike the md5 split
+        hashes).  Types are normalized (long, long, double) before
+        hashing so a CSV-read and a parquet-read of the same content
+        fingerprint identically.  Cost: one column-pruned scan with a
+        scalar reduce — no shuffle, strictly cheaper than the
+        popularity refit's groupBy it stands in for."""
+        h = F.xxhash64(
+            F.col(self.user_col).cast("long"),
+            F.col(self.item_col).cast("long"),
+            F.col(self.rating_col).cast("double"),
+        )
+        return self._part("train").agg(
+            F.concat_ws(
+                ":",
+                F.lit("xxh64v1"),
+                F.count("*"),
+                F.sum(h.cast("decimal(38,0)")),
+            ).alias(POPULARITY_FP_COL)
+        )
+
+    def popularity_table(self, k: int = 100) -> DataFrame:
+        """``popularity_top_k`` plus the provenance stamp column — what
+        the ``popularity`` CLI verb writes.  The stamp is attached via a
+        broadcast one-row aggregate (no driver collect), so the verb
+        stays one lazy plan; k rows make the constant column free."""
+        from ..operators.relational import with_scalars
+
+        return with_scalars(self.popularity_top_k(k), self.train_fingerprint())
+
+    def validate_popularity(self, ranked: DataFrame, k: int = 100) -> DataFrame:
+        """Validate a reused ``popularity`` verb table against this
+        pipeline's split and the requested k; returns the table ready
+        for scoring (sliced to k if written wider, provenance column
+        dropped).  Raises ``InvalidPopularityError`` on any violation.
+
+        Checks, in cost order:
+        - the item column exists (schema);
+        - provenance: if the table carries ``POPULARITY_FP_COL``, its
+          stamp must equal ``train_fingerprint()`` recomputed on THIS
+          pipeline's train split — a table fitted on different ratings
+          or a stale split fails here instead of silently scoring the
+          wrong ranking.  An UNSTAMPED table (pre-round-12, or
+          hand-built) warns on stderr and is trusted — reference
+          parity: popularity_model.py:59-77 trusts its own in-session
+          list.  The stamp proves provenance, not integrity: a table
+          whose score column was edited IN PLACE while keeping the
+          stamp passes (caveat emptor — see README CLI section);
+        - k-contract: wider-than-k tables are sliced by (score desc,
+          item asc) — exactly ``popularity_top_k``'s ordering — or
+          refused when no score column makes the slice deterministic;
+          under-k tables warn (indistinguishable from the refit's own
+          count-floor truncation).
+
+        The returned DataFrame is tagged so ``popularity_hit_ratio``
+        skips re-validation (the fingerprint check costs a train scan;
+        CLI evaluate validates PRE-FIT and must not pay it twice).
+        """
+        import sys
+
+        if self.item_col not in ranked.columns:
+            raise InvalidPopularityError(
+                f"popularity table lacks the item column "
+                f"{self.item_col!r} (got {ranked.columns}) — point "
+                "--popularity at the `popularity` verb's output directory"
+            )
+        if POPULARITY_FP_COL in ranked.columns:
+            stamped = [
+                r[0]
+                for r in ranked.select(POPULARITY_FP_COL).distinct().collect()
+            ]
+            expect = self.train_fingerprint().collect()[0][0]
+            if stamped != [expect]:
+                raise InvalidPopularityError(
+                    "popularity table provenance mismatch: stamped "
+                    f"train fingerprint {stamped} != this split's "
+                    f"{expect!r} — the table was fitted on different "
+                    "ratings or a stale split; re-run the `popularity` "
+                    "verb against the current --splits/--ratings"
+                )
+            ranked = ranked.drop(POPULARITY_FP_COL)
+        else:
+            print(
+                "warning: --popularity table carries no train_fp "
+                "provenance stamp (written before round 12, or "
+                "hand-built) — provenance unchecked; a table from "
+                "different ratings would silently yield a wrong "
+                "hit-ratio",
+                file=sys.stderr,
+            )
+        # one count up front: the table is a top-k export (small by
+        # construction), and the row count decides both guards
+        n = ranked.count()
+        if n > k:
+            if "score" not in ranked.columns:
+                raise InvalidPopularityError(
+                    f"popularity table has {n} rows (> k={k}) and no "
+                    "score column to slice it — it was written at a "
+                    "larger --k; re-run evaluate with the matching --k "
+                    "or pass the verb's full output (which carries score)"
+                )
+            ranked = ranked.orderBy(
+                F.col("score").desc(), F.col(self.item_col).asc()
+            ).limit(k)
+        elif n < k:
+            # accepted (indistinguishable from the refit's own
+            # threshold truncation) but worth a trace: a table
+            # written at a SMALLER --k silently deflates the metric
+            print(
+                f"warning: --popularity table has {n} rows for "
+                f"k={k} — if it was written at a smaller --k the "
+                "hit-ratio covers fewer recommendations than a "
+                "refit would",
+                file=sys.stderr,
+            )
+        ranked._mres_popularity_validated_k = k
+        return ranked
+
     def fit_als(
         self, rank: int = 100, max_iter: int = 3, reg_param: float = 0.15, **kwargs
     ) -> AlsRecommender:
@@ -249,53 +380,15 @@ class MovieLensPipeline:
         write-once-reuse shape as ``from_labeled``/``--splits``; at
         scale the refit is a full train aggregate per evaluate run.
 
-        k-contract for a reused table: a table written at a LARGER k is
-        sliced to this call's top k by (score desc, item asc) — exactly
-        ``popularity_top_k``'s ordering, so the sliced metric equals the
-        refit's (pinned in tests).  Without a score column the slice is
-        impossible, so a wider-than-k table raises
-        ``InvalidPopularityError`` instead of silently inflating the
-        hit-ratio.  A table with FEWER than k rows is accepted as-is:
-        it is indistinguishable from the refit's own legitimate
-        truncation (the num_ratings >= threshold filter can yield under
-        k items), so write the table at a --k >= the evaluate --k."""
+        Validation (shape, provenance stamp, k-contract) is
+        ``validate_popularity``'s — it runs here unless the caller
+        already validated this exact table at this k (the CLI's
+        evaluate validates PRE-FIT so a bad table cannot cost the ALS
+        fit first; re-validating would pay the provenance train scan
+        twice per evaluate)."""
         if ranked is None:
             ranked = self.popularity_top_k(k)
-        else:
-            if self.item_col not in ranked.columns:
-                raise InvalidPopularityError(
-                    f"popularity_hit_ratio: ranked table lacks the item "
-                    f"column {self.item_col!r} (got {ranked.columns}) — "
-                    "point --popularity at the `popularity` verb's output "
-                    "directory"
-                )
-            # one count up front: the table is a top-k export (small by
-            # construction), and the row count decides both guards
-            n = ranked.count()
-            if n > k:
-                if "score" not in ranked.columns:
-                    raise InvalidPopularityError(
-                        f"popularity_hit_ratio: ranked table has {n} rows "
-                        f"(> k={k}) and no score column to slice it — it "
-                        "was written at a larger --k; re-run evaluate with "
-                        "the matching --k or pass the verb's full output "
-                        "(which carries score)"
-                    )
-                ranked = ranked.orderBy(
-                    F.col("score").desc(), F.col(self.item_col).asc()
-                ).limit(k)
-            elif n < k:
-                # accepted (indistinguishable from the refit's own
-                # threshold truncation) but worth a trace: a table
-                # written at a SMALLER --k silently deflates the metric
-                import sys
-
-                print(
-                    f"warning: --popularity table has {n} rows for "
-                    f"k={k} — if it was written at a smaller --k the "
-                    "hit-ratio covers fewer recommendations than a "
-                    "refit would",
-                    file=sys.stderr,
-                )
+        elif getattr(ranked, "_mres_popularity_validated_k", None) != k:
+            ranked = self.validate_popularity(ranked, k)
         recs_list = ranked.agg(F.collect_list(self.item_col).alias("recs"))
         return global_hit_ratio(self._part(on), recs_list, item_col=self.item_col)

@@ -349,43 +349,36 @@ _GATE_LAST = [
 # CODE PATHS changed this round (they gate ahead of the staleness
 # order); keep it short — every pinned name displaces a stale one.
 _RECHECK_FIRST = [
-    # round 11: the e2e's evaluate verb reuses the popularity verb's
-    # written table (--popularity) for the hit-ratio instead of
-    # refitting the top-k from train, and from_labeled gained the
-    # fail-fast split-schema validation — the e2e plan changed (oracle
-    # unchanged: the table IS the refit's deterministic output).
+    # round 12: the popularity verb's table gained the train_fp
+    # provenance stamp (a broadcast 1-row fingerprint column) and
+    # evaluate --popularity now runs the full validation — including a
+    # fingerprint train scan — BEFORE the ALS fit (round-11 advisory);
+    # the e2e drives both verbs, so its plan changed (oracle unchanged:
+    # the e2e aggregates named columns the stamp doesn't touch).
     "movielens_e2e_cli",
-    # round 11: arrow_dot_topk's env-var bound parse changed (named
-    # error on malformed/non-positive SPARK_GRAFT_MAX_BROADCAST_BYTES)
-    # — resolved default identical, but the serving kernel's guard path
-    # changed; re-gate its hash consumer (same precedent as round 10).
-    "als_recommend_invariants",
-    # round 11: staging_dir housekeeping changed again (mutations under
-    # a lock, pruned dirs deleted one invocation later — round-10
-    # advisory); plan-identical, but the sink queries' write-then-read
-    # scratch lifecycle changed; same pin precedent as rounds 9/10.
-    "csv_roundtrip_agg",
-    "json_roundtrip_agg",
-    "orc_roundtrip_agg",
-    "schema_evolution_roundtrip",
-    "incremental_rollup_maintenance",
-    "text_log_roundtrip_agg",
-    "customer_time_travel",
-    # round 11: simhash_pairs' block/verify construction was factored
-    # into shared helpers for the new simhash_edges star path — plan
-    # and oracle identical, but the code path changed; re-gate its
-    # consumer (the new dedup_simhash_components gates as pending).
+    # round 12: simhash_pairs/simhash_edges candidate constructions were
+    # factored into _simhash_pair_edges/_simhash_star_edges so the
+    # recall-sliver boundary tests drive the real code — plan and
+    # oracle identical, but the code paths changed; same pin precedent
+    # as the round-11 helper refactor.
     "dedup_simhash",
+    "dedup_simhash_components",
 ]
 
 
-def _green_rounds() -> dict[str, int]:
+def _green_rounds(evidence_paths: list[str] | None = None) -> dict[str, int]:
     """name -> latest round with a passing driver-gate row.
 
     hash_match=True is green; a rows-only query (err='no_oracle') with a
     recorded row count is 'checked as designed' and also cedes its slot —
     UNLESS it has since gained an oracle (it was never hash-verified, so
     it re-enters the pending window for a real value-hash verdict).
+
+    ``evidence_paths`` pins the CORRECTNESS files to read (round-12
+    gate-order telemetry: tools/gen_gate_order.py records which files a
+    committed window was computed from, and its sync test recomputes
+    from exactly those — the default ALL-files glob would drift the
+    moment the driver writes the next round's results).
     """
     import glob
     import json
@@ -394,7 +387,9 @@ def _green_rounds() -> dict[str, int]:
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    if evidence_paths is None:
+        evidence_paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    for path in evidence_paths:
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:

@@ -287,6 +287,108 @@ def test_popularity_reuse_k_contract(spark, ratings_csv, tmp_path, capsys):
         p.unpersist()
 
 
+def test_popularity_provenance_stamp(spark, ratings_csv, tmp_path, capsys):
+    """Round-12 (round-11 verdict #3 / advisory): the popularity verb
+    stamps its table with a train-split content fingerprint; evaluate
+    verifies the stamp against ITS split, so a table fitted on
+    different ratings (the stale-artifact failure mode — every shape
+    check passes, the metric is silently wrong) is caught by name.
+    An unstamped (pre-round-12) table warns and is trusted; a doctored
+    score column under an intact stamp passes — the stamp proves
+    provenance, not integrity (documented caveat emptor)."""
+    from movie_recommendation_engine_spark.__main__ import main
+    from movie_recommendation_engine_spark.plans.movielens import (
+        POPULARITY_FP_COL,
+        InvalidPopularityError,
+        MovieLensPipeline,
+    )
+
+    splits_a = tmp_path / "splits_a"
+    top_a = tmp_path / "top_a"
+    assert main(["split", "--ratings", ratings_csv, "--out", str(splits_a)]) == 0
+    assert main(["popularity", "--splits", str(splits_a), "--k", "5",
+                 "--out", str(top_a)]) == 0
+    table = spark.read.parquet(str(top_a))
+    assert POPULARITY_FP_COL in table.columns
+
+    # different ratings -> different train fingerprint -> named refusal
+    other_csv = tmp_path / "other_ratings.csv"
+    with open(ratings_csv) as src, open(other_csv, "w") as dst:
+        for i, line in enumerate(src):
+            if i == 1:  # perturb one rating value
+                u, m, r, t = line.strip().split(",")
+                line = f"{u},{m},{1.0 if float(r) != 1.0 else 2.0},{t}\n"
+            dst.write(line)
+    splits_b = tmp_path / "splits_b"
+    assert main(["split", "--ratings", str(other_csv), "--out", str(splits_b)]) == 0
+    with pytest.raises(SystemExit, match="provenance mismatch"):
+        main(["evaluate", "--splits", str(splits_b), "--popularity", str(top_a),
+              "--rank", "4", "--max-iter", "1", "--k", "5"])
+
+    p = MovieLensPipeline.from_labeled(spark.read.parquet(str(splits_a)))
+    try:
+        # matching provenance: validated table drops the stamp column,
+        # is marked for its k, and scores identically to the refit
+        ok = p.validate_popularity(table, 5)
+        assert POPULARITY_FP_COL not in ok.columns
+        assert ok._mres_popularity_validated_k == 5
+        reused = p.popularity_hit_ratio(5, ranked=ok).collect()[0][0]
+        assert reused == p.popularity_hit_ratio(5).collect()[0][0]
+
+        # mismatching provenance via the API raises the named error
+        pb = MovieLensPipeline.from_labeled(spark.read.parquet(str(splits_b)))
+        try:
+            with pytest.raises(InvalidPopularityError, match="provenance"):
+                pb.validate_popularity(table, 5)
+        finally:
+            pb.unpersist()
+
+        # unstamped table: warns, then trusted (pre-round-12 contract)
+        capsys.readouterr()
+        p.validate_popularity(table.drop(POPULARITY_FP_COL), 5)
+        assert "no train_fp provenance stamp" in capsys.readouterr().err
+
+        # doctored scores under an intact stamp: NOT caught — the stamp
+        # is provenance, not tamper-proofing (README caveat emptor)
+        from pyspark.sql import functions as F
+
+        doctored = table.withColumn("score", F.lit(9.0))
+        p.validate_popularity(doctored, 5)
+    finally:
+        p.unpersist()
+
+
+def test_popularity_validation_runs_before_fit(spark, ratings_csv, tmp_path,
+                                               monkeypatch):
+    """Round-11 advisory: EVERY --popularity violation (here the
+    wider-than-k-without-score k-contract case) surfaces as a named
+    SystemExit BEFORE the ALS fit — the fit is the expensive step and a
+    malformed table must not cost it first."""
+    from movie_recommendation_engine_spark.__main__ import main
+    from movie_recommendation_engine_spark.plans.movielens import (
+        MovieLensPipeline,
+        POPULARITY_FP_COL,
+    )
+
+    splits = tmp_path / "splits"
+    top10 = tmp_path / "top10"
+    assert main(["split", "--ratings", ratings_csv, "--out", str(splits)]) == 0
+    assert main(["popularity", "--splits", str(splits), "--k", "10",
+                 "--out", str(top10)]) == 0
+    # wider than k=3, score column stripped -> no deterministic slice
+    scoreless = tmp_path / "scoreless"
+    spark.read.parquet(str(top10)).select("movieId", POPULARITY_FP_COL) \
+        .write.parquet(str(scoreless))
+
+    def boom(self, *a, **kw):  # evaluate must fail before ever fitting
+        raise AssertionError("ALS fit ran before --popularity validation")
+
+    monkeypatch.setattr(MovieLensPipeline, "fit_als", boom)
+    with pytest.raises(SystemExit, match="no score column"):
+        main(["evaluate", "--splits", str(splits), "--popularity",
+              str(scoreless), "--rank", "4", "--max-iter", "1", "--k", "3"])
+
+
 def test_cli_popularity_reuse_rejects_unreadable_dir(ratings_csv, tmp_path, capsys):
     """evaluate --popularity pointed at a CSV-written table (or any
     non-parquet path) fails naming the flag, not with a raw

@@ -114,6 +114,72 @@ def test_window_is_mostly_stale_queries():
     assert len(stale) >= WINDOW - len(_RECHECK_FIRST)
 
 
+def test_gate_order_telemetry_in_sync():
+    """Round-12 (round-11 verdict #6): the committed GATE_ORDER.json —
+    per-slot reason telemetry for the driver gate window — must agree
+    with the rotation logic recomputed from the artifact's OWN
+    evidence-file list.  Recomputing from the live CORRECTNESS glob
+    would drift the moment the driver writes the next round's results,
+    so the artifact pins its inputs and this test replays exactly
+    those."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "GATE_ORDER.json")
+    assert os.path.exists(path), "run `python tools/gen_gate_order.py`"
+    with open(path) as fh:
+        doc = json.load(fh)
+
+    # the pin list is the artifact's most drift-prone input: editing
+    # _RECHECK_FIRST without regenerating must fail here
+    assert doc["pins"] == list(_RECHECK_FIRST), (
+        "GATE_ORDER.json pins != registry._RECHECK_FIRST — rerun "
+        "tools/gen_gate_order.py after changing pins"
+    )
+    assert doc["window_size"] == WINDOW
+    assert len(doc["window"]) == WINDOW
+
+    evidence = [os.path.join(root, f) for f in doc["evidence_files"]]
+    missing = [p for p in evidence if not os.path.exists(p)]
+    assert not missing, f"evidence files gone: {missing}"
+    green = _green_rounds(evidence)
+
+    names = [e["name"] for e in doc["window"]]
+    assert len(set(names)) == WINDOW
+    unknown = [n for n in names if n not in QUERIES]
+    assert not unknown, f"window references unregistered queries: {unknown}"
+
+    for e in doc["window"]:
+        n = e["name"]
+        if n not in green:
+            expect = "pending"
+        elif n in _RECHECK_FIRST:
+            expect = "pin"
+        else:
+            expect = "stale-rotation"
+        assert e["reason"] == expect, (n, e["reason"], expect)
+        assert e["last_green_round"] == green.get(n), n
+
+    # ordering invariants: pending first, then pins in list order, then
+    # stale entries in non-decreasing evidence age
+    reasons = [e["reason"] for e in doc["window"]]
+    n_pending = reasons.count("pending")
+    assert all(r == "pending" for r in reasons[:n_pending])
+    pin_names = [e["name"] for e in doc["window"] if e["reason"] == "pin"]
+    assert pin_names == [n for n in _RECHECK_FIRST if n in green]
+    stale_rounds = [
+        e["last_green_round"] for e in doc["window"] if e["reason"] == "stale-rotation"
+    ]
+    assert stale_rounds == sorted(stale_rounds)
+
+    # the artifact's rotation-health headline: nothing outside the
+    # window may be staler than the declared oldest
+    outside = [green[n] for n in list(QUERIES) if n in green and n not in set(names)]
+    if outside:
+        assert doc["outside_window_oldest_evidence_round"] == min(outside)
+
+
 def test_oracle_changes_are_pinned():
     """Pin-on-change, made mechanical (round-8 judge finding #1: round
     8 changed five queries' oracles but pinned five OTHER names, so

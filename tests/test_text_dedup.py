@@ -579,6 +579,134 @@ def test_bare_minhash_lsh_pairs_caps_mega_clique(spark):
     assert max(max(r.id_a, r.id_b) for r in pairs) == cap  # smallest ids kept
 
 
+def test_simhash_star_sliver_boundary(spark):
+    """Round-12 advisory: the ``simhash_edges`` recall sliver, pinned on
+    the REAL construction (the factored ``_simhash_star_edges`` /
+    ``_simhash_pair_edges`` stages) with hand-crafted fingerprints —
+    the registry oracle mirrors the star construction, so it can never
+    see this boundary, and identical-fingerprint cliques can never
+    exercise it (verification cannot fail at hamming 0).
+
+    bits=60 / max_hamming=3 -> 4 disjoint 15-bit blocks.  Craft a
+    qualifying pair (b=2, c=3, hamming 3, differing only inside block
+    0) shadowed by a smaller doc a=1 that shares blocks 1-3 with both
+    (so a is the minimum of every bucket b and c co-occupy) but fails
+    Hamming verification against each: the star tests only (a,b) and
+    (a,c), both fail, and the qualifying (b,c) pair is DROPPED — the
+    documented sliver, shown here dropping the component.  Moving one
+    of a's difference bits into block 3 un-shadows bucket (blk3, 0):
+    b and c co-occupy it without a, the (b,c) star edge is generated
+    there, and the pair is RECOVERED via another block — the
+    pigeonhole recovery path the docstring describes."""
+    from movie_recommendation_engine_spark.operators.dedup import (
+        _simhash_pair_edges,
+        _simhash_star_edges,
+    )
+
+    B, C = 0, 0b111  # hamming(B, C) = 3, all inside block 0
+    A_SHADOW = 0b111110000000000  # 5 high bits of block 0: blocks 1-3 = 0,
+    # hamming(A,B) = 5 > 3 and hamming(A,C) = 8 > 3 -> a fails verify
+    # against both, yet min()s every bucket {b, c} share (blocks 1-3)
+    shadowed = spark.createDataFrame(
+        [(1, A_SHADOW), (2, B), (3, C)], "doc_id int, simhash long"
+    )
+    star = {(r.id_a, r.id_b, r.hamming)
+            for r in _simhash_star_edges(shadowed, "doc_id", 3, 60).collect()}
+    pairs = {(r.id_a, r.id_b, r.hamming)
+             for r in _simhash_pair_edges(shadowed, "doc_id", 3, 60).collect()}
+    assert pairs == {(2, 3, 3)}  # the pair graph finds the qualifying pair
+    assert star == set()         # the star path drops it: both edges to the
+    # shadowing minimum fail verification — components under star edges
+    # leave 2 and 3 separate where the pair graph merges them
+
+    # recovery: a differs from b/c in block 3 too (4 bits in block 0 so
+    # hamming(A,B)=5, hamming(A,C)=6 still fail verify) -> bucket
+    # (blk3, 0) holds only {b, c}, whose min is b, so (b, c) IS tested
+    A_OPEN = 0b11110000000000 | (1 << 45)
+    opened = spark.createDataFrame(
+        [(1, A_OPEN), (2, B), (3, C)], "doc_id int, simhash long"
+    )
+    star2 = {(r.id_a, r.id_b, r.hamming)
+             for r in _simhash_star_edges(opened, "doc_id", 3, 60).collect()}
+    pairs2 = {(r.id_a, r.id_b, r.hamming)
+              for r in _simhash_pair_edges(opened, "doc_id", 3, 60).collect()}
+    assert pairs2 == {(2, 3, 3)}
+    assert star2 == {(2, 3, 3)}  # recovered via the un-shadowed block
+
+
+def test_simhash_star_recall_on_near_dups(spark):
+    """Round-12 (round-11 verdict #4): quantify the simhash_edges recall
+    sliver on a NEAR-dup corpus (perturbed copies, hamming > 0) — the
+    clique equality test uses identical fingerprints where verification
+    cannot fail, so it can never exercise the sliver.  Mirrors the
+    MinHash ``test_star_recall_matches_exhaustive_on_near_dups``.
+
+    Measured at this seed: at the documented 60/3 operating point the
+    star components EQUAL the exhaustive pair-graph components (recall
+    1.0); at 60/6 (5 blocks of 12 bits — more chance co-bucketing, so
+    more shadowing minima) the sliver manifests as one lost merge,
+    pairwise same-component recall 28/29 = 0.966.  Both operating
+    points must stay above the 0.9 floor, and star components must
+    REFINE exhaustive ones (star edges are Hamming-verified, hence a
+    subset of the pair graph — the star can lose merges, never invent
+    them)."""
+    import random
+    from collections import defaultdict
+
+    from movie_recommendation_engine_spark.operators.dedup import (
+        simhash_edges,
+        simhash_pairs,
+    )
+    from movie_recommendation_engine_spark.operators.graph import (
+        dedup_canonical,
+    )
+
+    rng = random.Random(1031)
+    vocab = [f"w{i:02d}" for i in range(60)]
+    rows, doc_id = [], 1
+    for _ in range(6):  # 6 near-dup groups of 4-7 perturbed copies
+        base = rng.sample(vocab, 14)
+        for _ in range(rng.randint(4, 7)):
+            words = list(base)
+            for _ in range(rng.randint(0, 2)):  # light perturbation
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(words)))
+            doc_id += 1
+    for _ in range(10):  # singletons: unrelated docs
+        rows.append((doc_id, " ".join(rng.sample(vocab, 14))))
+        doc_id += 1
+    rng.shuffle(rows)  # ids not grouped -> bucket minima are arbitrary
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def same_comp_pairs(assign):
+        by_comp = defaultdict(set)
+        for r in assign:
+            by_comp[r.component].add(r.doc_id)
+        return {
+            frozenset((a, b))
+            for members in by_comp.values()
+            for a in members
+            for b in members
+            if a < b
+        }
+
+    for max_hamming, expect_equal in ((3, True), (6, False)):
+        kw = dict(n=2, max_hamming=max_hamming, bits=60)
+        star = same_comp_pairs(
+            dedup_canonical(docs, simhash_edges(docs, "doc_id", "text", **kw))
+            .collect()
+        )
+        exhaustive = same_comp_pairs(
+            dedup_canonical(docs, simhash_pairs(docs, "doc_id", "text", **kw))
+            .collect()
+        )
+        assert star <= exhaustive  # refinement: never an invented merge
+        recall = len(star & exhaustive) / len(exhaustive)
+        assert recall >= 0.9, (max_hamming, recall)
+        if expect_equal:  # the documented 60/3 operating point
+            assert star == exhaustive
+
+
 def test_star_recall_matches_exhaustive_on_near_dups(spark):
     """Round-10 ADVICE cross-check: dedup components from star edges are
     verified against the EXHAUSTIVE (uncapped pair-graph) components on
