@@ -274,20 +274,29 @@ class MovieLensPipeline:
                 f"{self.item_col!r} (got {ranked.columns}) — point "
                 "--popularity at the `popularity` verb's output directory"
             )
+        stamped = None
         if POPULARITY_FP_COL in ranked.columns:
-            stamped = [
-                r[0]
-                for r in ranked.select(POPULARITY_FP_COL).distinct().collect()
-            ]
-            expect = self.train_fingerprint().collect()[0][0]
-            if stamped != [expect]:
-                raise InvalidPopularityError(
-                    "popularity table provenance mismatch: stamped "
-                    f"train fingerprint {stamped} != this split's "
-                    f"{expect!r} — the table was fitted on different "
-                    "ratings or a stale split; re-run the `popularity` "
-                    "verb against the current --splits/--ratings"
-                )
+            # one table-side job: stamp values + row count together (the
+            # table is a top-k export, small by construction); the train
+            # fingerprint is its own job (a train scan) either way
+            row = ranked.agg(
+                F.collect_set(POPULARITY_FP_COL).alias("fps"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            stamped, n = sorted(row["fps"]), row["n"]
+            if stamped:  # a 0-row table carries no stamp VALUES: nothing
+                # to verify (it is the verb's own legitimate output when
+                # the count floor leaves no items) — fall through to the
+                # under-k warn rather than claiming a provenance mismatch
+                expect = self.train_fingerprint().collect()[0][0]
+                if stamped != [expect]:
+                    raise InvalidPopularityError(
+                        "popularity table provenance mismatch: stamped "
+                        f"train fingerprint {stamped} != this split's "
+                        f"{expect!r} — the table was fitted on different "
+                        "ratings or a stale split; re-run the `popularity` "
+                        "verb against the current --splits/--ratings"
+                    )
             ranked = ranked.drop(POPULARITY_FP_COL)
         else:
             print(
@@ -298,9 +307,8 @@ class MovieLensPipeline:
                 "hit-ratio",
                 file=sys.stderr,
             )
-        # one count up front: the table is a top-k export (small by
-        # construction), and the row count decides both guards
-        n = ranked.count()
+            # one count up front: the row count decides both k guards
+            n = ranked.count()
         if n > k:
             if "score" not in ranked.columns:
                 raise InvalidPopularityError(
@@ -323,7 +331,11 @@ class MovieLensPipeline:
                 "refit would",
                 file=sys.stderr,
             )
-        ranked._mres_popularity_validated_k = k
+        # trust tag is keyed to THIS pipeline, not just k: a table
+        # validated by a different pipeline (different ratings/split)
+        # must re-validate here, or the provenance check it was added
+        # for is skippable by handing the tagged frame across pipelines
+        ranked._mres_popularity_validated = (self, k)
         return ranked
 
     def fit_als(
@@ -388,7 +400,9 @@ class MovieLensPipeline:
         twice per evaluate)."""
         if ranked is None:
             ranked = self.popularity_top_k(k)
-        elif getattr(ranked, "_mres_popularity_validated_k", None) != k:
-            ranked = self.validate_popularity(ranked, k)
+        else:
+            tag = getattr(ranked, "_mres_popularity_validated", None)
+            if not (tag is not None and tag[0] is self and tag[1] == k):
+                ranked = self.validate_popularity(ranked, k)
         recs_list = ranked.agg(F.collect_list(self.item_col).alias("recs"))
         return global_hit_ratio(self._part(on), recs_list, item_col=self.item_col)

@@ -311,13 +311,18 @@ def test_popularity_provenance_stamp(spark, ratings_csv, tmp_path, capsys):
     table = spark.read.parquet(str(top_a))
     assert POPULARITY_FP_COL in table.columns
 
-    # different ratings -> different train fingerprint -> named refusal
+    # different ratings -> different train fingerprint -> named refusal.
+    # EVERY rating is perturbed (6 - r keeps the 1-5 range): the split
+    # labels hash only (userId, movieId), so a single-row perturbation
+    # could land outside the train split and leave the fingerprint
+    # unchanged — perturbing all rows guarantees the (non-empty) train
+    # split's content differs whatever the hash assigns
     other_csv = tmp_path / "other_ratings.csv"
     with open(ratings_csv) as src, open(other_csv, "w") as dst:
         for i, line in enumerate(src):
-            if i == 1:  # perturb one rating value
+            if i > 0:
                 u, m, r, t = line.strip().split(",")
-                line = f"{u},{m},{1.0 if float(r) != 1.0 else 2.0},{t}\n"
+                line = f"{u},{m},{6.0 - float(r)},{t}\n"
             dst.write(line)
     splits_b = tmp_path / "splits_b"
     assert main(["split", "--ratings", str(other_csv), "--out", str(splits_b)]) == 0
@@ -331,7 +336,7 @@ def test_popularity_provenance_stamp(spark, ratings_csv, tmp_path, capsys):
         # is marked for its k, and scores identically to the refit
         ok = p.validate_popularity(table, 5)
         assert POPULARITY_FP_COL not in ok.columns
-        assert ok._mres_popularity_validated_k == 5
+        assert ok._mres_popularity_validated == (p, 5)
         reused = p.popularity_hit_ratio(5, ranked=ok).collect()[0][0]
         assert reused == p.popularity_hit_ratio(5).collect()[0][0]
 

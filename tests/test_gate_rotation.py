@@ -179,6 +179,20 @@ def test_gate_order_telemetry_in_sync():
     if outside:
         assert doc["outside_window_oldest_evidence_round"] == min(outside)
 
+    # staleness trap (round-12 review finding): registering a NEW query
+    # reshapes the live window (pending queries sort first) without
+    # touching any name the artifact already lists, so every assertion
+    # above would still pass against a stale file.  Require every
+    # pending-under-this-evidence query to appear in the doc window —
+    # a new registration is pending by construction and fails here
+    # until gen_gate_order.py is rerun.
+    pending = [n for n in QUERIES if n not in green]
+    missing = sorted(set(pending) - set(names))
+    assert not missing, (
+        f"queries pending under GATE_ORDER.json's evidence but absent "
+        f"from its window: {missing} — rerun tools/gen_gate_order.py"
+    )
+
 
 def test_oracle_changes_are_pinned():
     """Pin-on-change, made mechanical (round-8 judge finding #1: round

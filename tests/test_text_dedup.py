@@ -619,9 +619,10 @@ def test_simhash_star_sliver_boundary(spark):
     # shadowing minimum fail verification — components under star edges
     # leave 2 and 3 separate where the pair graph merges them
 
-    # recovery: a differs from b/c in block 3 too (4 bits in block 0 so
-    # hamming(A,B)=5, hamming(A,C)=6 still fail verify) -> bucket
-    # (blk3, 0) holds only {b, c}, whose min is b, so (b, c) IS tested
+    # recovery: a differs from b/c in block 3 too (4 bits in block 0 +
+    # bit 45, so hamming(A,B)=5 and hamming(A,C)=4+1+3=8 still fail
+    # verify) -> bucket (blk3, 0) holds only {b, c}, whose min is b,
+    # so (b, c) IS tested
     A_OPEN = 0b11110000000000 | (1 << 45)
     opened = spark.createDataFrame(
         [(1, A_OPEN), (2, B), (3, C)], "doc_id int, simhash long"

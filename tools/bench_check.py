@@ -119,58 +119,15 @@ def _retime(names: list[str]) -> dict[str, float]:
         "bench_retime", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
     spark.sparkContext.setLogLevel("ERROR")
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    try:
-        from pyspark.ml.recommendation import ALS
+    # same warmup classes as bench.py (shared movie_recommendation_
+    # engine_spark.warmups): budgets are calibrated in that context, so
+    # the adjudication retime must run in it too — a weaker set here
+    # (the pre-round-12 toy ALS fit, no iterative warmup) billed the
+    # missing JIT to whichever flagged query ran first and could
+    # confirm a false regression.
+    from movie_recommendation_engine_spark.warmups import warm_all
 
-        tiny = spark.createDataFrame(
-            [(u, i, float(u * i % 5)) for u in range(20) for i in range(10)],
-            "user int, item int, rating float",
-        )
-        ALS(rank=2, maxIter=1, userCol="user", itemCol="item",
-            ratingCol="rating", seed=1, nonnegative=True,
-            coldStartStrategy="drop").fit(tiny).recommendForAllUsers(1).count()
-    except Exception:
-        pass
-    try:
-        # KMeans JIT too: the ivf-kmeans queries fit a quantizer, and a
-        # FRESH retime session otherwise bills the first MLlib KMeans
-        # fit to the flagged query (in-sweep budgets were recorded warm)
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.feature import VectorAssembler
-        from pyspark.sql import functions as F
-
-        pts = spark.range(256).select(
-            (F.col("id") % 17).cast("double").alias("x"),
-            (F.col("id") % 13).cast("double").alias("y"),
-        )
-        vec = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(pts)
-        KMeans(k=4, maxIter=3, seed=1).fit(vec).transform(vec).count()
-    except Exception:
-        pass
-    try:
-        # iterative-checkpoint JIT too (round 12, same rationale as
-        # bench.py's warmup): a fresh retime session otherwise bills
-        # the deep join+agg+localCheckpoint JIT to the first flagged
-        # iterative query (measured 21.7 s first-run vs 4.0 s steady
-        # on part_pagerank; budgets are calibrated warm)
-        from pyspark.sql import functions as F
-
-        from movie_recommendation_engine_spark.operators.graph import (
-            pagerank,
-            pagerank_weighted,
-        )
-
-        nodes = spark.range(101).select(F.col("id"))
-        tedges = spark.range(3000).select(
-            (F.col("id") % 97).alias("u"),
-            ((F.col("id") * 7) % 101).alias("v"),
-            (F.col("id") % 5 + 1).cast("long").alias("w"),
-        )
-        pagerank(nodes, tedges, iterations=3).count()
-        pagerank_weighted(nodes, tedges, iterations=3).count()
-    except Exception:
-        pass
+    warm_all(spark, sf_dir)
     out: dict[str, float] = {}
     for name in names:
         fn = QUERIES.get(name)

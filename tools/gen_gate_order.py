@@ -38,18 +38,20 @@ OUT_PATH = os.path.join(ROOT, "GATE_ORDER.json")
 WINDOW = 50
 
 
-def compute(evidence_paths: list[str] | None = None) -> dict:
-    """The telemetry document.  With ``evidence_paths`` the green-round
-    map is recomputed from exactly those files (the sync test's mode);
-    the registry's in-memory window order itself is import-time state —
-    identical as long as the evidence set is the one it imported with."""
+def compute() -> dict:
+    """The telemetry document, always from the LIVE evidence glob: the
+    registry's in-memory window order is import-time state computed
+    from that same glob, so reasons and ordering are consistent by
+    construction.  (No evidence-list parameter: pairing the live order
+    with a different evidence set would produce internally inconsistent
+    telemetry — the sync test replays the reason logic itself via
+    ``_green_rounds(paths)`` instead.)"""
     sys.path.insert(0, ROOT)
     from movie_recommendation_engine_spark import registry as R
 
-    if evidence_paths is None:
-        import glob
+    import glob
 
-        evidence_paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+    evidence_paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
     green = R._green_rounds(evidence_paths)
     pins = list(R._RECHECK_FIRST)
     names = list(R.QUERIES)

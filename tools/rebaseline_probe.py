@@ -38,15 +38,6 @@ def main(argv: list[str]) -> int:
     names = argv
     assert names, "usage: rebaseline_probe.py QUERY... [--runs N]"
 
-    from pyspark.sql import functions as F
-
-    from movie_recommendation_engine_spark.operators.graph import (
-        pagerank,
-        pagerank_weighted,
-    )
-    from movie_recommendation_engine_spark.operators.similarity import (
-        arrow_dot_topk,
-    )
     from movie_recommendation_engine_spark.registry import QUERIES
     from movie_recommendation_engine_spark.session import get_spark
 
@@ -57,61 +48,12 @@ def main(argv: list[str]) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # bench.py's warmup classes, abbreviated (same costs absorbed)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    try:
-        from pyspark.ml.evaluation import RegressionEvaluator
-        from pyspark.ml.recommendation import ALS
+    # bench.py's exact warmup classes (shared module — the probe exists
+    # to measure budgets in bench.py's execution context, so the set
+    # must be identical by construction, not by copy)
+    from movie_recommendation_engine_spark.warmups import warm_all
 
-        warm = (
-            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-            .select(
-                F.col("l_orderkey").cast("int").alias("user"),
-                F.col("l_partkey").cast("int").alias("item"),
-                F.col("l_quantity").cast("float").alias("rating"),
-            )
-            .dropDuplicates(["user", "item"])
-        )
-        m = ALS(rank=8, maxIter=4, regParam=0.15, userCol="user", itemCol="item",
-                ratingCol="rating", seed=1, nonnegative=True,
-                coldStartStrategy="drop").fit(warm)
-        m.recommendForAllUsers(5).count()
-        RegressionEvaluator(metricName="rmse", labelCol="rating",
-                            predictionCol="prediction").evaluate(m.transform(warm))
-    except Exception as ex:
-        print(f"# ALS warmup failed: {ex}", file=sys.stderr)
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.feature import VectorAssembler
-
-        pts = spark.range(256).select(
-            (F.col("id") % 17).cast("double").alias("x"),
-            (F.col("id") % 13).cast("double").alias("y"),
-        )
-        vec = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(pts)
-        KMeans(k=4, maxIter=3, seed=1).fit(vec).transform(vec).count()
-    except Exception as ex:
-        print(f"# KMeans warmup failed: {ex}", file=sys.stderr)
-    try:
-        toy = spark.range(256).select(
-            F.col("id").cast("int").alias("id"),
-            F.array((F.col("id") % 7).cast("float"),
-                    (F.col("id") % 5).cast("float")).alias("features"),
-        )
-        arrow_dot_topk(toy, toy, k=3, id_col="id", vec_col="features").count()
-    except Exception as ex:
-        print(f"# Arrow warmup failed: {ex}", file=sys.stderr)
-    try:
-        nodes = spark.range(101).select(F.col("id"))
-        tedges = spark.range(3000).select(
-            (F.col("id") % 97).alias("u"),
-            ((F.col("id") * 7) % 101).alias("v"),
-            (F.col("id") % 5 + 1).cast("long").alias("w"),
-        )
-        pagerank(nodes, tedges, iterations=3).count()
-        pagerank_weighted(nodes, tedges, iterations=3).count()
-    except Exception as ex:
-        print(f"# iterative warmup failed: {ex}", file=sys.stderr)
+    warm_all(spark, sf_dir, log=lambda m: print(m, file=sys.stderr))
 
     a = _cpu()
     t_start = time.perf_counter()
