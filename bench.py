@@ -173,16 +173,23 @@ def main() -> None:
                 f"budget sf={budget_sf} != run sf={sf_val}; skipping retime"
             )
         ratio, floor = 1.5, 1.0  # keep in sync with tools/bench_check.py
-        # worst excess first: the 15-entry wall-time bound must keep the
-        # biggest offenders (an alphabetical cap once dropped a 228 s
-        # movielens_e2e_cli outlier while retiming fifteen 2-10 s ones)
+        # worst ABSOLUTE excess first (seconds over the allowed limit):
+        # the 15-entry wall-time bound must keep the biggest offenders.
+        # An alphabetical cap once dropped a 228 s movielens_e2e_cli
+        # outlier, and a ratio-keyed sort re-created the same hole
+        # under broad contention (round 12: fifteen sub-second-budget
+        # queries at ratio 2-19x crowded a 44.7 s raw e2e — 5.9 s over
+        # its limit — out of the cap, shipping an unadjudicated heavy
+        # figure).  Excess seconds ranks by artifact damage, so
+        # truncation can only drop entries within ~a second of their
+        # limit — exactly the ones the guard's own fresh retime clears.
         flagged = sorted(
             (
                 n
                 for n, t in ok.items()
                 if budget.get(n, -1) > 0 and t > ratio * max(budget[n], floor)
             ),
-            key=lambda n: -ok[n] / max(budget[n], floor),
+            key=lambda n: -(ok[n] - ratio * max(budget[n], floor)),
         )[:15]  # bound the extra wall time; the guard retimes any rest
         if flagged:
             print(f"# bench retiming {len(flagged)} sweep-flagged queries: "
