@@ -48,46 +48,63 @@ def _pos_seq(recs: str, k: int) -> str:
     return f"if({n} < 1, array(), sequence(1, {n}))"
 
 
-def _ap_at_k(recs: str, truth: str, k: int) -> Column:
-    """Standard average precision @ k over two array columns.
+def _hit_positions(recs: str, truth: str, k: int) -> Column:
+    """Ascending 1-based positions of the top-k recs that appear in
+    ``truth`` — the ONE O(k) per-user pass every position-indexed
+    metric below shares.
 
-    AP = (1/min(k,|truth|)) * sum_{i<=k, rec_i in truth} precision@i.
-    Computed with a single aggregate over (position, hit) pairs — stays
-    in the JVM, no explode.  Empty recs score 0; empty truth yields
-    NULL (try_divide), the degenerate no-relevants case.
-    """
+    Higher-order-function lambdas are interpreted per element (they
+    never enter whole-stage codegen), so the per-element count is the
+    cost driver of the whole metrics stage.  The first formulation
+    re-walked all k positions once per metric (AP's zip_with+aggregate
+    with a struct accumulator allocated per step, NDCG's
+    array_contains per position, MRR's transform) — ~4x the interpreted
+    work plus per-step struct churn.  Hit positions are typically a
+    handful per user, so folding the metrics over THIS array instead
+    makes each of them O(|hits|) (r13 optimization; bit-identical —
+    the dropped miss terms added exactly 0.0 to nonnegative double
+    accumulators, which is an exact float no-op, and hit terms keep
+    their ascending evaluation order)."""
+    return F.expr(
+        f"""
+        filter(
+          transform({_pos_seq(recs, k)},
+                    i -> if(array_contains({truth}, element_at({recs}, i)), i, null)),
+          x -> x is not null)
+        """
+    )
+
+
+def _ap_at_k(hp: str, truth: str, k: int) -> Column:
+    """Standard average precision @ k from the shared hit-position
+    array: AP = (1/min(k,|truth|)) * sum_j j / hp_j (the j-th hit at
+    1-based position hp_j contributes precision@hp_j = j/hp_j).
+    Empty recs score 0; empty truth yields NULL (try_divide), the
+    degenerate no-relevants case."""
     return F.expr(
         f"""
         aggregate(
-          zip_with({_pos_seq(recs, k)},
-                   transform(slice({recs}, 1, {k}),
-                             x -> if(array_contains({truth}, x), 1, 0)),
-                   (p, h) -> struct(p as p, h as h)),
+          {hp},
           struct(0 as c, cast(0.0 as double) as s),
-          (acc, x) -> struct(acc.c + x.h,
-                             acc.s + if(x.h = 1,
-                                        cast(acc.c + x.h as double) / cast(x.p as double),
-                                        cast(0.0 as double))),
+          (acc, p) -> struct(acc.c + 1,
+                             acc.s + cast(acc.c + 1 as double) / cast(p as double)),
           acc -> try_divide(acc.s, least({k}, size({truth})))
         )
         """
     )
 
 
-def _ndcg_at_k(recs: str, truth: str, k: int) -> Column:
-    """NDCG@k with binary relevance: DCG = sum of 1/log2(pos+1) over
-    hit positions in the top-k; IDCG = the same sum over the first
-    min(k, |truth|) positions (all-hits ideal).  One aggregate over a
-    position sequence — JVM-side, no explode."""
+def _ndcg_at_k(hp: str, truth: str, k: int) -> Column:
+    """NDCG@k with binary relevance from the shared hit-position array:
+    DCG = sum of 1/log2(pos+1) over hit positions; IDCG = the same sum
+    over the first min(k, |truth|) positions (all-hits ideal)."""
     return F.expr(
         f"""
         try_divide(
           aggregate(
-            {_pos_seq(recs, k)},
+            {hp},
             cast(0.0 as double),
-            (acc, i) -> acc + if(array_contains({truth}, element_at({recs}, i)),
-                                 1.0 / log2(cast(i + 1 as double)),
-                                 cast(0.0 as double))
+            (acc, i) -> acc + 1.0 / log2(cast(i + 1 as double))
           ),
           aggregate(
             if(size({truth}) < 1, array(), sequence(1, least({k}, size({truth})))),
@@ -99,33 +116,28 @@ def _ndcg_at_k(recs: str, truth: str, k: int) -> Column:
     )
 
 
-def _mrr_at_k(recs: str, truth: str, k: int) -> Column:
-    """Reciprocal rank of the FIRST hit in the top-k (0 when no hit)."""
-    return F.expr(
-        f"""
-        coalesce(
-          1.0 / array_min(filter(
-            transform({_pos_seq(recs, k)},
-                      i -> if(array_contains({truth}, element_at({recs}, i)), i, null)),
-            x -> x is not null)),
-          cast(0.0 as double))
-        """
-    )
+def _mrr_at_k(hp: str) -> Column:
+    """Reciprocal rank of the FIRST hit in the top-k (0 when no hit):
+    the hit-position array is ascending, so its min is its head."""
+    return F.expr(f"coalesce(1.0 / array_min({hp}), cast(0.0 as double))")
 
 
 def _ref_map(recs: str, truth: str) -> Column:
     """The reference's nonstandard mAP (als.py:10-20) as a column expr:
     per truth item found at 1-based position p in recs, add
-    (1 + 1/p) / size(recs); divide the sum by size(truth)."""
+    (1 + 1/p) / size(recs); divide the sum by size(truth).
+
+    ``array_position`` (an O(|recs|) scan) runs once per truth item via
+    the transform — the first formulation evaluated it twice per item
+    (condition + value)."""
     return F.expr(
         f"""
         try_divide(
           aggregate(
-            {truth},
+            transform({truth}, m -> array_position({recs}, m)),
             cast(0.0 as double),
-            (acc, m) -> acc + if(array_position({recs}, m) > 0,
-                                 (1.0 + 1.0 / cast(array_position({recs}, m) as double))
-                                   / size({recs}),
+            (acc, p) -> acc + if(p > 0,
+                                 (1.0 + 1.0 / cast(p as double)) / size({recs}),
                                  cast(0.0 as double))
           ),
           size({truth})
@@ -153,17 +165,25 @@ def per_user_ranking_metrics(
     r, t = recs_col, truth_col
     topk = F.expr(f"slice({r}, 1, {k})")
     n_hits = F.size(F.array_intersect(topk, F.col(t)))
-    out = joined.select(
+    # materialize the shared hit-position array as a projected column so
+    # AP / NDCG / MRR fold over ~|hits| elements instead of re-walking
+    # all k positions each (HOF lambdas are interpreted per element —
+    # see _hit_positions; expression CSE does not cross lambda bodies,
+    # so the sharing must be an explicit projection)
+    pre = joined.select(
+        user_col, r, t, _hit_positions(r, t, k).alias("__hp")
+    )
+    out = pre.select(
         user_col,
-        _ap_at_k(r, t, k).alias("ap"),
+        _ap_at_k("__hp", t, k).alias("ap"),
         (n_hits / F.lit(k)).cast("double").alias("precision"),
         # try_divide: an empty truth array (degenerate, but reachable
         # through the public signature) yields NULL recall, not an ANSI
         # divide-by-zero abort
         F.try_divide(n_hits, F.size(F.col(t))).cast("double").alias("recall"),
         (n_hits > 0).cast("double").alias("hit"),
-        _ndcg_at_k(r, t, k).alias("ndcg"),
-        _mrr_at_k(r, t, k).alias("rr"),
+        _ndcg_at_k("__hp", t, k).alias("ndcg"),
+        _mrr_at_k("__hp").alias("rr"),
         _ref_map(r, t).alias("ref_ap"),
     )
     if round_to is not None:
