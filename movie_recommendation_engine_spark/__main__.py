@@ -161,13 +161,25 @@ def cmd_evaluate(args) -> int:
         else:
             p.fit_als(rank=args.rank, max_iter=args.max_iter, reg_param=args.reg, seed=args.seed)
         out = p.evaluate(k=args.k)
-        row = {
-            "rmse": out["rmse"].collect()[0][0],
-            **out["ranking"].collect()[0].asDict(),
-            "popularity_hit_ratio": p.popularity_hit_ratio(
-                args.k, ranked=ranked
-            ).collect()[0][0],
-        }
+        # The three metric plans are independent of each other (RMSE,
+        # ranking summary, popularity hit-ratio) and each is a straggler-
+        # tailed job; collect them from a small thread pool so the next
+        # job's tasks back-fill cores freed by the current job's tail
+        # instead of serializing three ramp-downs.  Plans are built on
+        # this thread; only the actions run concurrently (Spark's
+        # scheduler is designed for concurrent jobs — FIFO back-fill).
+        from concurrent.futures import ThreadPoolExecutor
+
+        hit_plan = p.popularity_hit_ratio(args.k, ranked=ranked)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_rmse = pool.submit(out["rmse"].collect)
+            f_rank = pool.submit(out["ranking"].collect)
+            f_hit = pool.submit(hit_plan.collect)
+            row = {
+                "rmse": f_rmse.result()[0][0],
+                **f_rank.result()[0].asDict(),
+                "popularity_hit_ratio": f_hit.result()[0][0],
+            }
     finally:
         p.unpersist()
     print(json.dumps(row))

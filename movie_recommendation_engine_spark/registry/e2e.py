@@ -172,37 +172,54 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
 
-    # fold the verb artifacts into the summary row
+    # fold the verb artifacts into the summary row.  The four fold-up
+    # aggregates are independent small jobs over different artifacts;
+    # submit them from a thread pool so each job's straggler tail is
+    # back-filled by the next one's tasks (guide-§2.6 overlap) instead
+    # of paying four sequential ramp-downs.  Plans are built up front on
+    # this thread; only actions run in the pool.
+    from concurrent.futures import ThreadPoolExecutor
+
     labeled = spark.read.parquet(split_dir)
-    counts = {
-        r["split"]: r["n"]
-        for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
-    pop = spark.read.parquet(pop_dir).agg(
+    counts_plan = labeled.groupBy("split").agg(F.count("*").alias("n"))
+    pop_plan = spark.read.parquet(pop_dir).agg(
         F.count("*").alias("pop_k"),
         F.sum("movieId").alias("pop_items_sum"),
         F.sum(F.col("score").cast("decimal(18,6)")).cast("double").alias("pop_score_sum"),
-    ).collect()[0]
+    )
     recs = spark.read.parquet(recs_dir)
-    rec_stats = recs.groupBy("userId").agg(F.count("*").alias("n")).agg(
+    rec_stats_plan = recs.groupBy("userId").agg(F.count("*").alias("n")).agg(
         F.count("*").alias("rec_users"),
         F.expr("bool_and(n = 5)").alias("rec_rows_ok"),
-    ).collect()[0]
+    )
 
     # ALS invariant baseline: train-global-mean RMSE on the same scored
     # subset the model was evaluated on (validation rows whose user AND
-    # item appear in train == coldStartStrategy='drop')
+    # item appear in train == coldStartStrategy='drop').  mu -> base_rmse
+    # is a dependent pair, so it runs as one sequential task in the pool.
     train = labeled.filter(F.col("split") == "train")
     val = labeled.filter(F.col("split") == "validation")
-    mu = train.agg(
-        (F.sum(F.col("rating").cast("decimal(28,6)")).cast("double") / F.count("*"))
-    ).collect()[0][0]
-    scored_val = val.join(
-        train.select("userId").distinct(), "userId"
-    ).join(train.select("movieId").distinct(), "movieId")
-    base_rmse = scored_val.agg(
-        F.sqrt(F.avg(F.pow(F.col("rating") - F.lit(mu), 2)))
-    ).collect()[0][0]
+
+    def _base_rmse():
+        mu = train.agg(
+            (F.sum(F.col("rating").cast("decimal(28,6)")).cast("double") / F.count("*"))
+        ).collect()[0][0]
+        scored_val = val.join(
+            train.select("userId").distinct(), "userId"
+        ).join(train.select("movieId").distinct(), "movieId")
+        return scored_val.agg(
+            F.sqrt(F.avg(F.pow(F.col("rating") - F.lit(mu), 2)))
+        ).collect()[0][0]
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_counts = pool.submit(counts_plan.collect)
+        f_pop = pool.submit(lambda: pop_plan.collect()[0])
+        f_recs = pool.submit(lambda: rec_stats_plan.collect()[0])
+        f_base = pool.submit(_base_rmse)
+        counts = {r["split"]: r["n"] for r in f_counts.result()}
+        pop = f_pop.result()
+        rec_stats = f_recs.result()
+        base_rmse = f_base.result()
 
     rmse, map_at_k = float(metrics["rmse"]), float(metrics["map_at_k"])
     shutil.rmtree(scratch, ignore_errors=True)
