@@ -67,6 +67,47 @@ def _host_load(a: dict | None, b: dict | None, wall: float) -> dict:
     return out
 
 
+# Contention self-defense (round-13 verdict #1, third carry-over): a
+# sweep whose own /proc/stat window shows noisy-neighbor steal above
+# this threshold is NOT a code signal (the harness's own stamp says so),
+# so the bench re-runs the sweep — bounded — instead of shipping the
+# contended figure as the round artifact.  The final artifact keeps the
+# LEAST-contended attempt and stamps every attempt's summary; if every
+# attempt was contended it self-marks {"contended": true} so no reader
+# can mistake the number for a quiet-window measurement.
+STEAL_RETRY_PCT = 1.0
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3"))
+
+
+def _contention_verdict(
+    host_load: dict, attempt: int, max_attempts: int, threshold: float = STEAL_RETRY_PCT
+) -> tuple[bool, bool]:
+    """Decide what to do after one sweep attempt.
+
+    Returns ``(retry, contended)``: ``retry`` — run the sweep again
+    (steal above threshold and attempts remain); ``contended`` — this
+    attempt's figure is contention-tainted.  A window with no steal
+    reading (no /proc/stat, clock skew) can't be judged and is treated
+    as quiet — the stamp itself already says "available: false".
+    """
+    steal = host_load.get("steal_pct")
+    if steal is None or steal <= threshold:
+        return False, False
+    return attempt < max_attempts, True
+
+
+def _pick_best_attempt(attempts: list[dict]) -> int:
+    """Index of the least-contended attempt (lowest steal; unreadable
+    steal sorts last).  Ties go to the EARLIEST attempt — later same-
+    session re-runs are warmer, and preferring them would let repetition
+    itself lower the figure."""
+    def key(i: int):
+        s = attempts[i]["host_load"].get("steal_pct")
+        return (s is None, s if s is not None else 0.0, i)
+
+    return min(range(len(attempts)), key=key)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -112,100 +153,138 @@ def main() -> None:
 
     warm_all(spark, sf_dir, log=lambda m: print(m, file=sys.stderr))
 
-    timings: dict[str, float] = {}
     import gc
-
-    load_t0 = time.perf_counter()
-    load_a = _cpu_stat()
-
-    for i, (name, fn) in enumerate(QUERIES.items()):
-        t0 = time.perf_counter()
-        df = None  # so the release below is safe when fn() itself raises
-        try:
-            df = fn(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as ex:  # a broken query must not hide the others
-            timings[name] = -1.0
-            print(f"# bench error {name}: {ex}", file=sys.stderr)
-        # release this query's JVM state before the next measurement:
-        # localCheckpoint RDDs are freed by the ContextCleaner only after
-        # their py4j refs are collected — without this, checkpointed
-        # blocks pile up across 100+ queries and mid-run queries pay GC/
-        # memory pressure that standalone runs don't (measured 14.2 s vs
-        # 2.5 s on part_cooccurrence_top20)
-        df = None
-        gc.collect()
-        if (i + 1) % 20 == 0:
-            spark.sparkContext._jvm.System.gc()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+
+    def run_sweep() -> dict:
+        """One full sweep + steady retime, with its own host-load window
+        — the unit the contention guard retries."""
+        timings: dict[str, float] = {}
+        load_t0 = time.perf_counter()
+        load_a = _cpu_stat()
+
+        for i, (name, fn) in enumerate(QUERIES.items()):
+            t0 = time.perf_counter()
+            df = None  # so the release below is safe when fn() itself raises
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                timings[name] = round(time.perf_counter() - t0, 4)
+            except Exception as ex:  # a broken query must not hide the others
+                timings[name] = -1.0
+                print(f"# bench error {name}: {ex}", file=sys.stderr)
+            # release this query's JVM state before the next measurement:
+            # localCheckpoint RDDs are freed by the ContextCleaner only after
+            # their py4j refs are collected — without this, checkpointed
+            # blocks pile up across 100+ queries and mid-run queries pay GC/
+            # memory pressure that standalone runs don't (measured 14.2 s vs
+            # 2.5 s on part_cooccurrence_top20)
+            df = None
+            gc.collect()
+            if (i + 1) % 20 == 0:
+                spark.sparkContext._jvm.System.gc()
+
+        ok = {k: v for k, v in timings.items() if v >= 0}
+
+        # In-sweep timings bill first-run JIT and mid-run GC pressure to
+        # whichever query hits them (measured round 4: 2-5x on sub-3 s
+        # queries).  tools/bench_check.py adjudicates by retiming flagged
+        # queries steady-state — do that adjudication HERE too and store the
+        # steady figure in the committed per-query map, so BENCH_LOCAL.json
+        # matches what the guard actually adjudicates (round-4 verdict task:
+        # the raw sweep file gave readers a misleading per-query picture).
+        # The raw sweep figure of every retimed query is preserved in
+        # "sweep_queries"; the headline value stays the true sweep total.
+        steady: dict[str, float] = {}
+        try:
+            budget_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools", "bench_budget.json"
+            )
+            with open(budget_path) as fh:
+                budget_doc = json.load(fh)
+            budget = budget_doc.get("queries", {})
+            # budgets are recorded at one scale factor: adjudicating a
+            # different-SF sweep against them would flag nearly every query
+            # and silently re-run the heaviest ones twice each
+            budget_sf = budget_doc.get("sf")
+            if budget_sf is not None and sf_val != budget_sf:
+                raise ValueError(
+                    f"budget sf={budget_sf} != run sf={sf_val}; skipping retime"
+                )
+            ratio, floor = 1.5, 1.0  # keep in sync with tools/bench_check.py
+            # worst ABSOLUTE excess first (seconds over the allowed limit):
+            # the 15-entry wall-time bound must keep the biggest offenders.
+            # An alphabetical cap once dropped a 228 s movielens_e2e_cli
+            # outlier, and a ratio-keyed sort re-created the same hole
+            # under broad contention (round 12: fifteen sub-second-budget
+            # queries at ratio 2-19x crowded a 44.7 s raw e2e — 5.9 s over
+            # its limit — out of the cap, shipping an unadjudicated heavy
+            # figure).  Excess seconds ranks by artifact damage, so
+            # truncation can only drop entries within ~a second of their
+            # limit — exactly the ones the guard's own fresh retime clears.
+            flagged = sorted(
+                (
+                    n
+                    for n, t in ok.items()
+                    if budget.get(n, -1) > 0 and t > ratio * max(budget[n], floor)
+                ),
+                key=lambda n: -(ok[n] - ratio * max(budget[n], floor)),
+            )[:15]  # bound the extra wall time; the guard retimes any rest
+            if flagged:
+                print(f"# bench retiming {len(flagged)} sweep-flagged queries: "
+                      f"{', '.join(flagged)}", file=sys.stderr)
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                for name in flagged:
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        QUERIES[name](spark, sf_dir).count()
+                        best = min(best, time.perf_counter() - t0)
+                        gc.collect()
+                    steady[name] = round(best, 4)
+        except Exception as ex:
+            print(f"# bench steady retime skipped: {ex}", file=sys.stderr)
+
+        return {
+            "timings": timings,
+            "steady": steady,
+            # measured over THIS attempt's timed window (sweep + retimes),
+            # so each attempt carries its own host-noise evidence
+            "host_load": _host_load(
+                load_a, _cpu_stat(), time.perf_counter() - load_t0
+            ),
+        }
+
+    attempts: list[dict] = []
+    contended = False
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        attempts.append(run_sweep())
+        retry, contended = _contention_verdict(
+            attempts[-1]["host_load"], attempt, MAX_ATTEMPTS
+        )
+        if not retry:
+            break
+        print(
+            f"# bench attempt {attempt} contended "
+            f"(steal {attempts[-1]['host_load'].get('steal_pct')}% > "
+            f"{STEAL_RETRY_PCT}%): re-running sweep "
+            f"({MAX_ATTEMPTS - attempt} retr{'y' if MAX_ATTEMPTS - attempt == 1 else 'ies'} left)",
+            file=sys.stderr,
+        )
+
+    best_i = _pick_best_attempt(attempts)
+    chosen = attempts[best_i]
+    # re-judge the CHOSEN attempt (it may be an earlier, quieter one)
+    contended = _contention_verdict(chosen["host_load"], MAX_ATTEMPTS, MAX_ATTEMPTS)[1]
+    timings, steady = chosen["timings"], chosen["steady"]
     ok = {k: v for k, v in timings.items() if v >= 0}
     sweep_total = round(sum(ok.values()), 4)
-
-    # In-sweep timings bill first-run JIT and mid-run GC pressure to
-    # whichever query hits them (measured round 4: 2-5x on sub-3 s
-    # queries).  tools/bench_check.py adjudicates by retiming flagged
-    # queries steady-state — do that adjudication HERE too and store the
-    # steady figure in the committed per-query map, so BENCH_LOCAL.json
-    # matches what the guard actually adjudicates (round-4 verdict task:
-    # the raw sweep file gave readers a misleading per-query picture).
-    # The raw sweep figure of every retimed query is preserved in
-    # "sweep_queries"; the headline value stays the true sweep total.
-    steady: dict[str, float] = {}
-    try:
-        budget_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "tools", "bench_budget.json"
-        )
-        with open(budget_path) as fh:
-            budget_doc = json.load(fh)
-        budget = budget_doc.get("queries", {})
-        # budgets are recorded at one scale factor: adjudicating a
-        # different-SF sweep against them would flag nearly every query
-        # and silently re-run the heaviest ones twice each
-        budget_sf = budget_doc.get("sf")
-        if budget_sf is not None and sf_val != budget_sf:
-            raise ValueError(
-                f"budget sf={budget_sf} != run sf={sf_val}; skipping retime"
-            )
-        ratio, floor = 1.5, 1.0  # keep in sync with tools/bench_check.py
-        # worst ABSOLUTE excess first (seconds over the allowed limit):
-        # the 15-entry wall-time bound must keep the biggest offenders.
-        # An alphabetical cap once dropped a 228 s movielens_e2e_cli
-        # outlier, and a ratio-keyed sort re-created the same hole
-        # under broad contention (round 12: fifteen sub-second-budget
-        # queries at ratio 2-19x crowded a 44.7 s raw e2e — 5.9 s over
-        # its limit — out of the cap, shipping an unadjudicated heavy
-        # figure).  Excess seconds ranks by artifact damage, so
-        # truncation can only drop entries within ~a second of their
-        # limit — exactly the ones the guard's own fresh retime clears.
-        flagged = sorted(
-            (
-                n
-                for n, t in ok.items()
-                if budget.get(n, -1) > 0 and t > ratio * max(budget[n], floor)
-            ),
-            key=lambda n: -(ok[n] - ratio * max(budget[n], floor)),
-        )[:15]  # bound the extra wall time; the guard retimes any rest
-        if flagged:
-            print(f"# bench retiming {len(flagged)} sweep-flagged queries: "
-                  f"{', '.join(flagged)}", file=sys.stderr)
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            for name in flagged:
-                best = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    QUERIES[name](spark, sf_dir).count()
-                    best = min(best, time.perf_counter() - t0)
-                    gc.collect()
-                steady[name] = round(best, 4)
-    except Exception as ex:
-        print(f"# bench steady retime skipped: {ex}", file=sys.stderr)
 
     adjudicated = dict(timings)
     sweep_queries = {}
@@ -224,6 +303,21 @@ def main() -> None:
         # the guard.
         adjudicated[name] = s
         best_observed[name] = min(s, timings[name])
+    host_load = dict(chosen["host_load"])
+    if len(attempts) > 1:
+        # every attempt's summary rides along so a reader can see the
+        # retry history, not just the chosen window
+        host_load["attempts"] = [
+            {
+                "steal_pct": a["host_load"].get("steal_pct"),
+                "wall_sec": a["host_load"].get("wall_sec"),
+                "sweep_total_sec": round(
+                    sum(v for v in a["timings"].values() if v >= 0), 4
+                ),
+                "chosen": i == best_i,
+            }
+            for i, a in enumerate(attempts)
+        ]
     full = {
         "metric": "total_query_wall_sec",
         "value": sweep_total,
@@ -231,11 +325,12 @@ def main() -> None:
         "queries": adjudicated,
         "sweep_total_sec": sweep_total,
         "sf": sf_val,
-        # measured over the timed window (sweep + retimes), so the
-        # artifact is self-describing about host noise
-        "host_load": _host_load(
-            load_a, _cpu_stat(), time.perf_counter() - load_t0
-        ),
+        # measured over the CHOSEN attempt's timed window (sweep +
+        # retimes), so the artifact is self-describing about host noise;
+        # "contended" means every bounded re-run attempt stayed above the
+        # steal threshold and the figure is NOT a quiet-window number
+        "host_load": host_load,
+        "contended": contended,
     }
     if sweep_queries:
         full["sweep_queries"] = sweep_queries

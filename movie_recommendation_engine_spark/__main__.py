@@ -175,11 +175,22 @@ def cmd_evaluate(args) -> int:
             f_rmse = pool.submit(out["rmse"].collect)
             f_rank = pool.submit(out["ranking"].collect)
             f_hit = pool.submit(hit_plan.collect)
-            row = {
-                "rmse": f_rmse.result()[0][0],
-                **f_rank.result()[0].asDict(),
-                "popularity_hit_ratio": f_hit.result()[0][0],
-            }
+            try:
+                row = {
+                    "rmse": f_rmse.result()[0][0],
+                    **f_rank.result()[0].asDict(),
+                    "popularity_hit_ratio": f_hit.result()[0][0],
+                }
+            except BaseException:
+                # fail fast: without this the with-block's shutdown
+                # (wait=True) would let the sibling Spark jobs run to
+                # completion before the error surfaces — a failed
+                # evaluate could burn minutes of cluster time first
+                # (round-13 advisory).  cancel_futures stops the
+                # not-yet-started submissions; already-running jobs
+                # finish but are no longer awaited.
+                pool.shutdown(wait=False, cancel_futures=True)
+                raise
     finally:
         p.unpersist()
     print(json.dumps(row))

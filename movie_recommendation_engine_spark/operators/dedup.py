@@ -144,12 +144,19 @@ def prefix_filtered_jaccard_pairs(
     ex = hsh.select("id", F.explode("hs").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "g")
+    # localCheckpoint: the prefix index is BOTH sides of the candidate
+    # self-join below — without the truncation the whole df-join + two-
+    # window subtree executed once per side (r13 plan: the sort+window
+    # tower appears twice, nodes 12-18 and 32-38; guide §2.4 compute
+    # once, reuse).  The checkpointed frame is the pruned (id, g, rn,
+    # sz) posting list — far smaller than the work that builds it.
     prefix = (
         ex.join(dfreq, "g")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
         .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .select("id", "g", "rn", "sz")
+        .localCheckpoint(eager=False)
     )
     # PPJoin candidate pruning, applied inside the index join BEFORE the
     # distinct shuffle.  Both filters only ever drop pairs that provably

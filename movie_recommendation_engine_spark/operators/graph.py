@@ -23,6 +23,8 @@ O(log^2 n) rounds — implemented below as
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
@@ -261,6 +263,30 @@ def dedup_canonical(
     return out
 
 
+# Rank-table broadcast dial for the pagerank loops: below this vertex
+# count the per-iteration rank/contribution tables enter their joins as
+# broadcasts (a ~16 B/row relation: 4M vertices ≈ 64 MB, well under the
+# session's 64 MB auto threshold that the checkpointed-RDD inputs
+# defeat — ExistingRDD carries no size statistics, so without the
+# explicit hint Spark sort-merge-joins and re-shuffles the EDGE LIST
+# every iteration).  Above the dial the loop falls back to exchanging
+# both sides, with a shuffled-hash hint on the small side so the big
+# edge stream at least skips the per-iteration sort (guide §3.1).
+# Env-tunable so a cluster with more executor headroom can raise it.
+_PR_BROADCAST_MAX_VERTICES = int(
+    os.environ.get("SPARK_GRAFT_PR_BROADCAST_MAX_VERTICES", "4000000")
+)
+
+
+def _pr_small_side(df: DataFrame, small: bool) -> DataFrame:
+    """Rank/contribution side of a pagerank-iteration join: broadcast
+    below the vertex dial, shuffled-hash-hinted above it (the edge side
+    is always the bigger stream; sorting it 2x/iteration is the SMJ
+    cost the hint removes — results are join-strategy-independent
+    integer sums)."""
+    return F.broadcast(df) if small else df.hint("shuffle_hash")
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -305,6 +331,9 @@ def pagerank(
     if abs(pct - damping * 100) > 1e-9:
         raise ValueError("damping must be a multiple of 0.01")
     reset = 1_000_000 - pct * 10_000  # (1-d) in micro-units, exact
+    # nodes feeds pr0 AND the broadcast dial's count — materialize once
+    nodes = nodes.select(F.col(id_col)).localCheckpoint(eager=False)
+    small = nodes.count() <= _PR_BROADCAST_MAX_VERTICES
     pr = nodes.select(F.col(id_col), F.lit(1_000_000).cast("long").alias("pru"))
     # the edge list feeds BOTH the degree aggregate and the contribution
     # join — truncate its (possibly expensive: pair-generation self-join
@@ -314,13 +343,18 @@ def pagerank(
     e = edges.join(deg, src).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     for _ in range(iterations):
         contrib = (
-            e.join(pr.select(F.col(id_col).alias("__src"), "pru"), e[src] == F.col("__src"))
+            e.join(
+                _pr_small_side(
+                    pr.select(F.col(id_col).alias("__src"), "pru"), small
+                ),
+                e[src] == F.col("__src"),
+            )
             .select(F.col(dst).alias("__dst"), F.expr("pru DIV __outdeg").alias("__c"))
             .groupBy("__dst")
             .agg(F.sum("__c").alias("__s"))
         )
         pr = (
-            pr.join(contrib, pr[id_col] == F.col("__dst"), "left")
+            pr.join(_pr_small_side(contrib, small), pr[id_col] == F.col("__dst"), "left")
             .select(
                 F.col(id_col),
                 (
@@ -360,13 +394,20 @@ def pagerank_weighted(
     if abs(pct - damping * 100) > 1e-9:
         raise ValueError("damping must be a multiple of 0.01")
     reset = 1_000_000 - pct * 10_000
+    nodes = nodes.select(F.col(id_col)).localCheckpoint(eager=False)
+    small = nodes.count() <= _PR_BROADCAST_MAX_VERTICES
     pr = nodes.select(F.col(id_col), F.lit(1_000_000).cast("long").alias("pru"))
     edges = edges.localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     wtot = edges.groupBy(src).agg(F.sum(weight).cast("long").alias("__wtot"))
     e = edges.join(wtot, src).localCheckpoint(eager=False, storageLevel=_EDGE_LEVEL)
     for _ in range(iterations):
         contrib = (
-            e.join(pr.select(F.col(id_col).alias("__src"), "pru"), e[src] == F.col("__src"))
+            e.join(
+                _pr_small_side(
+                    pr.select(F.col(id_col).alias("__src"), "pru"), small
+                ),
+                e[src] == F.col("__src"),
+            )
             .select(
                 F.col(dst).alias("__dst"),
                 F.expr(f"(pru * {weight}) DIV __wtot").alias("__c"),
@@ -375,7 +416,7 @@ def pagerank_weighted(
             .agg(F.sum("__c").alias("__s"))
         )
         pr = (
-            pr.join(contrib, pr[id_col] == F.col("__dst"), "left")
+            pr.join(_pr_small_side(contrib, small), pr[id_col] == F.col("__dst"), "left")
             .select(
                 F.col(id_col),
                 (

@@ -169,7 +169,12 @@ def per_user_ranking_metrics(
     # AP / NDCG / MRR fold over ~|hits| elements instead of re-walking
     # all k positions each (HOF lambdas are interpreted per element —
     # see _hit_positions; expression CSE does not cross lambda bodies,
-    # so the sharing must be an explicit projection)
+    # so the sharing must be an explicit projection).  The sharing
+    # survives the optimizer because CollapseProject refuses to inline a
+    # multi-referenced non-cheap expression (SPARK-36718, Spark >= 3.3);
+    # on an engine without that guard __hp would be inlined into each
+    # consumer and the interpreted work silently re-tripled (correctness
+    # unaffected) — re-check the plan on any engine/version change.
     pre = joined.select(
         user_col, r, t, _hit_positions(r, t, k).alias("__hp")
     )

@@ -229,14 +229,63 @@ class MovieLensPipeline:
             ).alias(POPULARITY_FP_COL)
         )
 
+    @staticmethod
+    def _rows_fingerprint(table: DataFrame, item_col: str) -> DataFrame:
+        """One-row content fingerprint of an exported popularity table's
+        (item, score) rows: row count + exact decimal sum of a per-row
+        xxhash64 over (item as long, score in integer micro-units).
+        Scores are det_round(…, 6) doubles, so the 1e6 scaling is an
+        exact integer and the fingerprint survives any storage
+        round-trip that preserves 6 dp.  Folded into the provenance
+        stamp (round-14, r12 verdict item 4) so an IN-PLACE score edit
+        under an intact train stamp is caught — the stamp now proves
+        integrity of the exported ranking, not just provenance."""
+        return table.agg(
+            MovieLensPipeline._rows_fp_expr(item_col).alias("__rows_fp")
+        )
+
+    @staticmethod
+    def _rows_fp_expr(item_col: str):
+        """The aggregate expression behind ``_rows_fingerprint`` — also
+        folded into ``validate_popularity``'s existing table-side job so
+        the integrity check costs no extra scan."""
+        h = F.xxhash64(
+            F.col(item_col).cast("long"),
+            F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long"),
+        )
+        return F.concat_ws(
+            ":",
+            F.lit("rows"),
+            F.count("*"),
+            F.coalesce(F.sum(h.cast("decimal(38,0)")).cast("string"), F.lit("0")),
+        )
+
     def popularity_table(self, k: int = 100) -> DataFrame:
         """``popularity_top_k`` plus the provenance stamp column — what
         the ``popularity`` CLI verb writes.  The stamp is attached via a
         broadcast one-row aggregate (no driver collect), so the verb
-        stays one lazy plan; k rows make the constant column free."""
+        stays one lazy plan; k rows make the constant column free.
+
+        Stamp format (v2, round-14): ``<train_fp>|<rows_fp>`` — the
+        train-split fingerprint plus a fingerprint of the exported
+        (item, score) rows themselves, so ``validate_popularity``
+        catches both a table fitted on different ratings AND a table
+        whose scores were edited in place under an intact train stamp
+        (the round-12 caveat-emptor gap, closed)."""
         from ..operators.relational import with_scalars
 
-        return with_scalars(self.popularity_top_k(k), self.train_fingerprint())
+        # the top-k feeds both the rows-fingerprint aggregate and the
+        # output rows; k rows, so the truncation is free and the scored
+        # subtree computes once
+        top = self.popularity_top_k(k).localCheckpoint(eager=False)
+        stamp = self.train_fingerprint().crossJoin(
+            F.broadcast(self._rows_fingerprint(top, self.item_col))
+        ).select(
+            F.concat_ws("|", F.col(POPULARITY_FP_COL), F.col("__rows_fp")).alias(
+                POPULARITY_FP_COL
+            )
+        )
+        return with_scalars(top, stamp)
 
     def validate_popularity(self, ranked: DataFrame, k: int = 100) -> DataFrame:
         """Validate a reused ``popularity`` verb table against this
@@ -246,16 +295,18 @@ class MovieLensPipeline:
 
         Checks, in cost order:
         - the item column exists (schema);
-        - provenance: if the table carries ``POPULARITY_FP_COL``, its
-          stamp must equal ``train_fingerprint()`` recomputed on THIS
-          pipeline's train split — a table fitted on different ratings
-          or a stale split fails here instead of silently scoring the
-          wrong ranking.  An UNSTAMPED table (pre-round-12, or
-          hand-built) warns on stderr and is trusted — reference
-          parity: popularity_model.py:59-77 trusts its own in-session
-          list.  The stamp proves provenance, not integrity: a table
-          whose score column was edited IN PLACE while keeping the
-          stamp passes (caveat emptor — see README CLI section);
+        - provenance + integrity: if the table carries
+          ``POPULARITY_FP_COL``, its train part must equal
+          ``train_fingerprint()`` recomputed on THIS pipeline's train
+          split — a table fitted on different ratings or a stale split
+          fails here instead of silently scoring the wrong ranking —
+          and (stamp v2, round-14) its rows part must equal the
+          (item, score) fingerprint recomputed over the table as read,
+          so a score column edited IN PLACE under an intact train
+          stamp fails by name too (the r12 caveat-emptor gap, closed).
+          An UNSTAMPED table (pre-round-12, or hand-built) warns on
+          stderr and is trusted — reference parity:
+          popularity_model.py:59-77 trusts its own in-session list;
         - k-contract: wider-than-k tables are sliced by (score desc,
           item asc) — exactly ``popularity_top_k``'s ordering — or
           refused when no score column makes the slice deterministic;
@@ -276,26 +327,60 @@ class MovieLensPipeline:
             )
         stamped = None
         if POPULARITY_FP_COL in ranked.columns:
-            # one table-side job: stamp values + row count together (the
-            # table is a top-k export, small by construction); the train
-            # fingerprint is its own job (a train scan) either way
-            row = ranked.agg(
+            # one table-side job: stamp values + row count + (when the
+            # score column is present) the recomputed rows fingerprint,
+            # all together (the table is a top-k export, small by
+            # construction); the train fingerprint is its own job (a
+            # train scan) either way
+            aggs = [
                 F.collect_set(POPULARITY_FP_COL).alias("fps"),
                 F.count("*").alias("n"),
-            ).collect()[0]
+            ]
+            has_score = "score" in ranked.columns
+            if has_score:
+                aggs.append(self._rows_fp_expr(self.item_col).alias("rows_fp"))
+            row = ranked.agg(*aggs).collect()[0]
             stamped, n = sorted(row["fps"]), row["n"]
             if stamped:  # a 0-row table carries no stamp VALUES: nothing
                 # to verify (it is the verb's own legitimate output when
                 # the count floor leaves no items) — fall through to the
                 # under-k warn rather than claiming a provenance mismatch
                 expect = self.train_fingerprint().collect()[0][0]
-                if stamped != [expect]:
+                # stamp v2 is "<train_fp>|<rows_fp>"; v1 (pre-round-14)
+                # is the bare train fingerprint — still accepted, with
+                # provenance checked and integrity uncheckable
+                train_parts = sorted({s.split("|", 1)[0] for s in stamped})
+                if train_parts != [expect]:
                     raise InvalidPopularityError(
                         "popularity table provenance mismatch: stamped "
-                        f"train fingerprint {stamped} != this split's "
+                        f"train fingerprint {train_parts} != this split's "
                         f"{expect!r} — the table was fitted on different "
                         "ratings or a stale split; re-run the `popularity` "
                         "verb against the current --splits/--ratings"
+                    )
+                rows_parts = sorted(
+                    {s.split("|", 1)[1] for s in stamped if "|" in s}
+                )
+                if rows_parts and has_score:
+                    if rows_parts != [row["rows_fp"]]:
+                        raise InvalidPopularityError(
+                            "popularity table integrity mismatch: stamped "
+                            f"(item, score) fingerprint {rows_parts} != the "
+                            f"table's recomputed {row['rows_fp']!r} — the "
+                            "exported rows were edited after the "
+                            "`popularity` verb wrote them; re-run the verb"
+                        )
+                elif rows_parts:
+                    # stamped v2 but the score column was stripped: the
+                    # rows fingerprint cannot be recomputed.  Warn, don't
+                    # raise — the k-contract check below gives the
+                    # actionable named error for the scoreless case
+                    print(
+                        "warning: --popularity table carries a rows "
+                        "fingerprint but no score column — integrity "
+                        "unchecked (columns were subset after the verb "
+                        "wrote the table)",
+                        file=sys.stderr,
                     )
             ranked = ranked.drop(POPULARITY_FP_COL)
         else:

@@ -349,20 +349,22 @@ _GATE_LAST = [
 # CODE PATHS changed this round (they gate ahead of the staleness
 # order); keep it short — every pinned name displaces a stale one.
 _RECHECK_FIRST = [
-    # round 12: the popularity verb's table gained the train_fp
-    # provenance stamp (a broadcast 1-row fingerprint column) and
-    # evaluate --popularity now runs the full validation — including a
-    # fingerprint train scan — BEFORE the ALS fit (round-11 advisory);
-    # the e2e drives both verbs, so its plan changed (oracle unchanged:
-    # the e2e aggregates named columns the stamp doesn't touch).
+    # round 14: the e2e's als verb now fits once at rank 8 and exports
+    # k=5 from the saved model; evaluate reuses it via --model-dir
+    # (output row identical: counts/shape/invariant booleans); the
+    # popularity stamp gained a rows-integrity part (v2,
+    # "<train_fp>|<rows_fp>"); popularity and als verbs run overlapped.
     "movielens_e2e_cli",
-    # round 12: simhash_pairs/simhash_edges candidate constructions were
-    # factored into _simhash_pair_edges/_simhash_star_edges so the
-    # recall-sliver boundary tests drive the real code — plan and
-    # oracle identical, but the code paths changed; same pin precedent
-    # as the round-11 helper refactor.
-    "dedup_simhash",
-    "dedup_simhash_components",
+    # round 14: the df-gate broadcast moved BELOW the common-part
+    # self-join (pre-filter both sides before the pair fan-out) —
+    # oracle-identical (every pair already required the gate).
+    "customer_link_prediction_aa",
+    # round 14: repeated scalar/index subtrees truncated with lazy
+    # localCheckpoints (compute once, reuse): n1 in rfm, c/n1/med in
+    # mad, the prefix posting list in ngram-jaccard.
+    "customer_rfm_segments",
+    "order_price_mad_outliers",
+    "dedup_ngram_jaccard",
 ]
 
 

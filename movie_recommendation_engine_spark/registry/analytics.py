@@ -192,7 +192,11 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # 3 rank consumers + the final join read one scan
     )
-    n1 = m.agg(F.count("*").alias("n"))
+    # one-row count checkpointed once: all three quintile branches cross-
+    # join the SAME n — without the truncation each branch replayed an
+    # identical aggregate-over-m subtree (r13 plan: 3x BNLJ+HashAggregate
+    # at lines 17/48/79; guide §2.4 compute once, reuse)
+    n1 = m.agg(F.count("*").alias("n")).localCheckpoint(eager=False)
 
     def score(rank_df: DataFrame, invert: bool) -> DataFrame:
         s = with_scalars(rank_df, n1).select(
@@ -657,11 +661,16 @@ def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import global_rank, with_scalars
 
     orders = _t(spark, sf_dir, "orders")
+    # c feeds n1, the first median rank, and d; n1/med are one-row
+    # scalars each crossed in at several places — checkpoint all of them
+    # so the r13 plan's 14 scalar BNLJ crosses stop replaying the orders
+    # scan + aggregate per use (guide §2.4 compute once, reuse; round-13
+    # verdict task 6)
     c = orders.select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-    )
-    n1 = c.agg(F.count("*").alias("n"))
+    ).localCheckpoint(eager=False)
+    n1 = c.agg(F.count("*").alias("n")).localCheckpoint(eager=False)
 
     def doubled_median(df: DataFrame, col: str) -> DataFrame:
         r = global_rank(df, [col, "o_orderkey"], rank_col="rnk")
@@ -669,7 +678,11 @@ def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = F.sum(F.when(F.col("rnk") == F.expr("(n + 2) DIV 2"), F.col(col)).otherwise(0))
         return with_scalars(r, n1).agg((lo + hi).cast("long").alias("m2"))
 
-    med = doubled_median(c, "cents").withColumnRenamed("m2", "med2")
+    med = (
+        doubled_median(c, "cents")
+        .withColumnRenamed("m2", "med2")
+        .localCheckpoint(eager=False)  # crossed into d AND the final row
+    )
     d = with_scalars(c, med).select(
         "o_orderkey", "cents", F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2")
     ).localCheckpoint()  # consumed by MAD rank, outlier count, and top-row probe

@@ -2999,15 +2999,33 @@ def q_customer_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("w"),
         )
     )
-    a, b = purch.alias("a"), purch.alias("b")
+    # Pre-filter BOTH self-join sides with the broadcast df-gate BEFORE
+    # the pair fan-out (guide §2.3/§3.2, round-13 verdict task 4): the
+    # r13 plan fanned out ALL pairs — hub parts included — through the
+    # SortMergeJoin and only then dropped non-gated parts at the
+    # BroadcastHashJoin above it.  Every pair row already required
+    # pdf.p == a.p, so gating the inputs is semantics-identical (the
+    # oracle's JOIN pdf ON pdf.p = a.p precedes its GROUP BY too), but
+    # the rows entering the p-keyed exchanges and the quadratic fan-out
+    # now exclude every df>50 hub up front — at sf1+ that is most of
+    # the purchase table, and the hub fan-out it prevents is df^2 per
+    # part.  w rides along on the 'a' side, so the old post-join pdf
+    # attach disappears entirely.
+    # localCheckpoint: pf is BOTH self-join sides — one gated frame, one
+    # df-aggregate, instead of replaying the gate per side
+    pf = (
+        purch.join(F.broadcast(pdf), F.col("p") == F.col("wp"))
+        .select("c", "p", "w")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    a, b = pf.alias("a"), pf.alias("b")
     # pack the customer pair into one long for the aggregate (same trick
     # as part_pagerank: 8-byte vs 16-byte hash-map key over the df^2
     # pair fan-out — halves the partial-agg map entry under tight heaps)
     ck = F.col("a.c") * F.lit(4294967296).cast("long") + F.col("b.c")
     raw = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
-        .join(F.broadcast(pdf), F.col("a.p") == F.col("wp"))
-        .select(ck.alias("ck"), "w")
+        .select(ck.alias("ck"), F.col("a.w").alias("w"))
     )
     # pre-partition the pair stream on the (mostly-unique) pair key at
     # 4x the session's shuffle parallelism before aggregating: the

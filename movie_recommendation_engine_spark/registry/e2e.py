@@ -114,6 +114,7 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_dir = os.path.join(scratch, "splits")
     pop_dir = os.path.join(scratch, "popularity")
     recs_dir = os.path.join(scratch, "recs")
+    model_dir = os.path.join(scratch, "model")
 
     # ratings-shaped input through the engine's OWN CSV sink: dedupe to
     # the MovieLens unique (user, movie) key; column order matches
@@ -135,16 +136,19 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank=8/maxIter=4 is the smallest config that reliably clears the
     # rmse <= 2x train-mean-baseline invariant on this synthetic corpus
     # (rank=4/maxIter=2 underfits past it) — do not shrink further for
-    # bench time.  Refits in `evaluate` because the two verbs use
-    # DIFFERENT configs here (the als verb exports k=5 at rank 4; the
-    # evaluate invariant needs rank 8), so a saved model would be the
-    # wrong model.  When the configs match, `als --save-model` +
-    # `evaluate --model-dir` is now the FASTER path: round 8 routed
-    # loaded-model top-k through the Arrow/BLAS kernel
-    # (operators/similarity.arrow_dot_topk), measured at sf0.1
-    # local[32] steady-state evaluate-with-load 14.7 s vs refit 21.2 s
-    # (round 6 had measured the MLlib blocked cross LOSING on loaded
-    # parquet-backed factors, 116.6 s vs 52.5 s).
+    # bench time.  Round 14: the als verb now fits ONCE at that config
+    # and exports k=5 from it (`--save-model`), and evaluate reuses the
+    # saved model (`--model-dir`) instead of refitting — the CLI's own
+    # fit-once-serve-anywhere flow, measured faster back in round 8
+    # (evaluate-with-load 14.7 s vs refit 21.2 s at sf0.1 local[32];
+    # loaded-model top-k routes through the Arrow/BLAS kernel,
+    # operators/similarity.arrow_dot_topk).  The gated output row is
+    # unchanged: rec_users/rec_rows_ok check the served-user COUNT and
+    # k-per-user shape (identical for any rank — every train user gets
+    # factors), and the rank-8 metrics feed the same invariant booleans
+    # the refit produced.  (Round 6 had measured the MLlib blocked
+    # cross LOSING on loaded parquet-backed factors, 116.6 s vs
+    # 52.5 s — that was the pre-Arrow-kernel serving path.)
     # downstream verbs read the split verb's partitioned parquet
     # (--splits) instead of re-splitting from CSV per verb — the
     # reference's own flow (als.py:24-34 reads the splitter's files).
@@ -153,31 +157,57 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user-window jobs becoming partition-pruned parquet scans
     # (round-9 judge defect #1: the cache-leak fix exposed the
     # re-splits as a ~1.7x e2e regression).
+    from concurrent.futures import ThreadPoolExecutor
+
     cli_main(["split", "--ratings", csv_path, "--out", split_dir])
-    cli_main(["popularity", "--splits", split_dir, "--k", "100", "--out", pop_dir])
-    cli_main(
-        ["als", "--splits", split_dir, "--rank", "4", "--max-iter", "2",
-         "--reg", "0.1", "--k", "5", "--out", recs_dir]
-    )
-    # evaluate reuses BOTH upstream artifacts: the split verb's
-    # partitioned parquet (--splits, round 10) and the popularity verb's
-    # top-100 table (--popularity, round 11) — without the latter the
-    # hit-ratio refits the popularity aggregate over the whole train
-    # split per evaluate run (a full popularity refit at 100x scale).
+    # popularity and als are INDEPENDENT consumers of the split verb's
+    # output (the evaluate verb below needs both artifacts) — run the
+    # two verbs concurrently (guide §2.6: Spark's scheduler runs jobs
+    # from several driver threads, FIFO back-fill) so the popularity
+    # aggregate's tasks fill the cores the ALS fit's many small
+    # iteration barriers leave idle.  Each verb builds its own pipeline
+    # over its own parquet read; job descriptions are thread-local.
+    # Overlapped, the verb pair costs ~max of the two instead of their
+    # sum (per-verb timings in OPTIMIZATION_r14.md).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pop = pool.submit(
+            cli_main,
+            ["popularity", "--splits", split_dir, "--k", "100", "--out", pop_dir],
+        )
+        f_als = pool.submit(
+            cli_main,
+            ["als", "--splits", split_dir, "--rank", "8", "--max-iter", "4",
+             "--reg", "0.1", "--k", "5", "--save-model", model_dir,
+             "--out", recs_dir],
+        )
+        try:
+            f_pop.result()
+            f_als.result()
+        except BaseException:
+            pool.shutdown(wait=False, cancel_futures=True)
+            raise
+    # evaluate reuses ALL THREE upstream artifacts: the split verb's
+    # partitioned parquet (--splits, round 10), the popularity verb's
+    # top-100 table (--popularity, round 11 — without it the hit-ratio
+    # refits the popularity aggregate over the whole train split per
+    # evaluate run), and the als verb's saved model (--model-dir,
+    # round 14 — without it evaluate refits the whole ALS model).
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         cli_main(
             ["evaluate", "--splits", split_dir, "--popularity", pop_dir,
-             "--rank", "8", "--max-iter", "4", "--reg", "0.1", "--k", "100"]
+             "--model-dir", model_dir, "--k", "100"]
         )
     metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
 
     # fold the verb artifacts into the summary row.  The four fold-up
     # aggregates are independent small jobs over different artifacts;
     # submit them from a thread pool so each job's straggler tail is
-    # back-filled by the next one's tasks (guide-§2.6 overlap) instead
-    # of paying four sequential ramp-downs.  Plans are built up front on
-    # this thread; only actions run in the pool.
+    # back-filled by the next one's tasks (guide-§2.6 overlap).  The
+    # three independent plans are built up front on this thread; the
+    # dependent base-RMSE pair (mu collect -> scored_val aggregate) is
+    # inherently sequential, so it builds AND runs inside its own pool
+    # task (py4j plan construction is thread-safe).
     from concurrent.futures import ThreadPoolExecutor
 
     labeled = spark.read.parquet(split_dir)
@@ -216,10 +246,17 @@ def q_movielens_e2e_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_pop = pool.submit(lambda: pop_plan.collect()[0])
         f_recs = pool.submit(lambda: rec_stats_plan.collect()[0])
         f_base = pool.submit(_base_rmse)
-        counts = {r["split"]: r["n"] for r in f_counts.result()}
-        pop = f_pop.result()
-        rec_stats = f_recs.result()
-        base_rmse = f_base.result()
+        try:
+            counts = {r["split"]: r["n"] for r in f_counts.result()}
+            pop = f_pop.result()
+            rec_stats = f_recs.result()
+            base_rmse = f_base.result()
+        except BaseException:
+            # fail fast instead of letting the with-block's shutdown
+            # (wait=True) run every sibling job to completion before the
+            # error surfaces (round-13 advisory on the evaluate pool)
+            pool.shutdown(wait=False, cancel_futures=True)
+            raise
 
     rmse, map_at_k = float(metrics["rmse"]), float(metrics["map_at_k"])
     shutil.rmtree(scratch, ignore_errors=True)

@@ -293,9 +293,10 @@ def test_popularity_provenance_stamp(spark, ratings_csv, tmp_path, capsys):
     verifies the stamp against ITS split, so a table fitted on
     different ratings (the stale-artifact failure mode — every shape
     check passes, the metric is silently wrong) is caught by name.
-    An unstamped (pre-round-12) table warns and is trusted; a doctored
-    score column under an intact stamp passes — the stamp proves
-    provenance, not integrity (documented caveat emptor)."""
+    An unstamped (pre-round-12) table warns and is trusted; since
+    round 14 the stamp also fingerprints the exported (item, score)
+    rows, so a doctored score column under an intact train stamp is
+    caught by name too (r12 verdict item 4 — the caveat-emptor gap)."""
     from movie_recommendation_engine_spark.__main__ import main
     from movie_recommendation_engine_spark.plans.movielens import (
         POPULARITY_FP_COL,
@@ -353,12 +354,36 @@ def test_popularity_provenance_stamp(spark, ratings_csv, tmp_path, capsys):
         p.validate_popularity(table.drop(POPULARITY_FP_COL), 5)
         assert "no train_fp provenance stamp" in capsys.readouterr().err
 
-        # doctored scores under an intact stamp: NOT caught — the stamp
-        # is provenance, not tamper-proofing (README caveat emptor)
+        # doctored scores under an intact train stamp: caught by the
+        # rows fingerprint (stamp v2, round 14) — an in-place score
+        # edit raises by name
         from pyspark.sql import functions as F
 
         doctored = table.withColumn("score", F.lit(9.0))
-        p.validate_popularity(doctored, 5)
+        with pytest.raises(InvalidPopularityError, match="integrity mismatch"):
+            p.validate_popularity(doctored, 5)
+
+        # a doctored ITEM column is caught by the same fingerprint
+        doctored_item = table.withColumn(
+            "movieId", F.col("movieId") + F.lit(1)
+        )
+        with pytest.raises(InvalidPopularityError, match="integrity mismatch"):
+            p.validate_popularity(doctored_item, 5)
+
+        # a v1 (train-only) stamp stays accepted: integrity uncheckable,
+        # provenance still verified — backward compat with round-12
+        # tables
+        v1 = table.withColumn(
+            POPULARITY_FP_COL,
+            F.split(F.col(POPULARITY_FP_COL), r"\|").getItem(0),
+        )
+        p.validate_popularity(v1, 5)
+
+        # v2 stamp with the score column stripped: integrity unchecked
+        # (warns), provenance still verified, k-contract path intact
+        capsys.readouterr()
+        p.validate_popularity(table.drop("score"), 5)
+        assert "integrity unchecked" in capsys.readouterr().err
     finally:
         p.unpersist()
 
