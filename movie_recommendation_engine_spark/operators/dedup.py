@@ -494,6 +494,16 @@ def minhash_lsh_pairs(
         from pyspark.sql import Window
 
         w = Window.partitionBy("band").orderBy("id")
+        # The capped posting list feeds BOTH sides of the bucket
+        # self-join, so the sort+WindowGroupLimit cap tower executes
+        # once per side.  A localCheckpoint here would dedupe it, but
+        # measured at sf0.1 (r14 A/B, quiet windows) the materialization
+        # barrier costs MORE than the duplicated tower (5.20 s vs
+        # 4.59 s min-of-4): the tower reads the already-checkpointed
+        # band list and pipelines into each join side, while the
+        # checkpoint forces a block write + two cold reads.  Left
+        # duplicated deliberately; revisit if |bands| grows to where a
+        # second full exchange of the posting list dominates.
         bands = (
             bands.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= max_bucket)

@@ -192,27 +192,39 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # 3 rank consumers + the final join read one scan
     )
-    # one-row count checkpointed once: all three quintile branches cross-
-    # join the SAME n — without the truncation each branch replayed an
-    # identical aggregate-over-m subtree (r13 plan: 3x BNLJ+HashAggregate
-    # at lines 17/48/79; guide §2.4 compute once, reuse)
-    n1 = m.agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    n1 = m.agg(F.count("*").alias("n"))
 
-    def score(rank_df: DataFrame, invert: bool) -> DataFrame:
-        s = with_scalars(rank_df, n1).select(
-            "custkey", F.expr("(((rnk - 1) * 5) DIV n) + 1").alias("score")
-        )
-        if invert:
-            s = s.select("custkey", (6 - F.col("score")).alias("score"))
-        return s
+    def ranked(order_col: str, out: str) -> DataFrame:
+        return global_rank(
+            m.select("custkey", order_col), [order_col, "custkey"], rank_col="rnk"
+        ).select("custkey", F.col("rnk").alias(out))
 
-    rr = score(global_rank(m.select("custkey", "r_days"), ["r_days", "custkey"], rank_col="rnk"), True)
-    fr = score(global_rank(m.select("custkey", "n_orders"), ["n_orders", "custkey"], rank_col="rnk"), False)
-    mr = score(global_rank(m.select("custkey", "m_cents"), ["m_cents", "custkey"], rank_col="rnk"), False)
+    def score(rnk: str, invert: bool):
+        s = F.expr(f"((({rnk} - 1) * 5) DIV n) + 1")
+        return (6 - s) if invert else s
+
+    # the three quintile ranks join FIRST and the one-row n crosses in
+    # ONCE at the end — the r13 plan replayed an identical count-over-m
+    # aggregate subtree (BNLJ + HashAggregate tower) inside each of the
+    # three branches (lines 17/48/79 of the 612-line before-dump);
+    # computing the scores after the custkey join needs a single
+    # broadcast of a single aggregate (guide §2.4 compute once, reuse)
     return (
-        m.join(rr.withColumnRenamed("score", "r_score"), "custkey")
-        .join(fr.withColumnRenamed("score", "f_score"), "custkey")
-        .join(mr.withColumnRenamed("score", "m_score"), "custkey")
+        with_scalars(
+            m.join(ranked("r_days", "r_rnk"), "custkey")
+            .join(ranked("n_orders", "f_rnk"), "custkey")
+            .join(ranked("m_cents", "m_rnk"), "custkey"),
+            n1,
+        )
+        .select(
+            "custkey",
+            "r_days",
+            "n_orders",
+            "m_cents",
+            score("r_rnk", True).alias("r_score"),
+            score("f_rnk", False).alias("f_score"),
+            score("m_rnk", False).alias("m_score"),
+        )
         .select(
             "custkey",
             "r_days",

@@ -594,8 +594,15 @@ def q_als_rank1_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_R1N_PROBE_CAP)
     )
     out = arrow_brute_force_topk(probe, factors, k=5, id_col="id", vec_col="features")
-    fq = v.select(F.col("i").alias("query_id"), F.col("f").alias("__fq"))
-    fc = v.select(F.col("i").alias("neighbor_id"), F.col("f").alias("__fc"))
+    # broadcast the factor lookups: the affinity re-attach joins a
+    # <=cap*k-row neighbor list against the item-factor table, but both
+    # sides are checkpointed RDDs with NO size statistics, so the
+    # planner sort-merge-joined them (r13 plan: 2 SMJ, 4 Exchanges).
+    # The factor table is the same |items|-bounded relation the Arrow
+    # kernel itself just broadcast as the candidate catalog, so the
+    # explicit hint adds no new memory contract (guide §3.1).
+    fq = F.broadcast(v.select(F.col("i").alias("query_id"), F.col("f").alias("__fq")))
+    fc = F.broadcast(v.select(F.col("i").alias("neighbor_id"), F.col("f").alias("__fc")))
     return (
         out.join(fq, "query_id")
         .join(fc, "neighbor_id")
