@@ -3011,13 +3011,15 @@ def q_customer_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame
     # the purchase table, and the hub fan-out it prevents is df^2 per
     # part.  w rides along on the 'a' side, so the old post-join pdf
     # attach disappears entirely.
-    # localCheckpoint: pf is BOTH self-join sides — one gated frame, one
-    # df-aggregate, instead of replaying the gate per side
-    pf = (
-        purch.join(F.broadcast(pdf), F.col("p") == F.col("wp"))
-        .select("c", "p", "w")
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
+    # pf is rebuilt per self-join side (scan of the checkpointed purch +
+    # one broadcast-hash probe — cheap and fully pipelined).  A DISK_ONLY
+    # checkpoint of pf was tried and REVERTED: on a corpus where the df
+    # gate is non-selective (the uniform testdata: df ≈ 30, nearly every
+    # part inside [2, 50]) pf ≈ purch and the block write + two cold
+    # reads measured ~16% slower at sf1 than recomputing the gate probe
+    # twice; on a selective (Zipfian) corpus the fan-out pruning below
+    # is the win either way.
+    pf = purch.join(F.broadcast(pdf), F.col("p") == F.col("wp")).select("c", "p", "w")
     a, b = pf.alias("a"), pf.alias("b")
     # pack the customer pair into one long for the aggregate (same trick
     # as part_pagerank: 8-byte vs 16-byte hash-map key over the df^2
